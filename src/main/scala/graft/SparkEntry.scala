@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -366,8 +367,124 @@ object SparkEntry {
       Universe.pointInTime(chg, "user_id", "d", Seq("ts", "event_id"), "action",
           current, dates)
         .select(col("d"), col("user_id"))
+    }),
+
+    // ---- LLM-training-data operators (documents / embeddings tables) ----
+
+    // Language ID via stopword-dictionary argmax.
+    "t1_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Quality scoring: length/punct/stopword features + composite score.
+    "t2_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_words"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex proxy.
+    "t3_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+    }),
+
+    // Document fingerprint (md5 of normalized text).
+    "t4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup: canonical id per identical text.
+    "d1_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Exact all-pairs 3-gram Jaccard near-dups (quadratic ground truth).
+    "d2_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+    }),
+
+    // MinHash + banded LSH near-dups, exact-verified (the 100 TB path).
+    "d3_dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text", 3, 64, 16, 0.5)
+    }),
+
+    // SimHash near-dups via banded Hamming blocking.
+    "d4_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
+    "n1_ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"), 5)
+    }),
+
+    // SRP-LSH bucketed approximate neighbors (recall tested in specs).
+    "n2_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"), 64, 8, 5)
+    }),
+
+    // Multimodal payload plumbing: bytes/sha/chunks + frame samples.
+    "m1_multimodal_stats" -> ((s, dir) => {
+      val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id",
+        encode(col("text"), "UTF-8"), "text")
+      val withText = assets.join(
+        t(s, dir, "documents").select(col("doc_id").as("asset_id"), col("text")), "asset_id")
+      Multimodal.frameSamples(withText, "text", Seq(1, 101), 16)
+        .select(col("asset_id"), col("modality"), col("n_bytes"), col("sha"),
+          col("n_chunks"), col("frame_1"), col("frame_101"))
     })
   )
+
+  /** SQL fragment: the langId scoring CASE, mirrored from
+    * [[TextAnalysis.langId]].
+    */
+  private def langIdSql: String = {
+    val scores = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, dict) =>
+      val in = dict.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(lower(text),' '), t -> t IN ($in))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val zh = "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh"
+    val langs = (TextAnalysis.stopwords.keys.toSeq.sorted :+ "zh")
+    val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, $scores,
+       |    $zh
+       |  FROM documents),
+       |gg AS (SELECT doc_id, sc.*, $g AS g FROM sc)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM gg""".stripMargin
+  }
+
+  /** SQL fragment: 60-bit SimHash pairs, mirrored from [[Dedup.simHashPairs]]. */
+  private def simHashSql: String = {
+    val bitSums = (0 until 60).map(j => s"sum(((wh >> $j) & 1)*2 - 1) AS b$j").mkString(", ")
+    val sig = (0 until 60).map(j => s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH wds AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |wh AS (SELECT id, CAST(concat('0x', substr(md5(concat('w:', w)), 1, 15)) AS BIGINT) AS wh FROM wds),
+       |bits AS (SELECT id, $bitSums FROM wh GROUP BY 1),
+       |sig AS (SELECT id, $sig AS simhash FROM bits),
+       |ch AS (SELECT id, simhash, unnest(range(0,4)) AS c FROM sig),
+       |ck AS (SELECT id, simhash, c, (simhash >> (15*c)) & 32767 AS ckey FROM ch),
+       |cand AS (SELECT DISTINCT x.id AS a, x.simhash AS ha, y.id AS b, y.simhash AS hb
+       |         FROM ck x JOIN ck y ON x.c = y.c AND x.ckey = y.ckey AND x.id < y.id)
+       |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -626,6 +743,89 @@ object SparkEntry {
         |SELECT d, k AS user_id FROM nx
         |WHERE is_probe = 1
         |  AND (next_action = 'Removed'
-        |       OR (next_action IS NULL AND k IN (SELECT k FROM cur)))""".stripMargin
+        |       OR (next_action IS NULL AND k IN (SELECT k FROM cur)))""".stripMargin,
+    "t1_langid" -> langIdSql,
+    "t2_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) AS sum_len,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(list_transform(string_split(text, ' '), t -> lower(t)),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'for'))) AS BIGINT) AS en_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  round(sum_len / n_words, 6) AS avg_word_len,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  round(CAST(en_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |  round((CAST(en_hits AS DOUBLE) / n_words) * 0.5 +
+        |    (CASE WHEN n_words >= 20 THEN 0.5 ELSE 0.0 END), 6) AS quality_score
+        |FROM f""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "d1_dedup_exact" ->
+      """WITH c AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+        |  FROM documents)
+        |SELECT doc_id, canon_id, doc_id <> canon_id AS is_dup FROM c""".stripMargin,
+    "d2_dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+3], ' ') AS s FROM idx),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT x.id AS a, y.id AS b, count(*) AS c FROM sh x
+        |          JOIN sh y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
+    "d3_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+3], ' ') AS s FROM idx),
+        |hx AS (SELECT id, s, unnest(range(0, 64)) AS h FROM sh),
+        |mh AS (SELECT id, h,
+        |         min(CAST(concat('0x', substr(md5(concat(h, ':', s)), 1, 15)) AS BIGINT)) AS m
+        |       FROM hx GROUP BY 1, 2),
+        |bands AS (SELECT id, h // 4 AS band,
+        |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)) AS bkey
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+        |         JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+        |          JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+        |          GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+        |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin,
+    "d4_dedup_simhash" -> simHashSql,
+    "n1_ann_cosine_topk" ->
+      """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v*c.v) AS dot
+        |         FROM x q JOIN x c ON q.i = c.i
+        |         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT qid, cid, round(dot/(a.n*b.n), 6) AS cos
+        |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid),
+        |r AS (SELECT qid, cid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+        |      FROM cos)
+        |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "m1_multimodal_stats" ->
+      """SELECT doc_id AS asset_id, 'text' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_chunks,
+        |  lower(hex(encode(substr(text, 1, 16)))) AS frame_1,
+        |  lower(hex(encode(substr(text, 101, 16)))) AS frame_101
+        |FROM documents""".stripMargin
   )
 }

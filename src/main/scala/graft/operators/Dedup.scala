@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard (quadratic ground truth), MinHash+LSH (the 100 TB path), and
+  * SimHash with banded Hamming blocking.
+  *
+  * All hashing is derived from md5 so results are deterministic across
+  * engines and runs (no JVM `hashCode`, no seeds to drift): a 60-bit
+  * integer is taken from the first 15 hex chars of `md5(tag || value)`.
+  */
+object Dedup {
+
+  /** 60-bit deterministic hash of a string column under a namespace tag. */
+  def hash60(tag: String, c: Column): Column =
+    conv(substring(md5(concat(lit(tag + ":"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: canonical id = min id among identical texts.
+    * One hash-shuffle on the text digest; last/first-wins is deterministic.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
+    df.select(col(idCol), min(col(idCol)).over(w).as("canon_id"))
+      .withColumn("is_dup", (col(idCol) =!= col("canon_id")).cast("boolean"))
+  }
+
+  /** Distinct word k-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"),
+        explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
+      .distinct()
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= threshold. Quadratic in corpus size
+    * (shingle-join blowup) — this is the oracle/ground-truth variant; use
+    * [[minHashLsh]] at scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    jaccardOf(inter, sizes, threshold)
+  }
+
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** MinHash signature columns mh0..mh{n-1}: per-doc min of 60-bit hashes
+    * of each shingle under `n` hash namespaces. One shuffle (groupBy id).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("id").agg(
+      min(hash60("0", col("s"))).as("mh0"),
+      (1 until numHashes).map(i => min(hash60(i.toString, col("s"))).as(s"mh$i")): _*)
+
+  /** MinHash + banded LSH near-dup pairs, exact-verified.
+    *
+    * Pipeline: shingle → signature (numHashes) → band keys (md5 of each
+    * r-hash slice) → candidate pairs sharing any band → exact Jaccard
+    * verification on the candidates only. At 100 TB each stage is a
+    * linear scan + one hash shuffle; the quadratic blowup of
+    * [[jaccardPairs]] is replaced by per-bucket joins whose size the
+    * band/row parameters control.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val bandKeys = sig.select(col("id") +:
+      (0 until bands).map { b =>
+        md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
+          .as(s"band$b")
+      }: _*)
+    val long = bandKeys.selectExpr("id",
+      s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
+    val cand = long.as("x").join(long.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    // exact verification restricted to candidates: count shared shingles
+    val interCnt = cand
+      .join(sh.withColumnRenamed("id", "a"), "a")
+      .join(sh.withColumnRenamed("id", "b").withColumnRenamed("s", "s2"),
+        Seq("b"), "inner")
+      .filter(col("s") === col("s2"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    jaccardOf(interCnt, sizes, threshold)
+  }
+
+  /** 60-bit SimHash over the document's distinct words. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .withColumn("wh", hash60("w", col("w")))
+    val bitSums = words.groupBy("id").agg(
+      sum(expr("((wh >> 0) & 1) * 2 - 1")).as("b0"),
+      (1 until 60).map(j => sum(expr(s"((wh >> $j) & 1) * 2 - 1")).as(s"b$j")): _*)
+    bitSums.select(col("id"),
+      (0 until 60).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 60 bits into 4 chunks of 15; pairs
+    * sharing any chunk are candidates; verify Hamming distance <= maxDist.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sig = simHash(df, idCol, textCol)
+    val chunks = sig.selectExpr("id", "simhash",
+      s"stack(4, ${(0 until 4).map(c => s"$c, (simhash >> ${15 * c}) & 32767").mkString(", ")}) as (chunk, ckey)")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("x.simhash").as("ha"),
+        col("y.id").as("b"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+}

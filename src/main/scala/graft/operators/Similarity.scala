@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the exact baseline (O(|Q|·|C|·d), right
+  * whenever |Q| is small or as the per-bucket step); the SRP-LSH variant
+  * buckets vectors by random-hyperplane sign codes so candidate sets
+  * shrink to one bucket — the 100 TB path (bucket join replaces the
+  * cross join; same idea as IVF coarse quantization).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions —
+  * no UDFs, columnar-friendly, deterministic left-to-right fold.
+  */
+object Similarity {
+
+  /** Elementwise double cast. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Left-fold dot product of two equal-length array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k cosine neighbors of each query vector over the corpus.
+    * Ranks on a 6-d.p.-rounded cosine with id tie-break (deterministic
+    * across engines and summation orders).
+    *
+    * @param queries (qid, qv) frame; @param corpus (cid, cv) frame.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.toDF("qid", "qv").withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.toDF("cid", "cv").withColumn("cn", l2Norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane p, dim d): the low
+    * bit of md5 — a Rademacher sign-random-projection family.
+    */
+  private def planeSign(p: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+    if ((hex.last & 1) == 1) 1 else -1
+  }
+
+  /** SRP-LSH bucket code: `numPlanes` sign bits of dot(v, hyperplane_p). */
+  def srpCode(v: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val signs = (0 until dim).map(d => planeSign(p, d))
+      val proj = aggregate(
+        zip_with(asDouble(v), typedlit(signs), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates limited to the query's SRP bucket,
+    * exact cosine rank within. Vectors in sparse buckets may return fewer
+    * than k neighbors — the recall/speed trade LSH makes by design.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, numPlanes: Int,
+      k: Int): DataFrame = {
+    val q = queries.toDF("qid", "qv")
+      .withColumn("code", srpCode(col("qv"), dim, numPlanes))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.toDF("cid", "cv")
+      .withColumn("code", srpCode(col("cv"), dim, numPlanes))
+      .withColumn("cn", l2Norm(col("cv")))
+    val scored = c.join(q, Seq("code"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+  }
+}

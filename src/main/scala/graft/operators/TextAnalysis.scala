@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is pure `Column` algebra (split / higher-order functions /
+  * regex / md5) — no UDFs, so the whole pipeline stays inside Catalyst
+  * and scales linearly with input: per-row work only, no shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")
+
+  /** BPE-ish subword proxy count: alpha runs, single digits, punctuation. */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Small per-language stopword dictionaries (deterministic heuristic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for"),
+    "es" -> Seq("el", "los", "las", "y", "es", "para", "con", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "pour", "avec", "dans", "une"))
+
+  /** Count of tokens present in `dict`. */
+  def dictHits(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(dict))).cast("long")
+
+  /** N-gram/stopword-based language ID over {de,en,es,fr,zh}: argmax of
+    * dictionary hits (CJK character count for zh), alphabetical tie-break.
+    */
+  def langId(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, dict) =>
+      lang -> dictHits(toks, dict)
+    } :+ ("zh" -> size(regexp_extract_all(textCol, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long"))
+    val g = greatest(scores.map(_._2): _*)
+    // first alphabetical language reaching the max (zh sorts last)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === g && g > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality features: char/word counts, mean word length, punctuation
+    * ratio, stopword ratio, and a simple composite score.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[.,;:!?]"), lit(0))).cast("long")
+    val enHits = dictHits(transform(toks, t => lower(t)), stopwords("en"))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len", sumLen.cast("double") / nWords)
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
+      .withColumn("stopword_ratio", enHits.cast("double") / nWords)
+      .withColumn("quality_score",
+        col("stopword_ratio") * 0.5 + when(nWords >= 20, 0.5).otherwise(0.0))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(textCol: Column): Column =
+    md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and data"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "der hund und die katze sind nicht mit der maus")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup maps identical texts to the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 0L && out(0L) == 0L)
+    assert(out(1L) == 1L && out(2L) == 2L)
+  }
+
+  test("jaccard pairs find near-dups above threshold only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup => jaccard 1
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH recalls the exact-jaccard pairs on this corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh) && lsh.subsetOf(exact)) // verify step caps at exact
+  }
+
+  test("simhash: exact dups at hamming 0; unrelated docs far apart") {
+    val sig = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L))
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) > 10)
+  }
+
+  test("langId picks the dictionary with most hits, 'und' when none") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en" && out(4L) == "de")
+  }
+
+  test("quality features are exact on a known sentence") {
+    val one = Seq((9L, "the cat, and the dog.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(one, "text").collect().head
+    assert(r.getAs[Long]("n_chars") == 21L)
+    assert(r.getAs[Long]("n_words") == 5L)
+    // tokens: the(3) cat,(4) and(3) the(3) dog.(4) => 17/5
+    assert(math.abs(r.getAs[Double]("avg_word_len") - 17.0 / 5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 21) < 1e-12)
+    // lowercase hits: the, and, the => 3/5
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 5) < 1e-12)
+  }
+
+  test("cosineTopK is exact and deterministically ranked") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs.filter($"vec_id" === 0), vecs, 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 1L) // closest direction
+    assert(out(1).getLong(1) == 2L) // orthogonal beats opposite
+  }
+
+  test("SRP-LSH top-k achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(7)
+    // two tight clusters in 16-d
+    val base1 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base2 = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 60).map { i =>
+      val b = if (i % 2 == 0) base1 else base2
+      (i.toLong, b.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 6)
+    val exact = Similarity.cosineTopK(q, vecs, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, vecs, 16, 6, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("multimodal decodeFeatures: normalized histogram, deterministic") {
+    val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
+    val feats = Multimodal.decodeFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(0L).size == 16)
+    assert(math.abs(feats(0L).sum - 1.0) < 1e-9)
+    assert(feats(0L) == feats(3L)) // identical payloads => identical features
+  }
+
+  test("multimodal asset stats") {
+    val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
+      .filter(col("asset_id") === 0L).collect().head
+    assert(assets.getAs[Long]("n_bytes") == 43L)
+    assert(assets.getAs[Long]("n_chunks") == 1L)
+    assert(assets.getAs[String]("sha").length == 64)
+  }
+}

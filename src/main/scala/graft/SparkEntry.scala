@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algo.{RollingOls, Universe}
+import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -434,6 +434,41 @@ object SparkEntry {
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
         emb.select("vec_id", "embedding"), 64, 8, 5)
+    }),
+
+    // L1-L8 per-date mean-variance QP fan-out: market segments as assets,
+    // factor-model covariance assembled per date, lambda calibrated to the
+    // 5% active-risk target. Not SQL-expressible -> rows-only check;
+    // optimality/constraints are asserted in QpSpec.
+    "l5_qp_weights" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("date", to_date(col("o_orderdate")))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val cust = t(s, dir, "customer")
+      val seg = o.join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .groupBy(col("date"), col("c_mktsegment").as("ticker"))
+        .agg((sum(col("cents")) / 1e10).as("alpha"), count(lit(1)).as("n"))
+      val tot = seg.groupBy("date").agg(
+        sum(col("alpha")).as("tot_alpha"), sum(col("n")).as("tot_n"))
+      val base = seg.join(tot, "date")
+      val alphas = base.select(col("date"), col("ticker"), col("alpha"))
+      val loadings = base.select(col("date"), col("ticker"),
+          (col("alpha") / col("tot_alpha")).as("F1"),
+          (col("n") / col("tot_n")).as("F2"))
+        .unpivot(Array(col("date"), col("ticker")), Array(col("F1"), col("F2")),
+          "factor", "loading")
+      val fcovDim = s.createDataFrame(Seq(("F1", "F1", 0.04), ("F1", "F2", 0.01),
+          ("F2", "F1", 0.01), ("F2", "F2", 0.09)))
+        .toDF("factor_1", "factor_2", "covariance")
+      val fcov = alphas.select("date").distinct().crossJoin(broadcast(fcovDim))
+      val ivol = alphas.select(col("date"), col("ticker"),
+        (lit(0.05) + col("alpha")).as("idio_vol"))
+      val bench = base.select(col("date"), col("ticker"),
+        (lit(1.0) / count(lit(1)).over(Window.partitionBy("date"))).as("weight"))
+      PortfolioOpt.optimalWeights(alphas, loadings, fcov, ivol, bench)
+        .select(col("date"), col("ticker"), round(col("weight"), 9).as("weight"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("active_risk"), 6).as("active_risk"))
     }),
 
     // Multimodal payload plumbing: bytes/sha/chunks + frame samples.

@@ -1,0 +1,115 @@
+package graft.algo
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+
+/** L5-L7: long-only mean-variance portfolio optimization (reference
+  * `pipelines/utils/portfolio.py`).
+  *
+  *   maximize  wᵀα − ½·λ·wᵀΣw   s.t.  Σw = 1,  w ≥ 0
+  *
+  * The reference delegates to cvxpy; the problem is a convex QP with a
+  * unique optimum for PD Σ, so any convergent solver matches it to
+  * tolerance. This is FISTA-accelerated projected gradient with exact
+  * Euclidean projection onto the simplex (Condat/Duchi algorithm) — a
+  * few hundred O(N²) iterations for N ≤ ~500, executor-friendly (no
+  * native deps beyond Breeze/BLAS).
+  */
+object Qp {
+
+  /** Exact Euclidean projection of v onto {w : Σw = 1, w ≥ 0}. */
+  def projectSimplex(v: DenseVector[Double]): DenseVector[Double] = {
+    val n = v.length
+    val u = v.toArray.sorted(Ordering[Double].reverse)
+    var cssv = 0.0
+    var rho = -1
+    var theta = 0.0
+    var i = 0
+    while (i < n) {
+      cssv += u(i)
+      val t = (cssv - 1.0) / (i + 1)
+      if (u(i) - t > 0) { rho = i; theta = t }
+      i += 1
+    }
+    DenseVector.tabulate(n)(j => math.max(v(j) - theta, 0.0))
+  }
+
+  /** Solve the QP; returns the weight vector. */
+  def solve(
+      alphas: DenseVector[Double],
+      sigma: DenseMatrix[Double],
+      lambda: Double,
+      maxIter: Int = 2000,
+      tol: Double = 1e-10): DenseVector[Double] = {
+    val n = alphas.length
+    // gradient of (−objective): λΣw − α ; Lipschitz bound via inf-norm row sums
+    var lip = 0.0
+    var r = 0
+    while (r < n) {
+      var s = 0.0
+      var c = 0
+      while (c < n) { s += math.abs(sigma(r, c)); c += 1 }
+      if (s > lip) lip = s
+      r += 1
+    }
+    val step = 1.0 / math.max(lambda * lip, 1e-12)
+    var w = DenseVector.fill(n)(1.0 / n)
+    var y = w.copy
+    var tPrev = 1.0
+    var it = 0
+    var diff = Double.MaxValue
+    while (it < maxIter && diff > tol) {
+      val grad = (sigma * y) * lambda - alphas
+      val wNext = projectSimplex(y - grad * step)
+      val tNext = (1.0 + math.sqrt(1.0 + 4.0 * tPrev * tPrev)) / 2.0
+      y = wNext + (wNext - w) * ((tPrev - 1.0) / tNext)
+      diff = breeze.linalg.norm(wNext - w)
+      w = wNext
+      tPrev = tNext
+      it += 1
+    }
+    w
+  }
+
+  /** Annualized active risk √(wₐᵀΣwₐ)·√252 (reference `portfolio.py:76-87`). */
+  def activeRisk(active: DenseVector[Double], sigma: DenseMatrix[Double]): Double =
+    math.sqrt(active.t * (sigma * active)) * math.sqrt(252.0)
+
+  /** L6 λ-calibration fit: M = ⟨X,σ⟩/⟨X,X⟩ with X = 1/(2λ); next
+    * λ = M / (2·target) (reference `portfolio.py:47-62`).
+    */
+  def predictLambda(pairs: Seq[(Double, Double)], target: Double): Double = {
+    val x = pairs.map { case (l, _) => 1.0 / (2.0 * l) }
+    val s = pairs.map(_._2)
+    val m = x.zip(s).map { case (a, b) => a * b }.sum / x.map(a => a * a).sum
+    m / (2.0 * target)
+  }
+
+  final case class Calibrated(
+      weights: DenseVector[Double], lambda: Double, activeRisk: Double)
+
+  /** L6: the reference's ≤5-iteration calibration loop targeting 5%
+    * active risk ± 0.005 (reference `portfolio.py:90-121`).
+    */
+  def solveCalibrated(
+      alphas: DenseVector[Double],
+      sigma: DenseMatrix[Double],
+      benchmark: DenseVector[Double],
+      target: Double = 0.05,
+      tol: Double = 0.005,
+      maxIterations: Int = 5): Calibrated = {
+    var lambda = Double.NaN
+    var risk = Double.PositiveInfinity
+    var w: DenseVector[Double] = null
+    var data = List.empty[(Double, Double)]
+    var iterations = 1
+    var done = false
+    while (!done && math.abs(risk - target) > tol) {
+      lambda = if (lambda.isNaN) 100.0 else predictLambda(data.reverse, target)
+      w = solve(alphas, sigma, lambda)
+      risk = activeRisk(w - benchmark, sigma)
+      data = (lambda, risk) :: data
+      if (iterations >= maxIterations) done = true else iterations += 1
+    }
+    Calibrated(w, lambda, risk)
+  }
+}

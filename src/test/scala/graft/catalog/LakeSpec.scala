@@ -1,0 +1,70 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newLake(): Lake =
+    new Lake(spark, Files.createTempDirectory("graft_lake").toString)
+
+  private val schema = StructType(Seq(
+    StructField("ticker", StringType), StructField("date", StringType),
+    StructField("year", IntegerType), StructField("v", DoubleType),
+    StructField("seq", LongType)))
+  private val meta = TableMeta("prices", schema, Seq("year"), Seq("ticker", "date"))
+
+  private def rows(seq: Long, v: Double, y: Int = 2024) =
+    Seq(("AAPL", "2024-01-02", y, v, seq), ("MSFT", "2024-01-02", y, v + 1, seq))
+      .toDF("ticker", "date", "year", "v", "seq")
+
+  test("create skip vs replace semantics") {
+    val lake = newLake()
+    lake.create(meta, "replace")
+    lake.append("prices", rows(1, 10.0))
+    lake.create(meta, "skip") // must NOT clear
+    assert(lake.table("prices").count() == 2)
+    lake.create(meta, "replace") // must clear
+    assert(lake.table("prices").count() == 0)
+  }
+
+  test("append accumulates duplicates; optimize dedupes last-write-wins") {
+    val lake = newLake()
+    lake.create(meta, "replace")
+    lake.append("prices", rows(1, 10.0))
+    lake.append("prices", rows(2, 20.0))
+    assert(lake.table("prices").count() == 4)
+    lake.optimize("prices", "seq")
+    val out = lake.table("prices").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("seq") == 2L)) // last write won
+    // idempotent
+    lake.optimize("prices", "seq")
+    assert(lake.table("prices").count() == 2)
+  }
+
+  test("optimize rewrites only dirty partitions") {
+    val lake = newLake()
+    lake.create(meta, "replace")
+    lake.append("prices", rows(1, 10.0, 2023))
+    lake.optimize("prices", "seq")
+    // dirty only 2024; 2023 partition has dup rows that must survive as-is
+    lake.append("prices", rows(1, 1.0, 2024))
+    lake.append("prices", rows(2, 2.0, 2024))
+    lake.optimize("prices", "seq")
+    val by = lake.table("prices").collect().groupBy(_.getAs[Int]("year"))
+    assert(by(2023).length == 2)
+    assert(by(2024).length == 2 && by(2024).forall(_.getAs[Long]("seq") == 2L))
+  }
+
+  test("declared schema round-trips through the catalog") {
+    val lake = newLake()
+    lake.create(meta, "replace")
+    assert(lake.table("prices").schema.fieldNames.toSeq ==
+      Seq("ticker", "date", "year", "v", "seq"))
+    assert(lake.meta("prices").primaryKeys == Seq("ticker", "date"))
+  }
+}

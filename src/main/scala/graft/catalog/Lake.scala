@@ -45,18 +45,29 @@ class Lake(spark: SparkSession, root: String) {
       deleteRecursively(Paths.get(dir(meta.name)))
     }
     Files.createDirectories(Paths.get(dir(meta.name)))
+    def arrJson(xs: Seq[String]) =
+      if (xs.isEmpty) "[]" else xs.mkString("[\"", "\",\"", "\"]")
     val json = Seq(
       "\"name\":\"" + meta.name + "\"",
       "\"schema\":" + meta.schema.json,
-      "\"partitionKeys\":" + meta.partitionKeys.mkString("[\"", "\",\"", "\"]"),
-      "\"primaryKeys\":" + meta.primaryKeys.mkString("[\"", "\",\"", "\"]")
+      "\"partitionKeys\":" + arrJson(meta.partitionKeys),
+      "\"primaryKeys\":" + arrJson(meta.primaryKeys)
     ).mkString("{", ",", "}")
     Files.writeString(metaPath(meta.name), json)
     // empty frame with declared schema so reads of a fresh table work
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+      .withColumn(SeqCol, lit(0L))
       .write.mode(SaveMode.Append)
       .partitionBy(meta.partitionKeys: _*).parquet(dataDir(meta.name))
   }
+
+  /** Internal ingest-order column: appended batches get a monotonically
+    * increasing stamp so `optimize` can resolve primary-key conflicts
+    * last-write-wins even though Parquet has no file order (the reference
+    * relies on single-writer append order; a distributed table needs the
+    * stamp to make "last" well-defined).
+    */
+  private val SeqCol = "_graft_ingest_seq"
 
   private def dataDir(name: String) = s"${dir(name)}/data"
 
@@ -72,21 +83,24 @@ class Lake(spark: SparkSession, root: String) {
       arr("partitionKeys"), arr("primaryKeys"))
   }
 
-  /** S1: scan. */
-  def table(name: String): DataFrame = {
+  /** S1: scan (ingest-order column hidden). */
+  def table(name: String): DataFrame =
+    tableRaw(name).select(meta(name).schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  private def tableRaw(name: String): DataFrame = {
     val m = meta(name)
-    val df = spark.read.schema(
-      StructType(m.schema.filterNot(f => m.partitionKeys.contains(f.name)) ++
-        m.schema.filter(f => m.partitionKeys.contains(f.name))))
-      .parquet(dataDir(name))
-    // restore declared column order
-    df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val onDisk = StructType(
+      m.schema.filterNot(f => m.partitionKeys.contains(f.name)) ++
+        Seq(org.apache.spark.sql.types.StructField(SeqCol, org.apache.spark.sql.types.LongType)) ++
+        m.schema.filter(f => m.partitionKeys.contains(f.name)))
+    spark.read.schema(onDisk).parquet(dataDir(name))
   }
 
-  /** S3: append; records which partitions became dirty. */
+  /** S3: append; stamps ingest order and records dirty partitions. */
   def append(name: String, df: DataFrame): Unit = {
     val m = meta(name)
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn(SeqCol, lit(System.nanoTime()))
     aligned.write.mode(SaveMode.Append).partitionBy(m.partitionKeys: _*)
       .parquet(dataDir(name))
     if (m.partitionKeys.nonEmpty) {
@@ -98,29 +112,28 @@ class Lake(spark: SparkSession, root: String) {
     } else Files.writeString(Paths.get(s"${dir(name)}/_pending"), "ALL")
   }
 
-  /** S4: optimize = last-write-wins PK dedupe, rewriting only partitions
-    * that saw appends. "Last" is the maximum of `orderCol` (a file-order
-    * surrogate isn't stable in a distributed table, so callers pass an
-    * explicit recency column; the reference relies on append order which
-    * is only well-defined single-writer).
+  /** S4: optimize = last-write-wins PK dedupe (by ingest stamp, with an
+    * optional extra recency column first), rewriting only partitions that
+    * saw appends since the last optimize.
     */
-  def optimize(name: String, orderCol: String): Unit = {
+  def optimize(name: String, orderCol: String = SeqCol): Unit = {
     val m = meta(name)
     val pendingPath = Paths.get(s"${dir(name)}/_pending")
     if (!Files.exists(pendingPath)) return
     val pending = Files.readString(pendingPath).split("\n").filter(_.nonEmpty).toSet
     if (pending.isEmpty) return
 
-    val full = table(name)
+    val full = tableRaw(name)
     val scoped =
       if (m.partitionKeys.isEmpty || pending.contains("ALL")) full
       else full.filter(
         concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*).isin(pending.toSeq: _*))
-    val w = Window.partitionBy(m.primaryKeys.map(col): _*)
-      .orderBy(col(orderCol).desc)
+    val ordCols = if (orderCol == SeqCol) Seq(col(SeqCol).desc)
+      else Seq(col(orderCol).desc, col(SeqCol).desc)
+    val w = Window.partitionBy(m.primaryKeys.map(col): _*).orderBy(ordCols: _*)
     val deduped = scoped
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select((m.schema.fieldNames :+ SeqCol).map(col).toIndexedSeq: _*)
 
     // rewrite affected partitions atomically-ish: write to a temp dir then swap
     val tmp = s"${dir(name)}/_optimize_tmp"

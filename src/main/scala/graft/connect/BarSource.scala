@@ -1,0 +1,43 @@
+package graft.connect
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S7/S8: market-data bar source connector. The reference fetches
+  * split-adjusted daily bars from a broker HTTP API on the driver
+  * (`pipelines/stock_prices_flow.py:26-69`); the engine models that as a
+  * trait so production can plug an HTTP client while tests and local runs
+  * use the deterministic fixture below. Empty results must come back as a
+  * TYPED empty frame (reference `stock_prices_flow.py:42-55`).
+  */
+trait BarSource {
+  def dailyBars(spark: SparkSession, tickers: Seq[String],
+      start: LocalDate, end: LocalDate): DataFrame
+}
+
+/** Seeded geometric-random-walk fixture source (FIXTURES.md §B3). */
+class FixtureBarSource(seed: Long = 42L) extends BarSource {
+
+  override def dailyBars(spark: SparkSession, tickers: Seq[String],
+      start: LocalDate, end: LocalDate): DataFrame = {
+    import spark.implicits._
+    val rows = tickers.flatMap { t =>
+      val rnd = new scala.util.Random(seed ^ t.hashCode.toLong)
+      var price = 50.0 + rnd.nextDouble() * 100
+      Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
+        .filter(d => d.getDayOfWeek.getValue <= 5)
+        .map { d =>
+          price *= math.exp(rnd.nextGaussian() * 0.015)
+          val close = math.rint(price * 100) / 100
+          val open = math.rint(close * (1 + rnd.nextGaussian() * 0.003) * 100) / 100
+          val vol = 1e5 + rnd.nextInt(100000).toDouble
+          (t, java.sql.Date.valueOf(d), open,
+            math.max(open, close) * 1.005, math.min(open, close) * 0.995,
+            close, vol, math.rint(vol / 50), (open + close) / 2)
+        }.toSeq
+    }
+    rows.toDF("ticker", "date", "open", "high", "low", "close",
+      "volume", "trade_count", "vwap")
+  }
+}

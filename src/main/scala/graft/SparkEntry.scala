@@ -503,6 +503,41 @@ object SparkEntry {
        |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM gg""".stripMargin
   }
 
+  /** SQL mirror of [[Dedup.minHashLsh]]: same universal-hash constants
+    * (embedded as literals from [[Dedup.hashParams]]), same banding, same
+    * exact-Jaccard verification.
+    */
+  private def minHashSql: String = {
+    val sigCols = (0 until 64).map { i =>
+      val (a, b) = Dedup.hashParams(i)
+      s"min(($a*base + $b) % ${Dedup.P}) AS mh$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 16).map { bnd =>
+      val cols = (0 until 4).map(j => s"CAST(mh${bnd * 4 + j} AS VARCHAR)").mkString(", ")
+      s"SELECT id, $bnd AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+       |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
+       |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+3], ' ') AS s FROM idx),
+       |bs AS (SELECT id, s,
+       |         CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) % ${Dedup.P} AS base
+       |       FROM sh),
+       |sig AS (SELECT id,
+       |  $sigCols
+       |  FROM bs GROUP BY 1),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
+       |         JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+       |          JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+       |          GROUP BY 1, 2)
+       |SELECT a, b, round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+       |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin
+  }
+
   /** SQL fragment: 60-bit SimHash pairs, mirrored from [[Dedup.simHashPairs]]. */
   private def simHashSql: String = {
     val bitSums = (0 until 60).map(j => s"sum(((wh >> $j) & 1)*2 - 1) AS b$j").mkString(", ")
@@ -820,26 +855,7 @@ object SparkEntry {
         |SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
         |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
-    "d3_dedup_minhash" ->
-      """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
-        |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+3], ' ') AS s FROM idx),
-        |hx AS (SELECT id, s, unnest(range(0, 64)) AS h FROM sh),
-        |mh AS (SELECT id, h,
-        |         min(CAST(concat('0x', substr(md5(concat(h, ':', s)), 1, 15)) AS BIGINT)) AS m
-        |       FROM hx GROUP BY 1, 2),
-        |bands AS (SELECT id, h // 4 AS band,
-        |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)) AS bkey
-        |          FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x
-        |         JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
-        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
-        |          JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
-        |          GROUP BY 1, 2)
-        |SELECT a, b, round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
-        |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
-        |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin,
+    "d3_dedup_minhash" -> minHashSql,
     "d4_dedup_simhash" -> simHashSql,
     "n1_ann_cosine_topk" ->
       """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -17,6 +17,26 @@ object Dedup {
   def hash60(tag: String, c: Column): Column =
     conv(substring(md5(concat(lit(tag + ":"), c)), 1, 15), 16, 10).cast("long")
 
+  /** MinHash universal-hash family h_i(x) = (a_i·x + b_i) mod P over a
+    * 31-bit base hash: one md5 per shingle instead of `numHashes` — the
+    * md5 work drops 64× while the family stays engine-deterministic (the
+    * a/b constants derive from md5 of the index and are embedded as
+    * literals in both the Spark plan and the DuckDB oracle).
+    */
+  val P: Long = 2147483647L
+
+  def hashParams(i: Int): (Long, Long) = {
+    def h(tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$i".getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    ((h("a") % (P - 1)) + 1, h("b") % P)
+  }
+
+  /** 31-bit base hash of a shingle (one md5). */
+  def baseHash(c: Column): Column = hash60("mh", c) % P
+
   /** Exact dedup: canonical id = min id among identical texts.
     * One hash-shuffle on the text digest; last/first-wins is deterministic.
     */
@@ -59,13 +79,18 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** MinHash signature columns mh0..mh{n-1}: per-doc min of 60-bit hashes
-    * of each shingle under `n` hash namespaces. One shuffle (groupBy id).
+  /** MinHash signature columns mh0..mh{n-1}: per-doc min over shingles of
+    * the universal-hash family applied to one shared base hash. One md5
+    * per shingle, one shuffle (groupBy id).
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.groupBy("id").agg(
-      min(hash60("0", col("s"))).as("mh0"),
-      (1 until numHashes).map(i => min(hash60(i.toString, col("s"))).as(s"mh$i")): _*)
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    def mh(i: Int): Column = {
+      val (a, b) = hashParams(i)
+      min((col("base") * a + b) % P).as(s"mh$i")
+    }
+    sh.withColumn("base", baseHash(col("s")))
+      .groupBy("id").agg(mh(0), (1 until numHashes).map(mh): _*)
+  }
 
   /** MinHash + banded LSH near-dup pairs, exact-verified.
     *

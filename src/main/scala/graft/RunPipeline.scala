@@ -16,6 +16,7 @@ import graft.stages.Variables
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--streaming")) { runStreaming(args(1)); return }
     val root = args.headOption.getOrElse("/tmp/graft_lake")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -51,6 +52,39 @@ object RunPipeline {
     val counts = pipe.tables.map(t => s"${t.name}=${lake.table(t.name).count()}")
     println(s"[pipeline] backfill=${f"$tBackfill%.1f"}s daily=${f"$tDaily%.1f"}s")
     println(s"[pipeline] ${counts.mkString(" ")}")
+    spark.stop()
+  }
+
+  /** Streaming demo: treat the events table as an unbounded file source,
+    * run the watermarked hourly rollup, land results in a memory sink.
+    *
+    *   sbt "runMain graft.RunPipeline --streaming /root/testdata/sf0.01"
+    */
+  private def runStreaming(sfDir: String): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.schemaInference", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file sources stream a DIRECTORY of arriving files
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamOps.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("rollup").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("rollup").count()
+    val top = spark.table("rollup").orderBy(col("hour_us")).limit(3).collect()
+    println(s"[streaming] hourly rollup rows=$n first=${top.mkString(" ")}")
     spark.stop()
   }
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's time-series operators. The
+  * reference is batch-only (SURVEY §2.10) — these are the north-star
+  * streaming variants: the same logical computations expressed over
+  * unbounded input with watermarks and keyed state.
+  *
+  * Batch/streaming parity: `hourlyRollup` uses the identical expressions
+  * as the batch `e1_hourly_rollup` query; `Sessionize` reproduces the
+  * `e2_sessionize` gap semantics with `flatMapGroupsWithState`;
+  * `StreamingReturns` is W1 (`pct_change`) as per-key streaming state.
+  */
+object StreamOps {
+
+  /** Tumbling-window rollup with a watermark — the streaming form of the
+    * batch hourly rollup (same aggregate expressions; late rows beyond the
+    * watermark are dropped instead of recomputed).
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("n_events"), col("n_users_approx"), col("sum_value"))
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(
+      sessionId: Long, start: Long, end: Long, n: Long, sumCents: Long)
+  final case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, sum_value: Double)
+
+  /** Gap-based sessionization (30-min inactivity) with keyed state —
+    * unbounded keys, O(1) state per key. When `idleTimeout` is set, keys
+    * that stay quiet get their open session flushed on a processing-time
+    * timeout (production mode); without it, open sessions flush only when
+    * a later event closes them (deterministic test mode).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Long = 30,
+      idleTimeout: Option[String] = None): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def emit(userId: Long, s: SessionState): Session =
+      Session(userId, s.sessionId, s.n, s.start, s.end, s.sumCents / 100.0)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      var closed = List.empty[Session]
+      var cur = state.getOption.orNull
+      if (state.hasTimedOut) {
+        val out = if (cur != null) List(emit(userId, cur)) else Nil
+        state.remove()
+        return out.iterator
+      }
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        val cents = math.round(e.value * 100)
+        if (cur == null) cur = SessionState(1, us, us, 1, cents)
+        else if (us - cur.end > gapUs) {
+          closed ::= emit(userId, cur)
+          cur = SessionState(cur.sessionId + 1, us, us, 1, cents)
+        } else cur = cur.copy(end = us, n = cur.n + 1, sumCents = cur.sumCents + cents)
+      }
+      state.update(cur)
+      idleTimeout.foreach(state.setTimeoutDuration)
+      closed.reverse.iterator
+    }
+
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
+  }
+
+  final case class Bar(ticker: String, ts: Timestamp, close: Double)
+  final case class Return(ticker: String, ts: Timestamp, ret: Double)
+
+  /** W1 as a stream: per-ticker pct_change with one close price of state —
+    * the streaming head of the reference's price → return → signal chain.
+    */
+  def streamingReturns(bars: Dataset[Bar]): Dataset[Return] = {
+    import bars.sparkSession.implicits._
+    def update(ticker: String, rows: Iterator[Bar],
+        state: GroupState[Double]): Iterator[Return] = {
+      val out = scala.collection.mutable.ArrayBuffer[Return]()
+      var prev = state.getOption.getOrElse(Double.NaN)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { b =>
+        if (!prev.isNaN) out += Return(ticker, b.ts, b.close / prev - 1.0)
+        prev = b.close
+      }
+      state.update(prev)
+      out.iterator
+    }
+    bars.groupByKey(_.ticker)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamOps._
+
+  private def ts(m: Long): Timestamp = new Timestamp(1704067200000L + m * 60000L)
+
+  test("streamingReturns emits pct_change across micro-batches with state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val q = streamingReturns(input.toDS()).writeStream
+      .format("memory").queryName("rets").outputMode("append")
+.start()
+    input.addData(Bar("AAPL", ts(0), 100.0), Bar("AAPL", ts(1), 110.0))
+    q.processAllAvailable()
+    input.addData(Bar("AAPL", ts(2), 99.0)) // state must remember 110
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rets").as[Return].collect().sortBy(_.ts.getTime)
+    assert(out.length == 2)
+    assert(math.abs(out(0).ret - 0.10) < 1e-12)
+    assert(math.abs(out(1).ret - (99.0 / 110.0 - 1)) < 1e-12)
+  }
+
+  test("sessionize closes a session when the gap exceeds 30 minutes") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("append")
+.start()
+    input.addData(
+      Event(7L, 1L, ts(0), 1.50), Event(7L, 2L, ts(10), 2.50),
+      Event(7L, 3L, ts(60), 4.00)) // 50-min gap -> new session
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess").as[Session].collect()
+    // first session closed by the gap; second still open in state
+    assert(out.length == 1)
+    assert(out(0).n_events == 2 && math.abs(out(0).sum_value - 4.0) < 1e-12)
+    assert(out(0).session_id == 1)
+  }
+
+  test("hourlyRollup over a stream matches the batch expression") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyRollup(input.toDF()).writeStream
+      .format("memory").queryName("roll").outputMode("append")
+.start()
+    input.addData(
+      Event(1L, 1L, ts(5), 1.00), Event(2L, 2L, ts(20), 2.00),
+      Event(1L, 3L, ts(65), 4.00),
+      Event(1L, 4L, ts(600), 0.5)) // far-future row advances the watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("roll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val h0 = 1704067200000000L
+    assert(out(h0)._1 == 2 && math.abs(out(h0)._2 - 3.0) < 1e-12)
+    assert(out(h0 + 3600000000L)._1 == 1)
+  }
+}

@@ -49,6 +49,10 @@ object RunPipeline {
     pipe.daily(end, stock, etf)
     val tDaily = (System.nanoTime() - t1) / 1e9
 
+    // minute-bar history for the last market day (S8/S12)
+    pipe.writeHistory("stock_history", source.minuteBars(spark, tickers, end))
+    pipe.writeHistory("etf_history", source.minuteBars(spark, Variables.Factors, end))
+
     val counts = pipe.tables.map(t => s"${t.name}=${lake.table(t.name).count()}")
     println(s"[pipeline] backfill=${f"$tBackfill%.1f"}s daily=${f"$tDaily%.1f"}s")
     println(s"[pipeline] ${counts.mkString(" ")}")

@@ -14,6 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait BarSource {
   def dailyBars(spark: SparkSession, tickers: Seq[String],
       start: LocalDate, end: LocalDate): DataFrame
+
+  /** S8: 1-minute bars over the 04:00–20:00 ET extended session of one
+    * market date (reference `pipelines/history_flow.py:27-47`). Callers
+    * iterate market dates and union — the reference's per-date batched
+    * fetch (S12, `history_flow.py:63-71`).
+    */
+  def minuteBars(spark: SparkSession, tickers: Seq[String], date: LocalDate): DataFrame
 }
 
 /** Seeded geometric-random-walk fixture source (FIXTURES.md §B3). */
@@ -38,6 +45,29 @@ class FixtureBarSource(seed: Long = 42L) extends BarSource {
         }.toSeq
     }
     rows.toDF("ticker", "date", "open", "high", "low", "close",
+      "volume", "trade_count", "vwap")
+  }
+
+  override def minuteBars(spark: SparkSession, tickers: Seq[String],
+      date: LocalDate): DataFrame = {
+    import spark.implicits._
+    // 04:00–20:00 ET == 09:00–01:00 UTC (EST); fixture uses a fixed -5h
+    // offset for determinism (the reference delegates tz math to the API)
+    val sessionStartUtc = java.time.LocalDateTime.of(date, java.time.LocalTime.of(9, 0))
+    val rows = tickers.flatMap { t =>
+      val rnd = new scala.util.Random(seed ^ t.hashCode.toLong ^ date.toEpochDay)
+      var price = 50.0 + rnd.nextDouble() * 100
+      (0 until 16 * 60).map { m =>
+        price *= math.exp(rnd.nextGaussian() * 0.0005)
+        val close = math.rint(price * 100) / 100
+        val open = math.rint(close * (1 + rnd.nextGaussian() * 0.0002) * 100) / 100
+        val vol = 100.0 + rnd.nextInt(1000)
+        (t, java.sql.Timestamp.valueOf(sessionStartUtc.plusMinutes(m)), open,
+          math.max(open, close), math.min(open, close), close,
+          vol, math.rint(vol / 10), (open + close) / 2)
+      }
+    }
+    rows.toDF("ticker", "timestamp", "open", "high", "low", "close",
       "volume", "trade_count", "vwap")
   }
 }

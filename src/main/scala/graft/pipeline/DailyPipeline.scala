@@ -49,7 +49,22 @@ class DailyPipeline(spark: SparkSession, lake: Lake) {
     tm("benchmark_returns", "date" -> D, "return" -> F)("date")(),
     tm("betas", "ticker" -> S, "date" -> D, "year" -> I, "beta" -> F)("date", "ticker")("year"),
     tm("portfolio_weights", "ticker" -> S, "date" -> D, "year" -> I, "weight" -> F)("date", "ticker")("year"),
-    tm("portfolio_metrics", "date" -> D, "lambda" -> F, "active_risk" -> F)("date")())
+    tm("portfolio_metrics", "date" -> D, "lambda" -> F, "active_risk" -> F)("date")(),
+    tm("stock_history", "ticker" -> S, "timestamp" -> TimestampType, "open" -> F,
+      "high" -> F, "low" -> F, "close" -> F, "volume" -> F, "vwap" -> F,
+      "trade_count" -> F)("timestamp", "ticker")(),
+    tm("etf_history", "ticker" -> S, "timestamp" -> TimestampType, "open" -> F,
+      "high" -> F, "low" -> F, "close" -> F, "volume" -> F, "vwap" -> F,
+      "trade_count" -> F)("timestamp", "ticker")())
+
+  /** S8/S12: minute-bar history upsert for one market date (reference
+    * `pipelines/history_flow.py:63-101`).
+    */
+  def writeHistory(table: String, bars: DataFrame): Unit = {
+    val m = tables.find(_.name == table).get
+    lake.append(table, bars.select(m.schema.fieldNames.map(col).toIndexedSeq: _*))
+    lake.optimize(table)
+  }
 
   def initTables(mode: String = "skip"): Unit = tables.foreach(t => lake.create(t, mode))
 

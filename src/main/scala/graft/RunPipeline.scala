@@ -37,6 +37,24 @@ object RunPipeline {
 
     pipe.initTables("replace")
     pipe.writeCalendar(start, end)
+
+    // S6 -> W10: constituents + change log from an HTML fixture -> universe
+    val html =
+      """<table><tr><th>Symbol</th></tr>""" +
+        tickers.map(t => s"<tr><td>$t</td></tr>").mkString +
+        """</table>
+          |<table><tr><th>Date</th><th>Ticker</th><th>Action</th></tr>
+          |<tr><td>June 17, 2022</td><td>GGG</td><td>Added</td></tr>
+          |<tr><td>March 18, 2022</td><td>HHH</td><td>Added</td></tr>
+          |<tr><td>September 16, 2022</td><td>III</td><td>Removed</td></tr>
+          |</table>""".stripMargin
+    import org.apache.spark.sql.functions._
+    val changes = graft.connect.HtmlTableSource.table(spark, html, 1)
+      .select(col("ticker"), to_date(col("date"), "MMMM d, yyyy").as("date"),
+        col("action"), monotonically_increasing_id().as("seq"))
+    val current = graft.connect.HtmlTableSource.table(spark, html, 0).select(col("symbol"))
+    val uni = graft.stages.Stages.universe(changes, current, lake.table("calendar"))
+    lake.append("universe", uni)
     val stock = source.dailyBars(spark, tickers, start, end).cache()
     val etf = source.dailyBars(spark, Variables.Factors, start, end).cache()
 

@@ -48,7 +48,9 @@ object Universe {
       col(keyCol).as("k"), col(dateCol).as("d"), lit(0).as("is_probe"),
       struct(seqCols.map(col): _*).as("seq"), col(actionCol).as("action"))
 
-    val keys = changes.select(col(keyCol).as("k")).distinct()
+    val keys = changes.select(col(keyCol).as("k"))
+      .unionByName(current.select(col(current.columns.head).as("k")))
+      .distinct()
     val probes = dates.select(col(dates.columns.head).as("d"))
       .crossJoin(keys)
       .select(col("k"), col("d"), lit(1).as("is_probe"),

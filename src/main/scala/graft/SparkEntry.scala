@@ -369,6 +369,39 @@ object SparkEntry {
         .select(col("d"), col("user_id"))
     }),
 
+    // Q3-shape: selective filters on both fact and dims, grouped revenue,
+    // top-k — exercises pushdown + broadcast + partial aggregation.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) < "1998-06-15")
+      val li = t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) > "1998-06-15")
+      val revenue = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+        .agg((sum(revenue) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q10-shape: returned-item revenue per customer, top 20.
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val revenue = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg((sum(revenue) / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // ---- LLM-training-data operators (documents / embeddings tables) ----
 
     // Language ID via stopword-dictionary argmax.
@@ -814,6 +847,28 @@ object SparkEntry {
         |WHERE is_probe = 1
         |  AND (next_action = 'Removed'
         |       OR (next_action IS NULL AND k IN (SELECT k FROM cur)))""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "t1_langid" -> langIdSql,
     "t2_text_quality" ->
       """WITH f AS (

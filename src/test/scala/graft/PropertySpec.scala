@@ -1,0 +1,93 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+import graft.algo.Qp
+import graft.expr.Ewma
+
+/** Property-based invariants (SURVEY §5 item 4), checked over seeded
+  * randomized cases (the scalatest/scalacheck bridge isn't on the
+  * offline classpath, so sampling is explicit and deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("ewma of a constant series is the constant, for any half-life") {
+    (1 to 10).foreach { _ =>
+      val h = 1.0 + rnd.nextDouble() * 200
+      val n = 2 + rnd.nextInt(28)
+      val df = (0 until n).map(i => ("k", i, 7.25)).toDF("key", "i", "x")
+      val out = Ewma.ewmaMean(df, Seq("key"), Seq("i"), "x", h, "e")
+        .collect().map(_.getDouble(3))
+      assert(out.forall(v => math.abs(v - 7.25) < 1e-9), s"h=$h n=$n")
+    }
+  }
+
+  test("ewma output stays within the running min/max envelope") {
+    (1 to 5).foreach { _ =>
+      val xs = Seq.fill(2 + rnd.nextInt(38))(rnd.nextDouble() * 200 - 100)
+      val df = xs.zipWithIndex.map { case (x, i) => ("k", i, x) }.toDF("key", "i", "x")
+      val out = Ewma.ewmaMean(df, Seq("key"), Seq("i"), "x", 10.0, "e")
+        .orderBy("i").collect().map(_.getDouble(3))
+      out.zipWithIndex.foreach { case (v, i) =>
+        val seen = xs.take(i + 1)
+        assert(v >= seen.min - 1e-9 && v <= seen.max + 1e-9, s"i=$i")
+      }
+    }
+  }
+
+  test("simplex projection: always feasible, idempotent") {
+    (1 to 50).foreach { _ =>
+      val v = DenseVector.fill(2 + rnd.nextInt(28))(rnd.nextDouble() * 10 - 5)
+      val w = Qp.projectSimplex(v)
+      assert(math.abs(breeze.linalg.sum(w) - 1.0) < 1e-9)
+      assert(breeze.linalg.min(w) >= -1e-12)
+      assert(breeze.linalg.norm(Qp.projectSimplex(w) - w) < 1e-9)
+    }
+  }
+
+  test("QP solutions are feasible for random PSD problems") {
+    (1 to 10).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val a = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextGaussian() * 0.05)
+      val sigma = a * a.t + DenseMatrix.eye[Double](n) * 0.01
+      val alphas = DenseVector.tabulate(n)(_ => rnd.nextGaussian() * 0.02)
+      val w = Qp.solve(alphas, sigma, 10.0, maxIter = 500)
+      assert(math.abs(breeze.linalg.sum(w) - 1.0) < 1e-8)
+      assert(breeze.linalg.min(w) >= -1e-10)
+    }
+  }
+
+  test("returns of a constant price series are all zero") {
+    Seq(2, 7, 25).foreach { n =>
+      val prices = (0 until n)
+        .map(i => ("T", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), 55.5))
+        .toDF("ticker", "date", "close")
+      val out = graft.stages.Stages.returns(prices).collect()
+      assert(out.length == n - 1)
+      assert(out.forall(r => math.abs(r.getAs[Double]("return")) < 1e-12))
+    }
+  }
+
+  test("optimize is idempotent: optimize . optimize = optimize") {
+    val lake = new graft.catalog.Lake(spark,
+      java.nio.file.Files.createTempDirectory("graft_prop").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType)))
+    lake.create(graft.catalog.TableMeta("t", schema, Seq.empty, Seq("k")), "replace")
+    (1 to 3).foreach(i => lake.append("t",
+      Seq(("a", i), ("b", i * 10)).toDF("k", "v")))
+    lake.optimize("t")
+    val once = lake.table("t").collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    // force a second pass over the same data
+    lake.append("t", spark.emptyDataFrame.selectExpr("'x' as k", "1 as v").limit(0)
+      .select($"k", $"v".cast("int")))
+    lake.optimize("t")
+    val twice = lake.table("t").collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(once.toSeq == twice.toSeq)
+    assert(once.toSeq == Seq(("a", 3), ("b", 30)))
+  }
+}

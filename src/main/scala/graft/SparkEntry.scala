@@ -144,6 +144,20 @@ object SparkEntry {
           round(col("ewma"), 6).as("ewma"))
     }),
 
+    // W4 again through the native Catalyst window aggregate (SURVEY §7 v2):
+    // same recurrence, executed inside the window operator via
+    // SparkSessionExtensions-registered `ewma(x, halfLife)`.
+    "w4_ewma_native" -> ((s, dir) => {
+      graft.expr.catalyst.GraftExtensions.register(s)
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"))
+        .withColumn("ewma", round(expr(
+          "ewma(value, 60.0) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"), 6))
+        .drop("value")
+    }),
+
     // W7 rolling single-factor OLS (window 63) on integer-scaled values.
     "w7_rolling_beta" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
@@ -641,6 +655,16 @@ object SparkEntry {
         |FROM lineitem
         |WINDOW win AS (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w4_ewma" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS rn
+        |  FROM events)
+        |SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |  round(sum(value * power(0.9885140203528962, -rn)) OVER win
+        |        / sum(power(0.9885140203528962, -rn)) OVER win, 6) AS ewma
+        |FROM s
+        |WINDOW win AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w4_ewma_native" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, value,
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS DOUBLE) AS rn

@@ -1,0 +1,100 @@
+package graft.expr.catalyst
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, NumericType}
+
+/** W4 as a native Catalyst window aggregate — the SURVEY §7 "v2" path.
+  *
+  * `ewma(x, halfLife)` over `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+  * ROW` computes the polars `ewm_mean(half_life, adjust=True)` recurrence
+  * with O(1) buffer state per partition, entirely inside the window
+  * operator: no `groupByKey`, no row re-encoding, no object churn beyond
+  * the 16-byte buffer. This is the 100 TB form of [[graft.expr.Ewma]] —
+  * same semantics, window-operator execution.
+  *
+  * Order dependence means the aggregate is NOT mergeable: using it in a
+  * grouped aggregation (which needs partial merge) raises, window frames
+  * never merge buffers.
+  */
+case class EwmaAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with BinaryLike[Expression] {
+
+  private lazy val decay: Double = right match {
+    case Literal(h, _) =>
+      math.exp(-math.log(2.0) / h.toString.toDouble)
+    case _ => throw new IllegalArgumentException("ewma half-life must be a literal")
+  }
+
+  override def prettyName: String = "ewma"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0)
+
+  override def update(buf: Array[Double], input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = left.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Number].doubleValue()
+      buf(0) = x + decay * buf(0)
+      buf(1) = 1.0 + decay * buf(1)
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    throw new UnsupportedOperationException(
+      "ewma is order-dependent and cannot merge partial aggregates; " +
+        "use it as a window function over an ordered running frame")
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf(1) == 0.0) null else buf(0) / buf(1)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16)
+    bb.putDouble(buf(0)); bb.putDouble(buf(1))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array(bb.getDouble(), bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): EwmaAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): EwmaAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EwmaAgg =
+    copy(left = l, right = r)
+}
+
+/** Registration: `spark.sql.extensions=graft.expr.catalyst.GraftExtensions`
+  * or `GraftExtensions.register(spark)` on a live session. Then:
+  * `expr("ewma(x, 60.0) OVER (PARTITION BY k ORDER BY t)")`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.ewmaFn)
+}
+
+object GraftExtensions {
+  private[catalyst] val ewmaFn = (
+    FunctionIdentifier("ewma"),
+    new ExpressionInfo(classOf[EwmaAgg].getName, "ewma"),
+    (children: Seq[Expression]) => EwmaAgg(children(0), children(1)))
+
+  /** Imperative registration for an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(ewmaFn._1, ewmaFn._2, ewmaFn._3)
+}

@@ -102,6 +102,12 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // A3 distinct on a projection (SURVEY §2.4 A3).
+    "a3_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_returnflag")).distinct()
+    }),
+
     // A4/A5 global min/max aggregate (SURVEY §2.4 A4-A5).
     "a4_global_minmax" -> ((s, dir) => {
       t(s, dir, "orders").agg(
@@ -635,6 +641,8 @@ object SparkEntry {
       """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
         |  round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct_change
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    "a3_distinct" ->
+      "SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",
     "a4_global_minmax" ->
       """SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
         |  CAST(max(o_orderdate) AS DATE) AS max_date, count(*) AS n

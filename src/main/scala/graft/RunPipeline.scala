@@ -71,6 +71,23 @@ object RunPipeline {
     pipe.writeHistory("stock_history", source.minuteBars(spark, tickers, end))
     pipe.writeHistory("etf_history", source.minuteBars(spark, Variables.Factors, end))
 
+    // broker equity curve -> portfolio_history (S9), plus a Slack summary
+    val broker = new graft.connect.FixtureBrokerSource(42L, tickers)
+    pipe.writeHistory("portfolio_history", broker.equityHistory(spark, end))
+    val weights = lake.table("portfolio_weights")
+      .filter(org.apache.spark.sql.functions.col("date") === java.sql.Date.valueOf(end))
+      .orderBy(org.apache.spark.sql.functions.col("weight").desc)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Double]("weight"))
+    val equity = broker.equityHistory(spark, end)
+      .orderBy(org.apache.spark.sql.functions.col("timestamp").desc)
+      .limit(1).collect().head.getDouble(1)
+    var payload: String = null
+    graft.connect.Slack.notify(
+      graft.connect.Slack.dailySummary(end.toString, equity,
+        weights.take(3).toSeq, weights.takeRight(3).toSeq),
+      p => payload = p)
+    println(s"[pipeline] slack payload bytes=${payload.length}")
+
     val counts = pipe.tables.map(t => s"${t.name}=${lake.table(t.name).count()}")
     println(s"[pipeline] backfill=${f"$tBackfill%.1f"}s daily=${f"$tDaily%.1f"}s")
     println(s"[pipeline] ${counts.mkString(" ")}")

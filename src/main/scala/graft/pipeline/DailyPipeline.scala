@@ -50,6 +50,7 @@ class DailyPipeline(spark: SparkSession, lake: Lake) {
     tm("betas", "ticker" -> S, "date" -> D, "year" -> I, "beta" -> F)("date", "ticker")("year"),
     tm("portfolio_weights", "ticker" -> S, "date" -> D, "year" -> I, "weight" -> F)("date", "ticker")("year"),
     tm("portfolio_metrics", "date" -> D, "lambda" -> F, "active_risk" -> F)("date")(),
+    tm("portfolio_history", "timestamp" -> TimestampType, "equity" -> F)("timestamp")(),
     tm("stock_history", "ticker" -> S, "timestamp" -> TimestampType, "open" -> F,
       "high" -> F, "low" -> F, "close" -> F, "volume" -> F, "vwap" -> F,
       "trade_count" -> F)("timestamp", "ticker")(),

@@ -98,7 +98,9 @@ object SparkEntry {
           col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("event_id"),
-          round(col("value") / lag("value", 1).over(w) - 1, 6).as("pct_change"))
+          // try_divide: ANSI-mode / throws on a 0 previous value; DuckDB
+          // (and this query's oracle) yields NULL there instead.
+          round(try_divide(col("value"), lag("value", 1).over(w)) - 1, 6).as("pct_change"))
         .orderBy("user_id", "ts_us", "event_id")
     }),
 

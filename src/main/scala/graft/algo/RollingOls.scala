@@ -48,7 +48,7 @@ object RollingOls {
     implicit val keyEnc = Encoders.STRING
     implicit val rowEnc = Encoders.row(outSchema)
 
-    df.groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i))).mkString(" "))
+    df.groupByKey(r => graft.expr.GroupKey.of(r, keyIdxs))
       .flatMapSortedGroups(order.map(col): _*) { (_, rows) =>
         val d = k + 1 // intercept + k regressors
         // ring buffer of trailing rows: [y, x1..xk]

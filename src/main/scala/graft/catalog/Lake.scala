@@ -56,18 +56,31 @@ class Lake(spark: SparkSession, root: String) {
     Files.writeString(metaPath(meta.name), json)
     // empty frame with declared schema so reads of a fresh table work
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-      .withColumn(SeqCol, lit(0L))
+      .withColumn(SeqCol, lit(0L)).withColumn(SubCol, lit(0L))
       .write.mode(SaveMode.Append)
       .partitionBy(meta.partitionKeys: _*).parquet(dataDir(meta.name))
   }
 
-  /** Internal ingest-order column: appended batches get a monotonically
-    * increasing stamp so `optimize` can resolve primary-key conflicts
-    * last-write-wins even though Parquet has no file order (the reference
-    * relies on single-writer append order; a distributed table needs the
-    * stamp to make "last" well-defined).
+  /** Internal ingest-order columns: each appended batch gets the next value
+    * of a persisted per-table counter (`_graft_seq` file), so `optimize` can
+    * resolve primary-key conflicts last-write-wins even though Parquet has
+    * no file order. The counter survives JVM restarts — unlike a clock
+    * stamp, a later run's append always orders after an earlier run's.
+    * Within one batch, `_graft_ingest_sub` (monotonically_increasing_id at
+    * append time) breaks ties deterministically by batch row order.
     */
   private val SeqCol = "_graft_ingest_seq"
+  private val SubCol = "_graft_ingest_sub"
+
+  private def counterPath(name: String) = Paths.get(s"${dir(name)}/_graft_seq")
+
+  private def nextSeq(name: String): Long = {
+    val p = counterPath(name)
+    val cur = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    val next = cur + 1
+    Files.writeString(p, next.toString)
+    next
+  }
 
   private def dataDir(name: String) = s"${dir(name)}/data"
 
@@ -91,7 +104,8 @@ class Lake(spark: SparkSession, root: String) {
     val m = meta(name)
     val onDisk = StructType(
       m.schema.filterNot(f => m.partitionKeys.contains(f.name)) ++
-        Seq(org.apache.spark.sql.types.StructField(SeqCol, org.apache.spark.sql.types.LongType)) ++
+        Seq(org.apache.spark.sql.types.StructField(SeqCol, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(SubCol, org.apache.spark.sql.types.LongType)) ++
         m.schema.filter(f => m.partitionKeys.contains(f.name)))
     spark.read.schema(onDisk).parquet(dataDir(name))
   }
@@ -100,7 +114,8 @@ class Lake(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit = {
     val m = meta(name)
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .withColumn(SeqCol, lit(System.nanoTime()))
+      .withColumn(SeqCol, lit(nextSeq(name)))
+      .withColumn(SubCol, monotonically_increasing_id())
     aligned.write.mode(SaveMode.Append).partitionBy(m.partitionKeys: _*)
       .parquet(dataDir(name))
     if (m.partitionKeys.nonEmpty) {
@@ -128,12 +143,12 @@ class Lake(spark: SparkSession, root: String) {
       if (m.partitionKeys.isEmpty || pending.contains("ALL")) full
       else full.filter(
         concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*).isin(pending.toSeq: _*))
-    val ordCols = if (orderCol == SeqCol) Seq(col(SeqCol).desc)
-      else Seq(col(orderCol).desc, col(SeqCol).desc)
+    val ordCols = if (orderCol == SeqCol) Seq(col(SeqCol).desc, col(SubCol).desc)
+      else Seq(col(orderCol).desc, col(SeqCol).desc, col(SubCol).desc)
     val w = Window.partitionBy(m.primaryKeys.map(col): _*).orderBy(ordCols: _*)
     val deduped = scoped
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      .select((m.schema.fieldNames :+ SeqCol).map(col).toIndexedSeq: _*)
+      .select((m.schema.fieldNames :+ SeqCol :+ SubCol).map(col).toIndexedSeq: _*)
 
     // rewrite affected partitions atomically-ish: write to a temp dir then swap
     val tmp = s"${dir(name)}/_optimize_tmp"

@@ -34,10 +34,12 @@ object Windows {
   def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
 
   /** W1: `pct_change().over(keys)` — null on each key's first row
-    * (reference `pipelines/returns_flow.py:14-24`).
+    * (reference `pipelines/returns_flow.py:14-24`). `try_divide` so a zero
+    * previous value yields null (the engine's DuckDB-aligned policy)
+    * instead of an ANSI runtime error.
     */
   def pctChange(valueCol: String, w: WindowSpec): Column =
-    col(valueCol) / lag(valueCol, 1).over(w) - 1
+    try_divide(col(valueCol), lag(valueCol, 1).over(w)) - 1
 
   /** W2: the reversal-signal shape — masked trailing rolling sum of
     * log1p(x), negated (reference `pipelines/reversal_flow.py:20-25`).
@@ -79,7 +81,7 @@ object Windows {
       avg(col(valueCol)).as("_mu"),
       stddev_samp(col(valueCol)).as("_sigma"))
     df.crossJoin(broadcast(stats))
-      .withColumn(outCol, (col(valueCol) - col("_mu")) / col("_sigma"))
+      .withColumn(outCol, try_divide(col(valueCol) - col("_mu"), col("_sigma")))
       .drop("_mu", "_sigma")
   }
 

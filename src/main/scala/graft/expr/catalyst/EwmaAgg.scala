@@ -39,7 +39,10 @@ case class EwmaAgg(
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0)
+  // buffer = (numerator, denominator, current-row-was-null flag): a null
+  // input leaves the accumulators untouched but must surface as a null
+  // OUTPUT for that row (same contract as [[graft.expr.Ewma.ewmaMean]]).
+  override def createAggregationBuffer(): Array[Double] = Array(0.0, 0.0, 0.0)
 
   override def update(buf: Array[Double], input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
     val v = left.eval(input)
@@ -47,7 +50,8 @@ case class EwmaAgg(
       val x = v.asInstanceOf[Number].doubleValue()
       buf(0) = x + decay * buf(0)
       buf(1) = 1.0 + decay * buf(1)
-    }
+      buf(2) = 0.0
+    } else buf(2) = 1.0
     buf
   }
 
@@ -57,17 +61,17 @@ case class EwmaAgg(
         "use it as a window function over an ordered running frame")
 
   override def eval(buf: Array[Double]): Any =
-    if (buf(1) == 0.0) null else buf(0) / buf(1)
+    if (buf(2) == 1.0 || buf(1) == 0.0) null else buf(0) / buf(1)
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16)
-    bb.putDouble(buf(0)); bb.putDouble(buf(1))
+    val bb = ByteBuffer.allocate(24)
+    bb.putDouble(buf(0)); bb.putDouble(buf(1)); bb.putDouble(buf(2))
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array(bb.getDouble(), bb.getDouble())
+    Array(bb.getDouble(), bb.getDouble(), bb.getDouble())
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): EwmaAgg =

@@ -125,9 +125,12 @@ object Stages {
     graft.expr.Windows.zscoreGlobal(signals, "value", "score")
       .select("ticker", "date", "year", "signal", "score")
 
-  /** alpha = IC · score · idio_vol (reference `reversal_flow.py:48-58`). */
+  /** alpha = IC · score · idio_vol (reference `reversal_flow.py:48-58`).
+    * Left join: the reference keeps scored tickers with no idio_vol row,
+    * landing them in `alphas` with a null alpha.
+    */
   def alphas(scores: DataFrame, idioVol: DataFrame): DataFrame =
-    scores.join(idioVol.select("ticker", "date", "idio_vol"), Seq("date", "ticker"))
+    scores.join(idioVol.select("ticker", "date", "idio_vol"), Seq("date", "ticker"), "left")
       .withColumn("alpha", lit(Variables.IC) * col("score") * col("idio_vol"))
       .select("ticker", "date", "year", "signal", "alpha")
 

@@ -475,6 +475,14 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
     }),
 
+    // Embedding-cosine near-dup pairs: SRP-LSH banded candidates (4 bands
+    // x 8 sign bits), exact cosine >= 0.4 verification on candidates.
+    "d5_dedup_embcos" -> ((s, dir) => {
+      Dedup.embCosinePairs(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", 64, 4, 8, 0.4)
+    }),
+
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
     "n1_ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -610,6 +618,58 @@ object SparkEntry {
        |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
   }
+
+  /** SQL fragment: the SRP bucket-code expression over a DOUBLE[] column
+    * `e`, mirrored from [[Similarity.srpCode]] (same md5-derived sign
+    * literals, same 9-d.p. rounding before the sign test).
+    */
+  private def srpCodeSql(numPlanes: Int, dim: Int = 64): String =
+    (0 until numPlanes).map { p =>
+      val signs = Similarity.planeSigns(p, dim).map(s => s"$s.0").mkString("[", ",", "]")
+      s"(CASE WHEN round(list_dot_product(e, $signs::DOUBLE[]), 9) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+
+  /** SQL mirror of [[Dedup.embCosinePairs]] (64-dim, 4 bands x 8 bits,
+    * cosine >= 0.4): same banded candidates, same exact verification.
+    */
+  private def embCosSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |code AS (SELECT id, ${srpCodeSql(32)} AS code FROM v),
+       |x AS (SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |nrm AS (SELECT id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+       |ch AS (SELECT id, code, unnest(range(0, 4)) AS band FROM code),
+       |ck AS (SELECT id, band, (code >> (8*band)) & 255 AS ckey FROM ch),
+       |cand AS (SELECT DISTINCT xk.id AS a, yk.id AS b FROM ck xk
+       |         JOIN ck yk ON xk.band = yk.band AND xk.ckey = yk.ckey AND xk.id < yk.id),
+       |dots AS (SELECT c.a, c.b, sum(xa.v*xb.v) AS dot FROM cand c
+       |         JOIN x xa ON xa.id = c.a JOIN x xb ON xb.id = c.b AND xb.i = xa.i
+       |         GROUP BY 1, 2),
+       |cos AS (SELECT a, b, round(dot/(na.n*nb.n), 6) AS cos
+       |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b)
+       |SELECT a, b, cos FROM cos WHERE cos >= 0.4""".stripMargin
+
+  /** SQL mirror of [[Similarity.lshTopK]] (8 planes, top-5): bucket-equal
+    * candidates, exact cosine rank within the bucket.
+    */
+  private def annLshSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |code AS (SELECT vec_id, ${srpCodeSql(8)} AS code FROM v),
+       |x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+       |pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid FROM code q
+       |          JOIN code c ON q.code = c.code AND q.vec_id <> c.vec_id
+       |          WHERE q.vec_id < 20),
+       |dots AS (SELECT p.qid, p.cid, sum(xq.v*xc.v) AS dot FROM pairs p
+       |         JOIN x xq ON xq.vec_id = p.qid JOIN x xc ON xc.vec_id = p.cid AND xc.i = xq.i
+       |         GROUP BY 1, 2),
+       |cos AS (SELECT qid, cid, round(dot/(a.n*b.n), 6) AS cos
+       |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid),
+       |r AS (SELECT qid, cid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |      FROM cos)
+       |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -946,6 +1006,8 @@ object SparkEntry {
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
     "d3_dedup_minhash" -> minHashSql,
     "d4_dedup_simhash" -> simHashSql,
+    "d5_dedup_embcos" -> embCosSql,
+    "n2_ann_lsh" -> annLshSql,
     "n1_ann_cosine_topk" ->
       """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |             generate_subscripts(embedding, 1) AS i FROM embeddings),

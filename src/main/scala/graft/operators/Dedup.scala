@@ -144,6 +144,37 @@ object Dedup {
         .reduce(_ + _).as("simhash"))
   }
 
+  /** Embedding-cosine near-dup pairs: SRP-LSH banded candidate generation
+    * (`bands` chunks of `bitsPerBand` hyperplane sign bits; pairs sharing
+    * any chunk are candidates), then exact cosine verification against
+    * `threshold` on the candidates only.
+    *
+    * Same scale shape as [[minHashLsh]]: linear scans + hash-shuffle band
+    * joins instead of the all-pairs cross join; band width trades recall
+    * for candidate-set size. Real near-dup deployments run high thresholds
+    * (≥0.9) where narrow bands keep recall near 1.
+    */
+  def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+    require(bands * bitsPerBand <= 63, "code must fit a long")
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("code", Similarity.srpCode(col("vec"), dim, bands * bitsPerBand))
+      .withColumn("nrm", Similarity.l2Norm(col("vec")))
+    val mask = (1L << bitsPerBand) - 1
+    val chunks = v.selectExpr("id",
+      s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.ckey") === col("y.ckey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cand
+      .join(v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** SimHash near-dup pairs: band the 60 bits into 4 chunks of 15; pairs
     * sharing any chunk are candidates; verify Hamming distance <= maxDist.
     */

@@ -55,14 +55,23 @@ object Similarity {
     if ((hex.last & 1) == 1) 1 else -1
   }
 
-  /** SRP-LSH bucket code: `numPlanes` sign bits of dot(v, hyperplane_p). */
+  /** The full sign vector of plane `p` — embedded as literals in both the
+    * Spark plan and the DuckDB oracle mirror (same pattern as
+    * [[Dedup.hashParams]]).
+    */
+  def planeSigns(p: Int, dim: Int): Seq[Int] = (0 until dim).map(d => planeSign(p, d))
+
+  /** SRP-LSH bucket code: `numPlanes` sign bits of dot(v, hyperplane_p).
+    * The projection is rounded to 9 d.p. before the sign test so bucket
+    * assignment cannot flip on sub-rounding summation-order differences
+    * between engines.
+    */
   def srpCode(v: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val signs = (0 until dim).map(d => planeSign(p, d))
       val proj = aggregate(
-        zip_with(asDouble(v), typedlit(signs), (x, s) => x * s),
+        zip_with(asDouble(v), typedlit(planeSigns(p, dim)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(round(proj, 9) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates limited to the query's SRP bucket,

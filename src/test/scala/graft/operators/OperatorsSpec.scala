@@ -91,6 +91,19 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("embedding-cosine near-dup pairs find planted duplicates only") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val nearDup = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val noise = (2L until 30L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val vecs = (Seq((0L, base), (1L, nearDup)) ++ noise).toDF("vec_id", "embedding")
+    val pairs = Dedup.embCosinePairs(vecs, "vec_id", "embedding", 64, 4, 8, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    assert(pairs(0)._1 == 0L && pairs(0)._2 == 1L)
+    assert(pairs(0)._3 > 0.99)
+  }
+
   test("multimodal decodeFeatures: normalized histogram, deterministic") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
     val feats = Multimodal.decodeFeatures(assets).collect()

@@ -14,6 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // iteration knobs (local profiling only; the driver sets neither):
+    // comma-separated query subset, and how many timed repetitions each
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,9 +30,12 @@ object Bench {
     def materialize(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     // JVM/codegen warmup on the smallest scale factor (not timed)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.keys.foreach { name =>
+    names.foreach { name =>
       try materialize(name, warmDir) catch { case _: Throwable => () }
     }
 
@@ -36,19 +43,24 @@ object Bench {
     // reported as -1 in `queries` plus an entry in `errors`, never as its
     // time-to-fail.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(name, sfDir); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            e.printStackTrace()
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val results = names.map { name =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(name, sfDir); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              e.printStackTrace()
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (reps > 1) System.err.println(
+        s"[bench] $name reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -513,7 +513,9 @@ object SparkEntry {
         .agg((sum(col("cents")) / 1e10).as("alpha"), count(lit(1)).as("n"))
       val tot = seg.groupBy("date").agg(
         sum(col("alpha")).as("tot_alpha"), sum(col("n")).as("tot_n"))
-      val base = seg.join(tot, "date")
+      // all five optimizer inputs derive from this frame; without persist
+      // the orders x customer join + aggregation would run five times
+      val base = seg.join(tot, "date").persist()
       val alphas = base.select(col("date"), col("ticker"), col("alpha"))
       val loadings = base.select(col("date"), col("ticker"),
           (col("alpha") / col("tot_alpha")).as("F1"),

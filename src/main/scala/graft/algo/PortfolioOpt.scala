@@ -1,6 +1,6 @@
 package graft.algo
 
-import breeze.linalg.{DenseMatrix, DenseVector}
+import breeze.linalg.DenseVector
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * `pipelines/portfolio_weights_flow.py:17-60,94-143`, which uses Ray
   * remote tasks + a shared object store).
   *
-  * Spark-native shape: each input table is grouped to one row per date
-  * (`collect_list(struct(...))`), the five are joined on date, and each
-  * resulting row — one date's full problem — runs the QP on an executor.
-  * Dates are the parallelism axis; no driver-side loop, no shared object
-  * store needed (the shuffle moves each date's slice to its task). Group
-  * state is bounded by universe size (~503 tickers), not data volume.
+  * Spark-native shape: the five inputs are tagged and unioned into one
+  * long frame, grouped ONCE by date (`collect_list(struct(...))`), and
+  * each resulting row — one date's full problem — runs the QP on an
+  * executor. One shuffle total (vs five groupBys + a 5-way join of the
+  * per-date frames, whose sequential stage barriers dominate on small
+  * dates×tickers and whose shuffles multiply at scale). Dates are the
+  * parallelism axis; no driver-side loop, no shared object store (the
+  * shuffle moves each date's slice to its task). Group state is bounded
+  * by universe size (~503 tickers), not data volume.
   */
 object PortfolioOpt {
 
@@ -32,7 +35,9 @@ object PortfolioOpt {
     * @param benchmark  (date, ticker, weight)
     * @return (date, ticker, weight, lambda, active_risk) — one row per
     *         held ticker; split metrics off with `.select(date, lambda,
-    *         active_risk).distinct`.
+    *         active_risk).distinct`. Dates missing any of the five inputs
+    *         are skipped (the join semantics of the reference's per-date
+    *         table slices).
     */
   def optimalWeights(
       alphas: DataFrame,
@@ -42,47 +47,50 @@ object PortfolioOpt {
       benchmark: DataFrame,
       targetActiveRisk: Double = 0.05): DataFrame = {
 
-    val a = alphas.groupBy("date")
-      .agg(collect_list(struct(col("ticker"), col("alpha"))).as("alphas"))
-    val b = loadings.groupBy("date")
-      .agg(collect_list(struct(col("ticker"), col("factor"), col("loading"))).as("loadings"))
-    val f = factorCov.groupBy("date")
-      .agg(collect_list(struct(col("factor_1"), col("factor_2"), col("covariance"))).as("fcov"))
-    val iv = idioVol.groupBy("date")
-      .agg(collect_list(struct(col("ticker"), col("idio_vol"))).as("ivol"))
-    val bw = benchmark.groupBy("date")
-      .agg(collect_list(struct(col("ticker"), col("weight"))).as("bench"))
+    def tagged(df: DataFrame, tag: String, k1: String, k2: Option[String],
+        v: String): DataFrame =
+      df.select(col("date"), lit(tag).as("src"), col(k1).cast("string").as("k1"),
+        k2.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")).as("k2"),
+        col(v).cast("double").as("v"))
 
-    val joined = a.join(b, "date").join(f, "date").join(iv, "date").join(bw, "date")
+    val long = tagged(alphas, "a", "ticker", None, "alpha")
+      .unionByName(tagged(loadings, "l", "ticker", Some("factor"), "loading"))
+      .unionByName(tagged(factorCov, "f", "factor_1", Some("factor_2"), "covariance"))
+      .unionByName(tagged(idioVol, "i", "ticker", None, "idio_vol"))
+      .unionByName(tagged(benchmark, "b", "ticker", None, "weight"))
+
+    val grouped = long.groupBy("date")
+      .agg(collect_list(struct(col("src"), col("k1"), col("k2"), col("v"))).as("rows"))
 
     implicit val enc = Encoders.row(outSchema)
-    joined.flatMap { row =>
+    grouped.flatMap { row =>
       val date = row.getAs[java.sql.Date]("date")
-      val alphaPairs = row.getAs[scala.collection.Seq[Row]]("alphas")
-        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
-      val tickers = alphaPairs.map(_._1)
-      val ti = tickers.zipWithIndex.toMap
-      val loadTriples = row.getAs[scala.collection.Seq[Row]]("loadings")
-        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
-      val factors = loadTriples.map(_._2).distinct.sorted
-      val fcovTriples = row.getAs[scala.collection.Seq[Row]]("fcov")
-        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
-      val ivPairs = row.getAs[scala.collection.Seq[Row]]("ivol")
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val benchPairs = row.getAs[scala.collection.Seq[Row]]("bench")
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val all = row.getAs[scala.collection.Seq[Row]]("rows")
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      val bySrc = all.groupBy(_._1)
+      if (!Seq("a", "l", "f", "i", "b").forall(bySrc.contains)) Iterator.empty
+      else {
+        val alphaPairs = bySrc("a").map(t => t._2 -> t._4).sortBy(_._1).toSeq
+        val tickers = alphaPairs.map(_._1)
+        val ti = tickers.zipWithIndex.toMap
+        val loadTriples = bySrc("l").map(t => (t._2, t._3, t._4)).toSeq
+        val factors = loadTriples.map(_._2).distinct.sorted
+        val fcovTriples = bySrc("f").map(t => (t._2, t._3, t._4)).toSeq
+        val ivPairs = bySrc("i").map(t => t._2 -> t._4).toMap
+        val benchPairs = bySrc("b").map(t => t._2 -> t._4).toMap
 
-      val bMat = Covariance.loadingsMatrix(tickers, factors,
-        loadTriples.filter(t => ti.contains(t._1)))
-      val fMat = Covariance.factorCovMatrix(factors, fcovTriples)
-      val ivVec = DenseVector(tickers.map(t => ivPairs.getOrElse(t, 0.0)).toArray)
-      val sigma = Covariance.assemble(bMat, fMat, ivVec)
-      val alphaVec = DenseVector(alphaPairs.map(_._2).toArray)
-      val benchVec = DenseVector(tickers.map(t => benchPairs.getOrElse(t, 0.0)).toArray)
+        val bMat = Covariance.loadingsMatrix(tickers, factors,
+          loadTriples.filter(t => ti.contains(t._1)))
+        val fMat = Covariance.factorCovMatrix(factors, fcovTriples)
+        val ivVec = DenseVector(tickers.map(t => ivPairs.getOrElse(t, 0.0)).toArray)
+        val sigma = Covariance.assemble(bMat, fMat, ivVec)
+        val alphaVec = DenseVector(alphaPairs.map(_._2).toArray)
+        val benchVec = DenseVector(tickers.map(t => benchPairs.getOrElse(t, 0.0)).toArray)
 
-      val res = Qp.solveCalibrated(alphaVec, sigma, benchVec, targetActiveRisk)
-      tickers.zipWithIndex.map { case (t, i) =>
-        Row(date, t, res.weights(i), res.lambda, res.activeRisk)
+        val res = Qp.solveCalibrated(alphaVec, sigma, benchVec, targetActiveRisk)
+        tickers.zipWithIndex.map { case (t, i) =>
+          Row(date, t, res.weights(i), res.lambda, res.activeRisk)
+        }.iterator
       }
     }
   }

@@ -60,11 +60,19 @@ object Qp {
     while (it < maxIter && diff > tol) {
       val grad = (sigma * y) * lambda - alphas
       val wNext = projectSimplex(y - grad * step)
-      val tNext = (1.0 + math.sqrt(1.0 + 4.0 * tPrev * tPrev)) / 2.0
-      y = wNext + (wNext - w) * ((tPrev - 1.0) / tNext)
+      // gradient restart (O'Donoghue–Candès): when the momentum direction
+      // opposes the latest step, drop the momentum — stops the oscillation
+      // that otherwise keeps accelerated methods from reaching tight tols
+      if (((y - wNext) dot (wNext - w)) > 0) {
+        tPrev = 1.0
+        y = wNext.copy
+      } else {
+        val tNext = (1.0 + math.sqrt(1.0 + 4.0 * tPrev * tPrev)) / 2.0
+        y = wNext + (wNext - w) * ((tPrev - 1.0) / tNext)
+        tPrev = tNext
+      }
       diff = breeze.linalg.norm(wNext - w)
       w = wNext
-      tPrev = tNext
       it += 1
     }
     w

@@ -46,15 +46,21 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canon_id")).cast("boolean"))
   }
 
-  /** Distinct word k-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  /** Word k-gram shingle stream per document, duplicates included —
+    * narrow (no shuffle); min-based signatures are multiset-invariant so
+    * they can consume this directly.
+    */
+  def shinglesRaw(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
       .otherwise(array().cast("array<int>"))
     df.select(col(idCol).as("id"),
-        explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
-      .distinct()
+      explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
   }
+
+  /** Distinct word k-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, k).distinct()
 
   /** Exact all-pairs n-gram Jaccard >= threshold. Quadratic in corpus size
     * (shingle-join blowup) — this is the oracle/ground-truth variant; use
@@ -105,8 +111,11 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // signatures read the raw shingle stream (min is multiset-invariant,
+    // so the distinct's extra shuffle is skipped); the distinct set is
+    // still needed 3x below for exact verification, hence cached
     val sh = shingles(df, idCol, textCol, k).cache()
-    val sig = minHashSignatures(sh, numHashes)
+    val sig = minHashSignatures(shinglesRaw(df, idCol, textCol, k), numHashes)
     val bandKeys = sig.select(col("id") +:
       (0 until bands).map { b =>
         md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))

@@ -499,6 +499,17 @@ object SparkEntry {
         emb.select("vec_id", "embedding"), 64, 8, 5)
     }),
 
+    // IVF coarse-quantized approximate neighbors: corpus vectors inverted
+    // by nearest centroid (vec_id < 16 as deterministic coarse centroids),
+    // queries probe their 4 nearest lists, exact cosine rank within.
+    "n3_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20).select("vec_id", "embedding"),
+        emb.select("vec_id", "embedding"),
+        emb.filter(col("vec_id") < 16).select("vec_id", "embedding"), 4, 5)
+    }),
+
     // L1-L8 per-date mean-variance QP fan-out: market segments as assets,
     // factor-model covariance assembled per date, lambda calibrated to the
     // 5% active-risk target. Not SQL-expressible -> rows-only check;
@@ -671,6 +682,36 @@ object SparkEntry {
        |r AS (SELECT qid, cid, cos,
        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |      FROM cos)
+       |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** SQL mirror of [[Similarity.ivfTopK]] (centroids = vec_id < 16,
+    * nprobe 4, top-5): nearest-centroid inverted lists, probed exactly as
+    * the Spark plan does, same rounded-cosine rank orderings.
+    */
+  private def annIvfSql: String =
+    s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+       |cx AS (SELECT vec_id, v, i FROM x WHERE vec_id < 16),
+       |ad AS (SELECT t.vec_id AS vid, c.vec_id AS cenid, sum(t.v*c.v) AS dot
+       |       FROM x t JOIN cx c ON c.i = t.i GROUP BY 1, 2),
+       |acos AS (SELECT vid, cenid, round(dot/(a.n*b.n), 6) AS cos FROM ad
+       |         JOIN nrm a ON a.vec_id = vid JOIN nrm b ON b.vec_id = cenid),
+       |ranked AS (SELECT vid, cenid,
+       |             row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cenid) AS rn
+       |           FROM acos),
+       |assign AS (SELECT vid AS cid, cenid FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, cenid FROM ranked WHERE rn <= 4 AND vid < 20),
+       |cand AS (SELECT p.qid, a.cid FROM probes p
+       |         JOIN assign a ON a.cenid = p.cenid AND a.cid <> p.qid),
+       |dots AS (SELECT c.qid, c.cid, sum(xq.v*xc.v) AS dot FROM cand c
+       |         JOIN x xq ON xq.vec_id = c.qid JOIN x xc ON xc.vec_id = c.cid AND xc.i = xq.i
+       |         GROUP BY 1, 2),
+       |cos2 AS (SELECT qid, cid, round(dot/(a.n*b.n), 6) AS cos
+       |         FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid),
+       |r AS (SELECT qid, cid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |      FROM cos2)
        |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1010,6 +1051,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> simHashSql,
     "d5_dedup_embcos" -> embCosSql,
     "n2_ann_lsh" -> annLshSql,
+    "n3_ann_ivf" -> annIvfSql,
     "n1_ann_cosine_topk" ->
       """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |             generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -74,6 +74,47 @@ object Similarity {
       when(round(proj, 9) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k (coarse quantization): every corpus
+    * vector is assigned to its nearest centroid; each query probes its
+    * `nprobe` nearest centroids and ranks exact cosine only within those
+    * inverted lists. At 100 TB the corpus pass is one broadcast join +
+    * one shuffle by centroid id, and query cost scales with list size ×
+    * nprobe instead of corpus size. All rankings order by 6-d.p.-rounded
+    * cosine with centroid/candidate-id tie-breaks, so assignment and
+    * probing are engine-deterministic.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cen = centroids.toDF("cenid", "cenv").withColumn("cenn", l2Norm(col("cenv")))
+    def rankedCentroids(vecs: DataFrame, rankCol: String): DataFrame = {
+      val v = vecs.withColumn("n", l2Norm(col("vec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cos").desc, col("cenid").asc)
+      v.crossJoin(broadcast(cen))
+        .select(col("id"), col("vec"), col("cenid"),
+          round(dot(col("vec"), col("cenv")) / (col("n") * col("cenn")), 6).as("cos"))
+        .withColumn(rankCol, row_number().over(w))
+    }
+    val assigned = rankedCentroids(corpus.toDF("id", "vec"), "arn")
+      .filter(col("arn") === 1)
+      .select(col("id").as("cid"), col("vec").as("cv"), col("cenid"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val probes = rankedCentroids(queries.toDF("id", "vec"), "prn")
+      .filter(col("prn") <= nprobe)
+      .select(col("id").as("qid"), col("vec").as("qv"), col("cenid"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scored = probes.join(assigned, Seq("cenid"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    // (qid, cid) pairs are already unique: each corpus vector lives in
+    // exactly one inverted list and probed centroids are distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: candidates limited to the query's SRP bucket,
     * exact cosine rank within. Vectors in sparse buckets may return fewer
     * than k neighbors — the recall/speed trade LSH makes by design.

@@ -91,6 +91,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val bases = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, bases(i % 4).map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 8)
+    val cen = vecs.filter($"vec_id" < 8) // one per cluster among the first 8
+    val exact = Similarity.cosineTopK(q, vecs, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, vecs, cen, 2, 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
   test("embedding-cosine near-dup pairs find planted duplicates only") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(64)(rnd.nextGaussian().toFloat)

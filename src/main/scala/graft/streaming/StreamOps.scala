@@ -87,6 +87,32 @@ object StreamOps {
 
   final case class Bar(ticker: String, ts: Timestamp, close: Double)
   final case class Return(ticker: String, ts: Timestamp, ret: Double)
+  final case class KeyedValue(key: String, ts: Timestamp, value: Double)
+  final case class EwmaOut(key: String, ts: Timestamp, ewma: Double)
+  final case class EwmaState(num: Double, den: Double)
+
+  /** W4 as a stream: the polars `ewm_mean(half_life, adjust=True)`
+    * recurrence with two doubles of state per key — the streaming form of
+    * [[graft.expr.Ewma.ewmaMean]] (identical fold; batches must arrive
+    * time-ordered per key, as the micro-batch source of the daily
+    * price→signal chain does).
+    */
+  def streamingEwma(values: Dataset[KeyedValue], halfLife: Double): Dataset[EwmaOut] = {
+    import values.sparkSession.implicits._
+    val decay = 1.0 - graft.expr.Ewma.alphaFromHalfLife(halfLife)
+    def update(key: String, rows: Iterator[KeyedValue],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      var s = state.getOption.getOrElse(EwmaState(0.0, 0.0))
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { v =>
+        s = EwmaState(v.value + decay * s.num, 1.0 + decay * s.den)
+        EwmaOut(key, v.ts, s.num / s.den)
+      }
+      state.update(s)
+      out.iterator
+    }
+    values.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 
   /** W1 as a stream: per-ticker pct_change with one close price of state —
     * the streaming head of the reference's price → return → signal chain.

@@ -28,6 +28,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(out(1).ret - (99.0 / 110.0 - 1)) < 1e-12)
   }
 
+  test("streamingEwma matches the batch fold across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val q = streamingEwma(input.toDS(), 60.0).writeStream
+      .format("memory").queryName("ewm").outputMode("append")
+      .start()
+    val vals = Seq(3.0, 7.0, 1.0, 9.0, 4.0)
+    input.addData(vals.take(3).zipWithIndex.map { case (v, i) => KeyedValue("k", ts(i), v) }: _*)
+    q.processAllAvailable()
+    input.addData(vals.drop(3).zipWithIndex.map { case (v, i) => KeyedValue("k", ts(i + 3), v) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewm").as[EwmaOut].collect()
+      .sortBy(_.ts.getTime).map(_.ewma)
+    val batch = graft.expr.Ewma.ewmaMean(
+      vals.zipWithIndex.map { case (v, i) => ("k", i, v) }.toDF("key", "i", "value"),
+      Seq("key"), Seq("i"), "value", 60.0, "e")
+      .orderBy("i").collect().map(_.getDouble(3))
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(math.abs(s - b) < 1e-12) }
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

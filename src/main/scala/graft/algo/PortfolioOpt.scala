@@ -49,9 +49,10 @@ object PortfolioOpt {
 
     def tagged(df: DataFrame, tag: String, k1: String, k2: Option[String],
         v: String): DataFrame =
-      df.select(col("date"), lit(tag).as("src"), col(k1).cast("string").as("k1"),
-        k2.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")).as("k2"),
-        col(v).cast("double").as("v"))
+      df.filter(col(v).isNotNull) // null values carry no information for the QP
+        .select(col("date"), lit(tag).as("src"), col(k1).cast("string").as("k1"),
+          k2.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")).as("k2"),
+          col(v).cast("double").as("v"))
 
     val long = tagged(alphas, "a", "ticker", None, "alpha")
       .unionByName(tagged(loadings, "l", "ticker", Some("factor"), "loading"))

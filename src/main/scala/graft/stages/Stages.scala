@@ -181,7 +181,10 @@ object Stages {
       alphas: DataFrame, loadings: DataFrame, factorCov: DataFrame,
       idioVol: DataFrame, benchmark: DataFrame): (DataFrame, DataFrame) = {
     val out = PortfolioOpt.optimalWeights(
-      alphas.select("date", "ticker", "alpha"),
+      // the reference reads alphas through a not-null filter
+      // (`utils/data.py:57-63`) — null-alpha rows exist in the table since
+      // the alphas stage left-joins idio_vol, but never reach the optimizer
+      alphas.filter(col("alpha").isNotNull).select("date", "ticker", "alpha"),
       loadings.select("date", "ticker", "factor", "loading"),
       factorCov.select("date", "factor_1", "factor_2", "covariance"),
       idioVol.select("date", "ticker", "idio_vol"),

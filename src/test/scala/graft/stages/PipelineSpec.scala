@@ -172,6 +172,25 @@ class PipelineSpec extends SparkSpec {
     assert(m.count() == 3)
   }
 
+  test("portfolio stage tolerates null-alpha rows (left-joined alphas)") {
+    val lastDate = Date.valueOf(dates.last)
+    val reg = Stages.factorRegression(stockReturns, etfReturns)
+    val iv = Stages.idioVol(reg).filter(col("date") === lastDate)
+    val lo = Stages.factorLoadings(reg).filter(col("date") === lastDate)
+    val fc = Stages.factorCovariances(etfReturns).filter(col("date") === lastDate)
+    val sig = Stages.reversalSignals(stockReturns).filter(col("date") === lastDate)
+    // drop one ticker's idio_vol: the alphas left join must keep the row
+    // with a null alpha, and the portfolio stage must drop it again
+    val someTicker = iv.select("ticker").orderBy("ticker").first().getString(0)
+    val al = Stages.alphas(Stages.scores(sig), iv.filter(col("ticker") =!= someTicker))
+    assert(al.filter(col("alpha").isNull).count() == 1)
+    val bw = Stages.benchmarkWeights(al.select("ticker", "date"))
+    val (w, m) = Stages.portfolio(al, lo, fc, iv, bw)
+    val weights = w.collect()
+    assert(weights.nonEmpty && !weights.exists(_.getAs[String]("ticker") == someTicker))
+    assert(m.count() == 1)
+  }
+
   test("universe reconstruction: add/remove walk matches hand-traced membership") {
     val changes = Seq(
       ("T1", Date.valueOf("2024-01-10"), 1L, "Added"),

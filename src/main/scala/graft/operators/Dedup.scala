@@ -138,18 +138,29 @@ object Dedup {
     jaccardOf(interCnt, sizes, threshold)
   }
 
-  /** 60-bit SimHash over the document's distinct words. */
+  /** 60-bit SimHash over the document's distinct words.
+    *
+    * Bit counters are SWAR-packed: each aggregate sums `(wh >> t) & M`
+    * where M = 0x0001000100010001 keeps four 16-bit lanes per long, so 16
+    * sums (plus a count) replace 60 per-bit sums over the word stream —
+    * the same signature (`bit_j = [2·ones_j > n]` ⇔ `Σ(±1) > 0`) at ~4×
+    * less aggregation work. Lanes hold exact counts up to 65535 distinct
+    * words per document.
+    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .distinct()
       .withColumn("wh", hash60("w", col("w")))
-    val bitSums = words.groupBy("id").agg(
-      sum(expr("((wh >> 0) & 1) * 2 - 1")).as("b0"),
-      (1 until 60).map(j => sum(expr(s"((wh >> $j) & 1) * 2 - 1")).as(s"b$j")): _*)
-    bitSums.select(col("id"),
+    val M = 0x0001000100010001L
+    val packed = words.groupBy("id").agg(
+      count(lit(1)).as("n"),
+      (0 until 16).map(t => sum(expr(s"(wh >> $t) & $M")).as(s"s$t")): _*)
+    def ones(j: Int) =
+      shiftright(col(s"s${j % 16}"), 16 * (j / 16)).bitwiseAND(lit(0xFFFFL))
+    packed.select(col("id"),
       (0 until 60).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        when(ones(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
 

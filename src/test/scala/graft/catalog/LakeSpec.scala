@@ -60,6 +60,35 @@ class LakeSpec extends SparkSpec {
     assert(by(2024).length == 2 && by(2024).forall(_.getAs[Long]("seq") == 2L))
   }
 
+  test("ingest order survives reopening the lake (persisted counter)") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake1 = new Lake(spark, root)
+    lake1.create(meta, "replace")
+    lake1.append("prices", rows(1, 10.0))
+    // a fresh Lake instance (new "process") must still stamp LATER than
+    // the first instance's append — the round-1 nanoTime stamp did not
+    val lake2 = new Lake(spark, root)
+    lake2.append("prices", rows(2, 20.0))
+    lake2.optimize("prices")
+    val out = lake2.table("prices").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("v") >= 20.0)) // second append won
+  }
+
+  test("intra-batch primary-key duplicates resolve to the later batch row") {
+    val lake = newLake()
+    lake.create(meta, "replace")
+    val dup = Seq(
+      ("AAPL", "2024-01-02", 2024, 1.0, 9L),
+      ("AAPL", "2024-01-02", 2024, 2.0, 9L)) // same PK twice in one append
+      .toDF("ticker", "date", "year", "v", "seq")
+    lake.append("prices", dup)
+    lake.optimize("prices")
+    val out = lake.table("prices").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("v") == 2.0) // later row in batch order
+  }
+
   test("declared schema round-trips through the catalog") {
     val lake = newLake()
     lake.create(meta, "replace")

@@ -90,6 +90,33 @@ object StreamOps {
   final case class KeyedValue(key: String, ts: Timestamp, value: Double)
   final case class EwmaOut(key: String, ts: Timestamp, ewma: Double)
   final case class EwmaState(num: Double, den: Double)
+  final case class SignalOut(key: String, ts: Timestamp, signal: Double)
+  final case class WindowState(recent: Seq[Double])
+
+  /** W2 as a stream: the masked trailing rolling log1p-sum, negated (the
+    * reversal signal), with a per-key ring of the last `lookback` values.
+    * Rows emit only once the window is full — the streaming form of the
+    * batch mask (`min_samples = window`), where pre-window rows are null
+    * and dropped. The sum is recomputed from the buffer per emit, so no
+    * floating drift accumulates relative to the batch expression.
+    */
+  def streamingReversalSignal(returns: Dataset[KeyedValue],
+      lookback: Int): Dataset[SignalOut] = {
+    import returns.sparkSession.implicits._
+    def update(key: String, rows: Iterator[KeyedValue],
+        state: GroupState[WindowState]): Iterator[SignalOut] = {
+      var buf = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+      val out = scala.collection.mutable.ArrayBuffer[SignalOut]()
+      rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+        buf = (buf :+ math.log1p(r.value)).takeRight(lookback)
+        if (buf.length == lookback) out += SignalOut(key, r.ts, -buf.sum)
+      }
+      state.update(WindowState(buf))
+      out.iterator
+    }
+    returns.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 
   /** W4 as a stream: the polars `ewm_mean(half_life, adjust=True)`
     * recurrence with two doubles of state per key — the streaming form of

@@ -50,6 +50,33 @@ class StreamOpsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(math.abs(s - b) < 1e-12) }
   }
 
+  test("streamingReversalSignal matches the masked batch window exactly") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(9)(rnd.nextDouble() * 0.1 - 0.05)
+    val lookback = 4
+    val input = MemoryStream[KeyedValue]
+    val q = streamingReversalSignal(input.toDS(), lookback).writeStream
+      .format("memory").queryName("sig").outputMode("append")
+      .start()
+    input.addData(vals.take(5).zipWithIndex.map { case (v, i) => KeyedValue("t", ts(i), v) }: _*)
+    q.processAllAvailable()
+    input.addData(vals.drop(5).zipWithIndex.map { case (v, i) => KeyedValue("t", ts(i + 5), v) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sig").as[SignalOut].collect()
+      .sortBy(_.ts.getTime).map(_.signal)
+
+    import org.apache.spark.sql.functions.col
+    val w = graft.expr.Windows.series(Seq("key"), Seq("i"))
+    val batch = vals.zipWithIndex.map { case (v, i) => ("t", i, v) }
+      .toDF("key", "i", "value")
+      .select(col("i"), graft.expr.Windows.rollingLog1pSum("value", w, lookback).as("s"))
+      .orderBy("i").collect().flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(streamed.length == batch.length) // mask: first lookback-1 rows absent
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

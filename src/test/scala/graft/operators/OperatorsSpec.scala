@@ -120,6 +120,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0)._3 > 0.99)
   }
 
+  test("salted join equals the plain join on skewed data") {
+    val hot = (1 to 500).map(i => (1L, i.toLong)) // one dominant key
+    val tail = (1 to 50).map(i => ((i % 7 + 2).toLong, i.toLong))
+    val left = (hot ++ tail).toDF("k", "v")
+    val right = (1L to 8L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(left, right, Seq("k"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    // left-join nulls survive too
+    val rightPartial = Seq((1L, "only_hot")).toDF("k", "name")
+    val saltedLeft = Skew.saltedJoin(left, rightPartial, Seq("k"), 4, "left")
+    assert(saltedLeft.count() == 550)
+    assert(saltedLeft.filter(col("name").isNull).count() == 50)
+  }
+
   test("multimodal decodeFeatures: normalized histogram, deterministic") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
     val feats = Multimodal.decodeFeatures(assets).collect()

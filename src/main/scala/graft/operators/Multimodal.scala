@@ -52,6 +52,40 @@ object Multimodal {
     }
   }
 
+  /** Resize stub, mapPartitions form: strided downsample of the payload to
+    * at most `targetBytes` (REAL RESIZE GOES HERE — an image scaler per
+    * batch in production; the partition-streaming contract and binary-in/
+    * binary-out schema are the real part). Payloads already small enough
+    * pass through unchanged.
+    */
+  def resizePayload(assets: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fields = assets.schema.fields.map {
+      case f if f.name == "payload" => f.copy(dataType = BinaryType)
+      case f => f
+    }
+    val schema = StructType(fields)
+    implicit val enc = Encoders.row(schema)
+    val pIdx = assets.schema.fieldIndex("payload")
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else {
+            val res = new Array[Byte](targetBytes)
+            var i = 0
+            while (i < targetBytes) {
+              res(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+              i += 1
+            }
+            res
+          }
+        Row.fromSeq(r.toSeq.updated(pIdx, out))
+      }
+    }
+  }
+
   /** Deterministic "frame sampling": fixed-offset slices of the payload,
     * hex-encoded (stands in for video frame extraction; the slice/batch
     * plumbing is the real part).

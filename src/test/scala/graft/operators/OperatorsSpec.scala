@@ -146,6 +146,21 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(0L) == feats(3L)) // identical payloads => identical features
   }
 
+  test("multimodal resize: strided downsample caps payload size, pass-through below") {
+    val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
+    val resized = Multimodal.resizePayload(assets, 32).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    val orig = assets.collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    orig.foreach { case (id, bytes) =>
+      if (bytes.length <= 32) assert(resized(id).toSeq == bytes.toSeq)
+      else {
+        assert(resized(id).length == 32)
+        assert(resized(id)(0) == bytes(0)) // stride anchors at the start
+      }
+    }
+  }
+
   test("multimodal asset stats") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
       .filter(col("asset_id") === 0L).collect().head

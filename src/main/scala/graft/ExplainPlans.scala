@@ -9,7 +9,8 @@ object ExplainPlans {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q5_star_join", "q1_agg", "w6_rolling_ols", "d3_dedup_minhash")
+      else Seq("q5_star_join", "q1_agg", "w6_rolling_ols", "d3_dedup_minhash",
+        "d5_dedup_embcos", "n3_ann_ivf", "l5_qp_weights")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

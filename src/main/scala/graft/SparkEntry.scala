@@ -455,6 +455,23 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    // Corpus-level rollup: per-language doc counts, token totals, and
+    // exact-duplicate counts — the summary pass a training-data pipeline
+    // runs over a crawl before filtering.
+    "t5_corpus_stats" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        md5(col("text")).as("h"))
+      val withDup = enriched.withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(Window.partitionBy("h"))).cast("long"))
+      withDup.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("is_dup")).as("n_dups"))
+    }),
+
     // Exact dedup: canonical id per identical text.
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1032,6 +1049,17 @@ object SparkEntry {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "t5_corpus_stats" ->
+      s"""WITH lp AS (SELECT * FROM ($langIdSql) t),
+         |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |         md5(text) AS h
+         |       FROM documents),
+         |dup AS (SELECT doc_id, toks,
+         |          CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS d
+         |        FROM tk)
+         |SELECT lang_pred AS lang, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens, CAST(sum(d) AS BIGINT) AS n_dups
+         |FROM dup JOIN lp USING (doc_id) GROUP BY 1""".stripMargin,
     "d1_dedup_exact" ->
       """WITH c AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id

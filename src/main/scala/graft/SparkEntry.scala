@@ -409,6 +409,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Q6-shape: tight scan + pushable range predicates + single aggregate —
+    // the canonical predicate-pushdown/column-pruning exercise.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31"))
+        .filter(round(col("l_discount") * 100).cast("long").between(3, 7))
+        .filter(col("l_quantity") < 500)
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Q18-shape: grouped aggregate filtered on its own result (HAVING),
+    // then top-k — partial aggregation + post-aggregate filter.
+    "q18_big_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 250)
+        .orderBy(col("total_qty").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // Q10-shape: returned-item revenue per customer, top 20.
     "q10_returned_items" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1013,6 +1037,21 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 3 AND 7
+        |  AND l_quantity < 500""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT l_orderkey,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS total_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY 1
+        |HAVING sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 > 250
+        |ORDER BY total_qty DESC, l_orderkey LIMIT 10""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,

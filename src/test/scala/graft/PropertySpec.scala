@@ -71,6 +71,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join for random frames, any salt count") {
+    import org.apache.spark.sql.functions.col
+    (1 to 5).foreach { _ =>
+      val nl = 20 + rnd.nextInt(80)
+      val left = (1 to nl).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "v")
+      val right = (0 to 6).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, s"d$k")).toDF("k", "name")
+      val salts = 1 + rnd.nextInt(15)
+      val plain = left.join(right, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val salted = graft.operators.Skew.saltedJoin(left, right, Seq("k"), salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("group keys are injective over random tuples") {
+    val pool = Seq("a", "b", "a b", "b c", "", "null", "1:ab", "n;", "7", null)
+    val tuples = (1 to 400).map { _ =>
+      Seq.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.length)))
+    }.distinct
+    val keys = tuples.map(t =>
+      graft.expr.GroupKey.of(org.apache.spark.sql.Row(t: _*), t.indices))
+    assert(keys.distinct.length == tuples.length)
+  }
+
+  test("simhash is invariant to word order and duplication") {
+    (1 to 5).foreach { _ =>
+      val words = Seq.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(30)}")
+      val shuffled = rnd.shuffle(words ++ words.take(3))
+      val df = Seq((1L, words.mkString(" ")), (2L, shuffled.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sig = graft.operators.Dedup.simHash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sig(1L) == sig(2L))
+    }
+  }
+
   test("optimize is idempotent: optimize . optimize = optimize") {
     val lake = new graft.catalog.Lake(spark,
       java.nio.file.Files.createTempDirectory("graft_prop").toString)

@@ -53,7 +53,9 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: $e")
               e.printStackTrace()
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+                // JSON-safe: quotes/backslashes and ALL control chars
+                // (any char < 0x20 is illegal in a JSON string) -> spaces
+                .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
               false
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

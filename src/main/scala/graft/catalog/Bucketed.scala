@@ -14,11 +14,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as an external bucketed+sorted table at `path`. */
+  /** Write `df` as an external bucketed+sorted table at `path`,
+    * replacing any previous layout: DROP TABLE removes only the metadata
+    * of an external table, and CTAS refuses a non-empty location, so the
+    * old files must be deleted too for the write to be re-runnable.
+    */
   def write(df: DataFrame, table: String, path: String, buckets: Int,
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -67,7 +67,15 @@ class Lake(spark: SparkSession, root: String) {
     * no file order. The counter survives JVM restarts — unlike a clock
     * stamp, a later run's append always orders after an earlier run's.
     * Within one batch, `_graft_ingest_sub` (monotonically_increasing_id at
-    * append time) breaks ties deterministically by batch row order.
+    * append time) breaks ties by partition-then-position order — batch row
+    * order whenever the input's partitioning preserves it (a shuffled
+    * input has no well-defined row order to preserve).
+    *
+    * Writer model: single writer per table, like the reference's nightly
+    * flow (bear-lake appends are sequential there too). The counter write
+    * is temp-file + atomic move so a crash never leaves a truncated file;
+    * if the file is ever unreadable, the counter recovers from
+    * max(SeqCol) in the data.
     */
   private val SeqCol = "_graft_ingest_seq"
   private val SubCol = "_graft_ingest_sub"
@@ -76,9 +84,17 @@ class Lake(spark: SparkSession, root: String) {
 
   private def nextSeq(name: String): Long = {
     val p = counterPath(name)
-    val cur = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    val cur =
+      if (!Files.exists(p)) 0L
+      else scala.util.Try(Files.readString(p).trim.toLong).getOrElse {
+        // corrupted/empty counter file: recover from the data itself
+        tableRaw(name).agg(coalesce(max(col(SeqCol)), lit(0L))).first().getLong(0)
+      }
     val next = cur + 1
-    Files.writeString(p, next.toString)
+    val tmp = Paths.get(s"${dir(name)}/_graft_seq.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     next
   }
 

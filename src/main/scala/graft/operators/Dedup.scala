@@ -141,23 +141,24 @@ object Dedup {
   /** 60-bit SimHash over the document's distinct words.
     *
     * Bit counters are SWAR-packed: each aggregate sums `(wh >> t) & M`
-    * where M = 0x0001000100010001 keeps four 16-bit lanes per long, so 16
+    * where M = 0x0000000100000001 keeps two 32-bit lanes per long, so 32
     * sums (plus a count) replace 60 per-bit sums over the word stream —
-    * the same signature (`bit_j = [2·ones_j > n]` ⇔ `Σ(±1) > 0`) at ~4×
-    * less aggregation work. Lanes hold exact counts up to 65535 distinct
-    * words per document.
+    * the same signature (`bit_j = [2·ones_j > n]` ⇔ `Σ(±1) > 0`) at ~2×
+    * less aggregation work. 32-bit lanes hold exact counts up to ~4.3e9
+    * distinct words per document, so no realistic input can overflow a
+    * lane into its neighbor.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .distinct()
       .withColumn("wh", hash60("w", col("w")))
-    val M = 0x0001000100010001L
+    val M = 0x0000000100000001L
     val packed = words.groupBy("id").agg(
       count(lit(1)).as("n"),
-      (0 until 16).map(t => sum(expr(s"(wh >> $t) & $M")).as(s"s$t")): _*)
+      (0 until 32).map(t => sum(expr(s"(wh >> $t) & $M")).as(s"s$t")): _*)
     def ones(j: Int) =
-      shiftright(col(s"s${j % 16}"), 16 * (j / 16)).bitwiseAND(lit(0xFFFFL))
+      shiftright(col(s"s${j % 32}"), 32 * (j / 32)).bitwiseAND(lit(0xFFFFFFFFL))
     packed.select(col("id"),
       (0 until 60).map(j =>
         when(ones(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
@@ -177,9 +178,13 @@ object Dedup {
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
     require(bands * bitsPerBand <= 63, "code must fit a long")
+    // consumed 3x (band self-join left/right + both verification joins):
+    // cache so codes and norms are computed once, as minHashLsh does for
+    // its shingle set
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("code", Similarity.srpCode(col("vec"), dim, bands * bitsPerBand))
       .withColumn("nrm", Similarity.l2Norm(col("vec")))
+      .cache()
     val mask = (1L << bitsPerBand) - 1
     val chunks = v.selectExpr("id",
       s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")

@@ -71,7 +71,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](pIdx)
         val out =
-          if (bytes.length <= targetBytes) bytes
+          if (bytes == null) null
+          else if (bytes.length <= targetBytes) bytes
           else {
             val res = new Array[Byte](targetBytes)
             var i = 0

@@ -24,6 +24,13 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full-outer would emit one row PER SALT REPLICA for unmatched
+    // small-side keys — not equivalent to the plain join; flip the sides
+    // and use "left" instead
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti", "cross").contains(
+      joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left-flavored joins, not $joinType")
     val l = skewed.withColumn("_salt",
       pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = small.withColumn("_salt",

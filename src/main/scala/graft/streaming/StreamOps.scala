@@ -107,7 +107,8 @@ object StreamOps {
         state: GroupState[WindowState]): Iterator[SignalOut] = {
       var buf = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
       val out = scala.collection.mutable.ArrayBuffer[SignalOut]()
-      rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+      // total order incl. value: see streamingEwma
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.value)).foreach { r =>
         buf = (buf :+ math.log1p(r.value)).takeRight(lookback)
         if (buf.length == lookback) out += SignalOut(key, r.ts, -buf.sum)
       }
@@ -130,7 +131,11 @@ object StreamOps {
     def update(key: String, rows: Iterator[KeyedValue],
         state: GroupState[EwmaState]): Iterator[EwmaOut] = {
       var s = state.getOption.getOrElse(EwmaState(0.0, 0.0))
-      val out = rows.toSeq.sortBy(_.ts.getTime).map { v =>
+      // (ts, value) sort: batch iteration order after the shuffle is
+      // nondeterministic, and the fold is order-dependent — equal-ts rows
+      // need a total order for reruns to agree (equal (ts,value) rows are
+      // interchangeable in the fold)
+      val out = rows.toSeq.sortBy(v => (v.ts.getTime, v.value)).map { v =>
         s = EwmaState(v.value + decay * s.num, 1.0 + decay * s.den)
         EwmaOut(key, v.ts, s.num / s.den)
       }
@@ -150,7 +155,7 @@ object StreamOps {
         state: GroupState[Double]): Iterator[Return] = {
       val out = scala.collection.mutable.ArrayBuffer[Return]()
       var prev = state.getOption.getOrElse(Double.NaN)
-      rows.toSeq.sortBy(_.ts.getTime).foreach { b =>
+      rows.toSeq.sortBy(b => (b.ts.getTime, b.close)).foreach { b =>
         if (!prev.isNaN) out += Return(ticker, b.ts, b.close / prev - 1.0)
         prev = b.close
       }

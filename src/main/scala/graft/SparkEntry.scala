@@ -194,6 +194,50 @@ object SparkEntry {
           round(col("beta_z") / 100.0, 6).as("beta_z"))
     }),
 
+    // W6 again as pure window algebra (the codegen path): integer-exact
+    // window sums + parenthesized Cramer's rule as column expressions —
+    // no flatMapGroups, the whole plan stays in whole-stage codegen.
+    // Same oracle as w6_rolling_ols.
+    "w6_rolling_ols_native" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "y", "x")
+        .rowsBetween(-251, 0)
+      val n = lit(252.0)
+      val base = t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("z"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val sums = base.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(col("x")).over(w).cast("double").as("sx0"),
+        sum(col("z")).over(w).cast("double").as("sx1"),
+        sum(col("y")).over(w).cast("double").as("b0"),
+        sum(col("x") * col("x")).over(w).cast("double").as("s00"),
+        sum(col("x") * col("z")).over(w).cast("double").as("s01"),
+        sum(col("z") * col("z")).over(w).cast("double").as("s11"),
+        sum(col("x") * col("y")).over(w).cast("double").as("b1"),
+        sum(col("z") * col("y")).over(w).cast("double").as("b2"))
+      // identical parenthesization to RollingOls.solve and the SQL oracle
+      val det = n * (col("s00") * col("s11") - col("s01") * col("s01")) -
+        col("sx0") * (col("sx0") * col("s11") - col("s01") * col("sx1")) +
+        col("sx1") * (col("sx0") * col("s01") - col("s00") * col("sx1"))
+      val det0 = col("b0") * (col("s00") * col("s11") - col("s01") * col("s01")) -
+        col("sx0") * (col("b1") * col("s11") - col("s01") * col("b2")) +
+        col("sx1") * (col("b1") * col("s01") - col("s00") * col("b2"))
+      val det1 = n * (col("b1") * col("s11") - col("s01") * col("b2")) -
+        col("b0") * (col("sx0") * col("s11") - col("s01") * col("sx1")) +
+        col("sx1") * (col("sx0") * col("b2") - col("b1") * col("sx1"))
+      val det2 = n * (col("s00") * col("b2") - col("b1") * col("s01")) -
+        col("sx0") * (col("sx0") * col("b2") - col("b1") * col("sx1")) +
+        col("b0") * (col("sx0") * col("s01") - col("s00") * col("sx1"))
+      sums.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        when(col("cnt") === 252, round(det0 / det / 100.0, 6)).as("alpha"),
+        when(col("cnt") === 252, round(det1 / det / 100.0, 6)).as("beta_x"),
+        when(col("cnt") === 252, round(det2 / det / 100.0, 6)).as("beta_z"))
+    }),
+
     // A6 global (whole-frame) z-score, exact integer-cents moments.
     "a6_global_zscore" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -755,6 +799,43 @@ object SparkEntry {
        |      FROM cos2)
        |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** Shared by `w6_rolling_ols` (flatMapGroups fold) and
+    * `w6_rolling_ols_native` (pure window algebra) — both must produce
+    * exactly this.
+    */
+  private def w6OlsSql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_discount*100) AS BIGINT) AS z,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    count(*) OVER win AS cnt,
+      |    CAST(sum(x) OVER win AS DOUBLE) AS sx0,
+      |    CAST(sum(z) OVER win AS DOUBLE) AS sx1,
+      |    CAST(sum(y) OVER win AS DOUBLE) AS b0,
+      |    CAST(sum(x*x) OVER win AS DOUBLE) AS s00,
+      |    CAST(sum(x*z) OVER win AS DOUBLE) AS s01,
+      |    CAST(sum(z*z) OVER win AS DOUBLE) AS s11,
+      |    CAST(sum(x*y) OVER win AS DOUBLE) AS b1,
+      |    CAST(sum(z*y) OVER win AS DOUBLE) AS b2
+      |  FROM s
+      |  WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, y, x ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, cnt,
+      |    252.0*(s00*s11 - s01*s01) - sx0*(sx0*s11 - s01*sx1) + sx1*(sx0*s01 - s00*sx1) AS det,
+      |    b0*(s00*s11 - s01*s01) - sx0*(b1*s11 - s01*b2) + sx1*(b1*s01 - s00*b2) AS det0,
+      |    252.0*(b1*s11 - s01*b2) - b0*(sx0*s11 - s01*sx1) + sx1*(sx0*b2 - b1*sx1) AS det1,
+      |    252.0*(s00*b2 - b1*s01) - sx0*(sx0*b2 - b1*sx1) + b0*(sx0*s01 - s00*sx1) AS det2
+      |  FROM w)
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CASE WHEN cnt = 252 THEN round((det0/det)/100.0, 6) END AS alpha,
+      |  CASE WHEN cnt = 252 THEN round((det1/det)/100.0, 6) END AS beta_x,
+      |  CASE WHEN cnt = 252 THEN round((det2/det)/100.0, 6) END AS beta_z
+      |FROM c""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -851,38 +932,8 @@ object SparkEntry {
         |  CASE WHEN cnt = 63 THEN round(((sy - beta*sx)/63.0)/100.0, 6) END AS alpha,
         |  CASE WHEN cnt = 63 THEN round(beta/100.0, 6) END AS beta
         |FROM c""".stripMargin,
-    "w6_rolling_ols" ->
-      """WITH s AS (
-        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-        |    CAST(round(l_quantity) AS BIGINT) AS x,
-        |    CAST(round(l_discount*100) AS BIGINT) AS z,
-        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y
-        |  FROM lineitem),
-        |w AS (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber,
-        |    count(*) OVER win AS cnt,
-        |    CAST(sum(x) OVER win AS DOUBLE) AS sx0,
-        |    CAST(sum(z) OVER win AS DOUBLE) AS sx1,
-        |    CAST(sum(y) OVER win AS DOUBLE) AS b0,
-        |    CAST(sum(x*x) OVER win AS DOUBLE) AS s00,
-        |    CAST(sum(x*z) OVER win AS DOUBLE) AS s01,
-        |    CAST(sum(z*z) OVER win AS DOUBLE) AS s11,
-        |    CAST(sum(x*y) OVER win AS DOUBLE) AS b1,
-        |    CAST(sum(z*y) OVER win AS DOUBLE) AS b2
-        |  FROM s
-        |  WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, y, x ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)),
-        |c AS (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber, cnt,
-        |    252.0*(s00*s11 - s01*s01) - sx0*(sx0*s11 - s01*sx1) + sx1*(sx0*s01 - s00*sx1) AS det,
-        |    b0*(s00*s11 - s01*s01) - sx0*(b1*s11 - s01*b2) + sx1*(b1*s01 - s00*b2) AS det0,
-        |    252.0*(b1*s11 - s01*b2) - b0*(sx0*s11 - s01*sx1) + sx1*(sx0*b2 - b1*sx1) AS det1,
-        |    252.0*(s00*b2 - b1*s01) - sx0*(sx0*b2 - b1*sx1) + b0*(sx0*s01 - s00*sx1) AS det2
-        |  FROM w)
-        |SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CASE WHEN cnt = 252 THEN round((det0/det)/100.0, 6) END AS alpha,
-        |  CASE WHEN cnt = 252 THEN round((det1/det)/100.0, 6) END AS beta_x,
-        |  CASE WHEN cnt = 252 THEN round((det2/det)/100.0, 6) END AS beta_z
-        |FROM c""".stripMargin,
+    "w6_rolling_ols" -> w6OlsSql,
+    "w6_rolling_ols_native" -> w6OlsSql,
     "a6_global_zscore" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice*100) AS HUGEINT) AS cents FROM orders),

@@ -15,25 +15,34 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   /** Write `df` as an external bucketed+sorted table at `path`,
-    * replacing any previous layout: DROP TABLE removes only the metadata
-    * of an external table, and CTAS refuses a non-empty location, so the
-    * old files must be deleted too for the write to be re-runnable.
+    * replacing any previous layout. Two-phase: the frame is fully
+    * materialized into a staging directory BEFORE the old files are
+    * touched, so `df` may itself read from `path` (re-bucketing a table
+    * from its own files) and a failed write never destroys the previous
+    * layout. Afterwards the staging dir moves into place and the final
+    * table metadata is recreated via CREATE TABLE LIKE (which copies the
+    * bucket spec).
     */
   def write(df: DataFrame, table: String, path: String, buckets: Int,
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-    }
+    val staging = table + "__staging"
+    val stagingPath = path + "__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    Fs.deleteRecursively(java.nio.file.Paths.get(stagingPath))
+
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .option("path", path)
-      .saveAsTable(table)
+      .option("path", stagingPath)
+      .saveAsTable(staging) // materializes df — the old layout is still intact
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Fs.deleteRecursively(java.nio.file.Paths.get(path))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(stagingPath), java.nio.file.Paths.get(path))
+    spark.sql(s"CREATE TABLE $table LIKE $staging LOCATION '$path'")
+    spark.sql(s"DROP TABLE $staging")
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

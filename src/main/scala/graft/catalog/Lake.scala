@@ -84,12 +84,12 @@ class Lake(spark: SparkSession, root: String) {
 
   private def nextSeq(name: String): Long = {
     val p = counterPath(name)
-    val cur =
-      if (!Files.exists(p)) 0L
-      else scala.util.Try(Files.readString(p).trim.toLong).getOrElse {
-        // corrupted/empty counter file: recover from the data itself
-        tableRaw(name).agg(coalesce(max(col(SeqCol)), lit(0L))).first().getLong(0)
-      }
+    // a missing file on a table WITH data (lost in a copy/cleanup) must
+    // recover like a corrupted one — resetting to 1 would make optimize
+    // prefer old rows over new appends
+    val cur = scala.util.Try(Files.readString(p).trim.toLong).getOrElse {
+      tableRaw(name).agg(coalesce(max(col(SeqCol)), lit(0L))).first().getLong(0)
+    }
     val next = cur + 1
     val tmp = Paths.get(s"${dir(name)}/_graft_seq.tmp")
     Files.writeString(tmp, next.toString)
@@ -185,10 +185,5 @@ class Lake(spark: SparkSession, root: String) {
     Files.deleteIfExists(pendingPath)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = Fs.deleteRecursively(p)
 }

@@ -36,18 +36,21 @@ object Multimodal {
   def decodeFeatures(assets: DataFrame, bins: Int = 16): DataFrame = {
     val schema = StructType(Seq(
       StructField("asset_id", assets.schema("asset_id").dataType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)))
     implicit val enc = Encoders.row(schema)
     val idIdx = assets.schema.fieldIndex("asset_id")
     val pIdx = assets.schema.fieldIndex("payload")
     assets.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](pIdx)
-        val hist = new Array[Double](bins)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) * bins / 256) += 1.0; i += 1 }
-        val total = math.max(bytes.length, 1).toDouble
-        Row(r.get(idIdx), hist.map(_ / total).toSeq)
+        if (bytes == null) Row(r.get(idIdx), null) // null payload -> null features
+        else {
+          val hist = new Array[Double](bins)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) * bins / 256) += 1.0; i += 1 }
+          val total = math.max(bytes.length, 1).toDouble
+          Row(r.get(idIdx), hist.map(_ / total).toSeq)
+        }
       }
     }
   }

@@ -28,7 +28,7 @@ object Skew {
     // small-side keys — not equivalent to the plain join; flip the sides
     // and use "left" instead
     require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
-      "left_semi", "leftanti", "left_anti", "cross").contains(
+      "left_semi", "semi", "leftanti", "left_anti", "anti", "cross").contains(
       joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left-flavored joins, not $joinType")
     val l = skewed.withColumn("_salt",

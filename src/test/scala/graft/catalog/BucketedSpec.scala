@@ -30,6 +30,27 @@ class BucketedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("rewriting a layout at the same path works, even reading its own files") {
+    val dir = Files.createTempDirectory("graft_bucketed3").toString
+    val facts = (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "id")
+    Bucketed.write(facts, "b_rw", s"$dir/t", 4, Seq("k"))
+    // re-bucket FROM its own files: staging materializes before the old
+    // layout is deleted, so this must not lose data
+    val fromSelf = Bucketed.table(spark, "b_rw").filter($"id" % 2 === 0)
+    Bucketed.write(fromSelf, "b_rw", s"$dir/t", 4, Seq("k"))
+    assert(Bucketed.table(spark, "b_rw").count() == 50)
+    // the recreated metadata still carries the bucket spec: a self-join
+    // plans without any shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketed.table(spark, "b_rw").join(
+        Bucketed.table(spark, "b_rw").groupBy("k").count(), "k")
+      j.count()
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("joining a bucketed with an unbucketed side shuffles only that side") {
     val dir = Files.createTempDirectory("graft_bucketed2").toString
     val facts = (1 to 400).map(i => (i.toLong % 20, i.toLong)).toDF("k", "id")

@@ -95,6 +95,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(0).session_id == 1)
   }
 
+  test("file-source stream: parquet drops drive the stateful returns chain") {
+    // production shape: a directory of parquet files as the unbounded
+    // source, each new file a micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // one part-file per drop: maxFilesPerTrigger=1 makes each FILE a
+    // micro-batch, and a 2-partition write would split a drop in two
+    Seq(Bar("AAPL", ts(0), 100.0), Bar("AAPL", ts(1), 104.0))
+      .toDS().coalesce(1).write.parquet(s"$dir/b0")
+    val src = spark.readStream.schema(Seq.empty[Bar].toDS().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = streamingReturns(src.as[Bar]).writeStream
+      .format("memory").queryName("frets").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // second drop arrives later; state must carry the last close across it
+    Seq(Bar("AAPL", ts(2), 91.0)).toDS().coalesce(1).write.parquet(s"$dir/b1")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("frets").as[Return].collect().sortBy(_.ts.getTime)
+    assert(out.length == 2)
+    assert(math.abs(out(0).ret - 0.04) < 1e-12)
+    assert(math.abs(out(1).ret - (91.0 / 104.0 - 1)) < 1e-12)
+  }
+
   test("hourlyRollup over a stream matches the batch expression") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

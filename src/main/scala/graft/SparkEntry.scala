@@ -143,6 +143,20 @@ object SparkEntry {
         round(Windows.rollingCovar("l_quantity", "l_extendedprice", w, 21), 4).as("roll_cov"))
     }),
 
+    // W5 again via overlapping-chunk parallelization: partitionBy on a
+    // 3-value key caps parallelism at 3; chunking restores it. Same
+    // oracle as w5_rolling_covar (row-identical output).
+    "w5_covar_chunked" -> ((s, dir) => {
+      Windows.chunkedRolling(
+        t(s, dir, "lineitem").select("l_returnflag", "l_shipdate", "l_orderkey",
+          "l_linenumber", "l_extendedprice", "l_quantity"),
+        Seq("l_returnflag"),
+        Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        21, 20000, "roll_cov")(f =>
+          round(Windows.masked(covar_samp(col("l_quantity"), col("l_extendedprice")).over(f), f, 21), 4))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("roll_cov"))
+    }),
+
     // W4 EWMA (half-life 60, adjust=true) — custom per-key streaming fold.
     "w4_ewma" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -799,6 +813,16 @@ object SparkEntry {
        |      FROM cos2)
        |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** Shared by `w5_rolling_covar` (single window per key) and
+    * `w5_covar_chunked` (overlapping-chunk parallel form) — both must
+    * produce exactly this.
+    */
+  private def w5CovarSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  round(CASE WHEN count(*) OVER win >= 21 THEN covar_samp(l_quantity, l_extendedprice) OVER win END, 4) AS roll_cov
+      |FROM lineitem
+      |WINDOW win AS (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Shared by `w6_rolling_ols` (flatMapGroups fold) and
     * `w6_rolling_ols_native` (pure window algebra) — both must produce
     * exactly this.
@@ -884,11 +908,8 @@ object SparkEntry {
         |  round(CASE WHEN count(*) OVER win >= 21 THEN stddev_samp(value) OVER win END, 6) AS roll_std
         |FROM events
         |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "w5_rolling_covar" ->
-      """SELECT l_returnflag, l_orderkey, l_linenumber,
-        |  round(CASE WHEN count(*) OVER win >= 21 THEN covar_samp(l_quantity, l_extendedprice) OVER win END, 4) AS roll_cov
-        |FROM lineitem
-        |WINDOW win AS (PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "w5_rolling_covar" -> w5CovarSql,
+    "w5_covar_chunked" -> w5CovarSql,
     "w4_ewma" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, value,

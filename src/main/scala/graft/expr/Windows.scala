@@ -65,6 +65,50 @@ object Windows {
     masked(covar_samp(col(xCol), col(yCol)).over(f), f, n)
   }
 
+  /** Trailing-window aggregation parallelized by OVERLAPPING CHUNKS — the
+    * scale path for rolling aggregates over low-cardinality keys (e.g. 25
+    * factor pairs, 3 return flags), where `partitionBy(key)` caps
+    * parallelism at the key count no matter the cluster size.
+    *
+    * Rows are numbered per key (cheap serial pass), split into chunks of
+    * `chunkRows`, and the last `n-1` rows of each chunk are replicated
+    * into the next so every chunk computes its trailing frames
+    * independently; replicas are dropped after aggregating. Output is
+    * row-identical to the single-partition form (the min-samples mask
+    * composes: a chunk's first kept row always sees a full frame except in
+    * chunk 0, where chunk-local position equals global position).
+    *
+    * `agg` receives the chunk-scoped trailing frame and must build the
+    * (masked) aggregate over it, e.g.
+    * `f => Windows.masked(covar_samp(col("x"), col("y")).over(f), f, n)`.
+    */
+  def chunkedRolling(
+      df: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      n: Int,
+      chunkRows: Int,
+      outCol: String)(agg: WindowSpec => Column): org.apache.spark.sql.DataFrame = {
+    require(chunkRows >= n, "chunkRows must be at least the window size")
+    val base = df.withColumn("_rn", row_number().over(series(partCols, orderCols)))
+    val own = base
+      .withColumn("_c", ((col("_rn") - 1) / chunkRows).cast("long"))
+      .withColumn("_keep", lit(true))
+    val overlap = base
+      .filter((col("_rn") - 1) % chunkRows >= chunkRows - (n - 1))
+      .withColumn("_c", ((col("_rn") - 1) / chunkRows).cast("long") + 1)
+      .withColumn("_keep", lit(false))
+    val chunked = own.unionByName(overlap)
+    val wChunk = Window
+      .partitionBy((partCols :+ "_c").map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), 0)
+    chunked
+      .withColumn(outCol, agg(wChunk))
+      .filter(col("_keep"))
+      .drop("_rn", "_c", "_keep")
+  }
+
   /** A6: global (whole-frame) z-score — the reference's cross-sectional
     * score (`pipelines/reversal_flow.py:39-42`; deliberately NOT per-date,
     * see SURVEY.md §2.4 A6). Mean/std come in exactly over integer-scaled

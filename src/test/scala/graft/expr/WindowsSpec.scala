@@ -58,4 +58,24 @@ class WindowsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(sums("d1") - 1.0) < 1e-12 && math.abs(sums("d2") - 1.0) < 1e-12)
   }
+
+  test("chunkedRolling equals the single-partition rolling form exactly") {
+    val rnd = new scala.util.Random(23)
+    val df = (for (k <- Seq("a", "b", "c"); i <- 0 until 100)
+      yield (k, i, rnd.nextDouble() * 10, rnd.nextDouble() * 100))
+      .toDF("k", "i", "x", "y")
+    val n = 5
+    val w = Windows.series(Seq("k"), Seq("i"))
+    val plain = df
+      .withColumn("v", round(Windows.rollingCovar("x", "y", w, n), 9))
+      .select("k", "i", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    // chunkRows = 7 stresses many chunk boundaries incl. a partial tail
+    val chunked = Windows.chunkedRolling(df, Seq("k"), Seq("i"), n, 7, "v")(f =>
+        round(Windows.masked(covar_samp(col("x"), col("y")).over(f), f, n), 9))
+      .select("k", "i", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> Option(r.get(2))).toMap
+    assert(chunked.size == plain.size)
+    plain.foreach { case (key, v) => assert(chunked(key) == v, s"$key") }
+  }
 }

@@ -432,6 +432,24 @@ object SparkEntry {
           (sum("cents") / 100.0).as("sum_value"))
     }),
 
+    // As-of (point-in-time) join: each click picks up the latest purchase
+    // value at-or-before its timestamp per user — union+window form, one
+    // shuffle, no range-join explosion. DuckDB's native ASOF JOIN is the
+    // oracle.
+    "j12_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val wDedup = Window.partitionBy("user_id", "pts_us").orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts_us"), col("event_id"),
+          col("value").as("purchase_value"))
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+        .select("user_id", "pts_us", "purchase_value")
+      graft.operators.AsOf.join(clicks, purchases, Seq("user_id"),
+        "ts_us", "pts_us", Seq("purchase_value"))
+    }),
+
     // W10 point-in-time membership reconstruction (distributed window form).
     "w10_point_in_time" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1070,6 +1088,18 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us, sum(cents)/100.0 AS sum_value
         |FROM sid GROUP BY 1, 2""".stripMargin,
+    "j12_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value, event_type
+        |  FROM events),
+        |clicks AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, ts_us AS pts_us, value AS purchase_value,
+        |         row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+        |       FROM ev WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, pts_us, purchase_value FROM p0 WHERE rn = 1)
+        |SELECT c.user_id, c.ts_us, c.event_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.pts_us <= c.ts_us""".stripMargin,
     "w10_point_in_time" ->
       """WITH chg AS (
         |  SELECT user_id AS k, CAST(ts AS DATE) AS d, ts, event_id,

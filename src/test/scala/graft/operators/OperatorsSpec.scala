@@ -120,6 +120,19 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0)._3 > 0.99)
   }
 
+  test("as-of join picks the latest at-or-before value per key") {
+    val clicks = Seq(("u1", 5L, 1L), ("u1", 10L, 2L), ("u1", 20L, 3L), ("u2", 7L, 4L))
+      .toDF("user", "t", "eid")
+    val state = Seq(("u1", 3L, 100.0), ("u1", 10L, 200.0), ("u1", 15L, 300.0),
+      ("u3", 1L, 999.0)).toDF("user", "st", "v")
+    val out = AsOf.join(clicks, state, Seq("user"), "t", "st", Seq("v"))
+      .collect().map(r => (r.getLong(1), Option(r.get(3)))).toMap
+    assert(out(5L).contains(100.0)) // latest at-or-before t=5 is st=3
+    assert(out(10L).contains(200.0)) // same-instant observation visible
+    assert(out(20L).contains(300.0))
+    assert(out(7L).isEmpty) // u2 has no state at all -> null
+  }
+
   test("salted join equals the plain join on skewed data") {
     val hot = (1 to 500).map(i => (1L, i.toLong)) // one dominant key
     val tail = (1 to 50).map(i => ((i % 7 + 2).toLong, i.toLong))

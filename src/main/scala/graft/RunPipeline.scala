@@ -20,6 +20,7 @@ object RunPipeline {
     val root = args.headOption.getOrElse("/tmp/graft_lake")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

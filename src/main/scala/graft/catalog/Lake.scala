@@ -116,13 +116,27 @@ class Lake(spark: SparkSession, root: String) {
   def table(name: String): DataFrame =
     tableRaw(name).select(meta(name).schema.fieldNames.map(col).toIndexedSeq: _*)
 
+  /** The read schema tags the `date` DATA column (partition columns lose
+    * user-schema metadata when Spark rebuilds the partition schema) with
+    * the name of its `year` partition column, so the
+    * [[graft.expr.catalyst.DeriveYearPruning]] optimizer rule still sees
+    * the tag after predicate pushdown moves date filters down to the scan
+    * and can add partition-pruning year bounds.
+    */
   private def tableRaw(name: String): DataFrame = {
     val m = meta(name)
+    val tagYear = m.partitionKeys.contains("year") && m.schema.fieldNames.contains("date")
+    def fld(f: org.apache.spark.sql.types.StructField) =
+      if (f.name == "date" && tagYear)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(graft.expr.catalyst.DeriveYearPruning.Tag, "year").build())
+      else f
     val onDisk = StructType(
-      m.schema.filterNot(f => m.partitionKeys.contains(f.name)) ++
+      m.schema.filterNot(f => m.partitionKeys.contains(f.name)).map(fld) ++
         Seq(org.apache.spark.sql.types.StructField(SeqCol, org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField(SubCol, org.apache.spark.sql.types.LongType)) ++
-        m.schema.filter(f => m.partitionKeys.contains(f.name)))
+        m.schema.filter(f => m.partitionKeys.contains(f.name)).map(fld))
     spark.read.schema(onDisk).parquet(dataDir(name))
   }
 

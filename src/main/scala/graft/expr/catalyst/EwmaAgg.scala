@@ -87,8 +87,10 @@ case class EwmaAgg(
   * `expr("ewma(x, 60.0) OVER (PARTITION BY k ORDER BY t)")`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.ewmaFn)
+    ext.injectOptimizerRule(_ => DeriveYearPruning)
+  }
 }
 
 object GraftExtensions {

@@ -13,6 +13,7 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[2]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

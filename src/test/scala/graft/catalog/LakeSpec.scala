@@ -3,6 +3,7 @@ package graft.catalog
 import java.nio.file.Files
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class LakeSpec extends SparkSpec {
@@ -87,6 +88,30 @@ class LakeSpec extends SparkSpec {
     val out = lake.table("prices").collect()
     assert(out.length == 1)
     assert(out.head.getAs[Double]("v") == 2.0) // later row in batch order
+  }
+
+  test("date-range filters derive year partition pruning via the optimizer rule") {
+    val lake = newLake()
+    val dmeta = TableMeta("pt", StructType(Seq(
+      StructField("ticker", StringType), StructField("date", DateType),
+      StructField("year", IntegerType), StructField("v", DoubleType))),
+      Seq("year"), Seq("ticker", "date"))
+    lake.create(dmeta, "replace")
+    val rows = for (y <- 2022 to 2024; m <- Seq(1, 6)) yield
+      ("AAPL", java.sql.Date.valueOf(f"$y-$m%02d-15"), y, y + m / 100.0)
+    lake.append("pt", rows.toDF("ticker", "date", "year", "v"))
+
+    val q = lake.table("pt").filter(
+      col("date").between("2023-01-01", "2023-12-31"))
+    assert(q.count() == 2) // correctness unchanged
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    // the rule must have derived year bounds that reached partition pruning
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "year")),
+      scan.partitionFilters.mkString(", "))
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).nonEmpty)
   }
 
   test("declared schema round-trips through the catalog") {

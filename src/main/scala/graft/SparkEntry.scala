@@ -246,10 +246,12 @@ object SparkEntry {
       val det2 = n * (col("s00") * col("b2") - col("b1") * col("s01")) -
         col("sx0") * (col("sx0") * col("b2") - col("b1") * col("sx1")) +
         col("b0") * (col("sx0") * col("s01") - col("s00") * col("sx1"))
+      // try_divide: an exactly singular window (det=0) must yield null
+      // like DuckDB's x/0, not an ANSI runtime error
       sums.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        when(col("cnt") === 252, round(det0 / det / 100.0, 6)).as("alpha"),
-        when(col("cnt") === 252, round(det1 / det / 100.0, 6)).as("beta_x"),
-        when(col("cnt") === 252, round(det2 / det / 100.0, 6)).as("beta_z"))
+        when(col("cnt") === 252, round(try_divide(det0, det) / 100.0, 6)).as("alpha"),
+        when(col("cnt") === 252, round(try_divide(det1, det) / 100.0, 6)).as("beta_x"),
+        when(col("cnt") === 252, round(try_divide(det2, det) / 100.0, 6)).as("beta_z"))
     }),
 
     // A6 global (whole-frame) z-score, exact integer-cents moments.

@@ -37,12 +37,25 @@ object Bucketed {
       .option("path", stagingPath)
       .saveAsTable(staging) // materializes df — the old layout is still intact
 
+    // swap: move the old layout ASIDE (not delete) so a failure mid-swap
+    // can restore it; only after the new layout is in place do the old
+    // files go away
+    val p = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(path + "__old")
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    Fs.deleteRecursively(java.nio.file.Paths.get(path))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(stagingPath), java.nio.file.Paths.get(path))
-    spark.sql(s"CREATE TABLE $table LIKE $staging LOCATION '$path'")
+    Fs.deleteRecursively(old)
+    val hadOld = java.nio.file.Files.exists(p)
+    if (hadOld) java.nio.file.Files.move(p, old)
+    try {
+      java.nio.file.Files.move(java.nio.file.Paths.get(stagingPath), p)
+      spark.sql(s"CREATE TABLE $table LIKE $staging LOCATION '$path'")
+    } catch {
+      case e: Throwable =>
+        if (hadOld && !java.nio.file.Files.exists(p)) java.nio.file.Files.move(old, p)
+        throw e
+    }
     spark.sql(s"DROP TABLE $staging")
+    Fs.deleteRecursively(old)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -140,9 +140,21 @@ class Lake(spark: SparkSession, root: String) {
     spark.read.schema(onDisk).parquet(dataDir(name))
   }
 
-  /** S3: append; stamps ingest order and records dirty partitions. */
+  /** S3: append; stamps ingest order and records dirty partitions. For
+    * date-derived year partitions, the `year == year(date)` invariant the
+    * [[graft.expr.catalyst.DeriveYearPruning]] rule relies on is enforced
+    * here — a violating row would silently vanish from date-range queries
+    * later, so fail the append instead.
+    */
   def append(name: String, df: DataFrame): Unit = {
     val m = meta(name)
+    if (m.partitionKeys.contains("year") &&
+        m.schema.fields.exists(f => f.name == "date" &&
+          f.dataType == org.apache.spark.sql.types.DateType)) {
+      val bad = df.filter(col("year") =!= year(col("date"))).limit(1).count()
+      require(bad == 0L,
+        s"append to $name violates year == year(date); partition pruning would drop these rows")
+    }
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn(SeqCol, lit(nextSeq(name)))
       .withColumn(SubCol, monotonically_increasing_id())

@@ -90,15 +90,24 @@ object Windows {
       chunkRows: Int,
       outCol: String)(agg: WindowSpec => Column): org.apache.spark.sql.DataFrame = {
     require(chunkRows >= n, "chunkRows must be at least the window size")
-    val base = df.withColumn("_rn", row_number().over(series(partCols, orderCols)))
-    val own = base
-      .withColumn("_c", ((col("_rn") - 1) / chunkRows).cast("long"))
-      .withColumn("_keep", lit(true))
-    val overlap = base
-      .filter((col("_rn") - 1) % chunkRows >= chunkRows - (n - 1))
-      .withColumn("_c", ((col("_rn") - 1) / chunkRows).cast("long") + 1)
-      .withColumn("_keep", lit(false))
-    val chunked = own.unionByName(overlap)
+    require(!Seq("_rn", "_c", "_keep", outCol).exists(df.columns.contains),
+      "input must not already contain _rn/_c/_keep or the output column")
+    // single numbering pass (the serial per-key bottleneck this function
+    // mitigates — do not run it twice): each row explodes into its own
+    // chunk plus, for the trailing n-1 rows of a chunk, a replica in the
+    // next chunk
+    val c = ((col("_rn") - 1) / chunkRows).cast("long")
+    val isOverlap = (col("_rn") - 1) % chunkRows >= chunkRows - (n - 1)
+    val assignments = when(isOverlap,
+        array(struct(c.as("_c"), lit(true).as("_keep")),
+          struct((c + 1).as("_c"), lit(false).as("_keep"))))
+      .otherwise(array(struct(c.as("_c"), lit(true).as("_keep"))))
+    val chunked = df
+      .withColumn("_rn", row_number().over(series(partCols, orderCols)))
+      .withColumn("_a", explode(assignments))
+      .withColumn("_c", col("_a._c"))
+      .withColumn("_keep", col("_a._keep"))
+      .drop("_a")
     val wChunk = Window
       .partitionBy((partCols :+ "_c").map(col): _*)
       .orderBy(orderCols.map(col): _*)

@@ -35,7 +35,12 @@ object DeriveYearPruning extends Rule[LogicalPlan] with PredicateHelper {
     LocalDate.ofEpochDay(days.asInstanceOf[Int].toLong).getYear
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
+    // Leaf child only: above a join/union the output can contain an
+    // unrelated integer column that happens to be named like the tag's
+    // target, and a bound on it would silently drop rows. Pushdown lands
+    // date filters directly on the relation, which is where pruning
+    // matters anyway.
+    case f @ Filter(cond, child) if child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LeafNode] =>
       val tagged = child.output.collect {
         case d if d.metadata.contains(Tag) && d.dataType == DateType => d
       }

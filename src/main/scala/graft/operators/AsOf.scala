@@ -39,23 +39,39 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       "right value columns must not collide with left columns")
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+
+    // the right row travels as ONE struct, so (a) a null field in the
+    // latest observation is carried as that null (never replaced by an
+    // older non-null — ignoreNulls applies to the struct, which is
+    // non-null for every right row), and (b) one output row can never mix
+    // fields from different right rows
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-    val lPadded = valueCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
-    val r0 = right.select((keys.map(col) :+ col(rightTime).as("_t")) ++
-      valueCols.map(col): _*)
+      .withColumn("_vals",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(valueCols.map(col): _*).schema.fields)))
+    val r0 = right
+      // equi-join semantics: null keys never match, so null-key state rows
+      // contribute nothing
+      .filter(keyNotNull)
+      .select((keys.map(col) :+ col(rightTime).as("_t")) ++
+        Seq(struct(valueCols.map(col): _*).as("_vals")): _*)
       .withColumn("_side", lit(0))
     val rPadded = leftCols.filterNot(c => keys.contains(c))
       .foldLeft(r0)((d, c) => d.withColumn(c, lit(null)))
 
-    val unioned = lPadded.unionByName(rPadded.select(lPadded.columns.map(col).toIndexedSeq: _*))
+    val unioned = l.unionByName(rPadded.select(l.columns.map(col).toIndexedSeq: _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).select(leftCols.map(col) ++ valueCols.map(col): _*)
+    val carried = unioned
+      .withColumn("_vals",
+        // null-key left rows match nothing, as in an equi-join
+        when(keyNotNull, last(col("_vals"), ignoreNulls = true).over(w)))
+      .filter(col("_side") === 1)
+    valueCols.foldLeft(carried)((d, c) => d.withColumn(c, col(s"_vals.$c")))
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 }

@@ -178,23 +178,24 @@ object Dedup {
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
     require(bands * bitsPerBand <= 63, "code must fit a long")
-    // consumed 3x (band self-join left/right + both verification joins):
-    // cache so codes and norms are computed once, as minHashLsh does for
-    // its shingle set
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("code", Similarity.srpCode(col("vec"), dim, bands * bitsPerBand))
-      .withColumn("nrm", Similarity.l2Norm(col("vec")))
+    // cache only (id, code) — a few bytes per vector — for the band
+    // self-join; the verification joins re-read vectors from the source
+    // (a cached copy of every embedding would not fit at corpus scale)
+    val coded = df.select(col(idCol).as("id"),
+        Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"))
       .cache()
     val mask = (1L << bitsPerBand) - 1
-    val chunks = v.selectExpr("id",
+    val chunks = coded.selectExpr("id",
       s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", Similarity.l2Norm(col("vec")))
     cand
-      .join(v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
-      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
+      .join(vecs.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
       .select(col("a"), col("b"),
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

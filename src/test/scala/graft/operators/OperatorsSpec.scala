@@ -133,6 +133,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L).isEmpty) // u2 has no state at all -> null
   }
 
+  test("as-of join: null latest value stays null; null keys never match") {
+    val clicks = Seq((Option("u1"), 20L, 1L), (Option.empty[String], 5L, 2L))
+      .toDF("user", "t", "eid")
+    val state = Seq((Option("u1"), 5L, Option(100.0)), (Option("u1"), 10L, Option.empty[Double]),
+      (Option.empty[String], 3L, Option(7.0))).toDF("user", "st", "v")
+    val out = AsOf.join(clicks, state, Seq("user"), "t", "st", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    // the LATEST at-or-before row (st=10) has a null v: that null is the
+    // answer — an older non-null must not leak through
+    assert(out(1L).isEmpty)
+    // equi-join semantics: a null-key click matches nothing, even though a
+    // null-key state row exists
+    assert(out(2L).isEmpty)
+  }
+
   test("salted join equals the plain join on skewed data") {
     val hot = (1 to 500).map(i => (1L, i.toLong)) // one dominant key
     val tail = (1 to 50).map(i => ((i % 7 + 2).toLong, i.toLong))

@@ -511,6 +511,41 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Q4-shape: left-semi join (EXISTS) — orders with at least one
+    // returned lineitem, counted by priority.
+    "q4_semi_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("priority")
+    }),
+
+    // Anti-join (NOT EXISTS): customers who never placed an urgent order.
+    "q16_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Ranking-function suite: rank / dense_rank / ntile / lead over a
+    // per-segment value order with deterministic tie-breaks.
+    "w13_ranking_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead("c_custkey", 1).over(w).as("next_custkey"))
+    }),
+
     // Q10-shape: returned-item revenue per customer, top 20.
     "q10_returned_items" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1141,6 +1176,27 @@ object SparkEntry {
         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "w13_ranking_suite" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  lead(c_custkey) OVER w AS next_custkey
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue,
         |  count(*) AS n_lines

@@ -95,4 +95,65 @@ object PortfolioOpt {
       }
     }
   }
+
+  /** Per-date *solution certificate* for [[optimalWeights]] output — the
+    * cross-engine-checkable half of the QP (the solve itself is not
+    * SQL-expressible, its KKT/feasibility certificate is):
+    *
+    *   - `sum_w`        Σw rounded to 6 d.p. (simplex ⇒ exactly 1.0)
+    *   - `min_w_nonneg` w ≥ 0 (simplex projection is exact)
+    *   - `risk_resid`   |√(wₐᵀΣwₐ)·√252 − reported| rounded to 6 d.p.,
+    *                    with Σ = B·F·Bᵀ + D² recomputed HERE from the raw
+    *                    long-form inputs via pure join/sum algebra
+    *                    (never touching [[Qp]] / Breeze): the quadratic
+    *                    form factorizes as (Bᵀwₐ)ᵀF(Bᵀwₐ) + Σᵢ wₐᵢ²Dᵢ²
+    *   - `n_assets`, `tickers` — the per-date universe, independently
+    *     derivable by the oracle from the source tables
+    *
+    * A DuckDB oracle reproduces `date/n_assets/tickers` from the inputs
+    * and pins the constants (1.0, true, 0.0); a hash match certifies the
+    * solver emitted feasible simplex weights whose reported risk is
+    * consistent with an independent Σ assembly on every date.
+    * Reference semantics: `pipelines/utils/portfolio.py:65-121`.
+    */
+  def certificate(
+      weights: DataFrame,
+      loadings: DataFrame,
+      factorCov: DataFrame,
+      idioVol: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    val wa = weights
+      .join(benchmark.select(col("date"), col("ticker"), col("weight").as("bw")),
+        Seq("date", "ticker"), "left")
+      .select(col("date"), col("ticker"), col("weight"), col("active_risk"),
+        (col("weight") - coalesce(col("bw"), lit(0.0))).as("wa"))
+    // x_f = Bᵀwₐ per (date, factor); absent loadings are zeros in B, so the
+    // inner join dropping them reproduces Covariance.loadingsMatrix exactly
+    val xf = wa.join(loadings, Seq("date", "ticker"))
+      .groupBy("date", "factor")
+      .agg(sum(col("wa") * col("loading")).as("x"))
+    val q1 = factorCov
+      .join(xf.select(col("date"), col("factor").as("factor_1"), col("x").as("x1")),
+        Seq("date", "factor_1"))
+      .join(xf.select(col("date"), col("factor").as("factor_2"), col("x").as("x2")),
+        Seq("date", "factor_2"))
+      .groupBy("date").agg(sum(col("x1") * col("covariance") * col("x2")).as("q1"))
+    val q2 = wa.join(idioVol, Seq("date", "ticker"))
+      .groupBy("date")
+      .agg(sum(col("wa") * col("wa") * col("idio_vol") * col("idio_vol")).as("q2"))
+    wa.groupBy("date").agg(
+        count(lit(1)).as("n_assets"),
+        concat_ws(",", sort_array(collect_list(col("ticker")))).as("tickers"),
+        sum(col("weight")).as("sum_w_raw"),
+        min(col("weight")).as("min_w"),
+        max(col("active_risk")).as("risk_reported"))
+      .join(q1, Seq("date"), "left")
+      .join(q2, Seq("date"), "left")
+      .select(col("date"), col("n_assets"), col("tickers"),
+        round(col("sum_w_raw"), 6).as("sum_w"),
+        (col("min_w") >= 0.0).as("min_w_nonneg"),
+        round(abs(
+          sqrt(coalesce(col("q1"), lit(0.0)) + coalesce(col("q2"), lit(0.0)))
+            * math.sqrt(252.0) - col("risk_reported")), 6).as("risk_resid"))
+  }
 }

@@ -97,6 +97,13 @@ object Qp {
 
   /** L6: the reference's ≤5-iteration calibration loop targeting 5%
     * active risk ± 0.005 (reference `portfolio.py:90-121`).
+    *
+    * Degenerate dates guard: when every candidate portfolio has (near-)zero
+    * active risk — e.g. a single-asset universe, where the only feasible w
+    * IS the benchmark — the 1/(2λ) calibration fit degenerates to a
+    * non-finite or non-positive next λ. The loop then stops and keeps the
+    * current (feasible, optimal-for-current-λ) solution instead of
+    * propagating NaN weights downstream.
     */
   def solveCalibrated(
       alphas: DenseVector[Double],
@@ -112,11 +119,15 @@ object Qp {
     var iterations = 1
     var done = false
     while (!done && math.abs(risk - target) > tol) {
-      lambda = if (lambda.isNaN) 100.0 else predictLambda(data.reverse, target)
-      w = solve(alphas, sigma, lambda)
-      risk = activeRisk(w - benchmark, sigma)
-      data = (lambda, risk) :: data
-      if (iterations >= maxIterations) done = true else iterations += 1
+      val next = if (lambda.isNaN) 100.0 else predictLambda(data.reverse, target)
+      if (!java.lang.Double.isFinite(next) || next <= 0.0) done = true
+      else {
+        lambda = next
+        w = solve(alphas, sigma, lambda)
+        risk = activeRisk(w - benchmark, sigma)
+        data = (lambda, risk) :: data
+        if (iterations >= maxIterations) done = true else iterations += 1
+      }
     }
     Calibrated(w, lambda, risk)
   }

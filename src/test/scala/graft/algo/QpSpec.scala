@@ -81,6 +81,44 @@ class QpSpec extends SparkSpec {
     assert(math.abs(sigma(0, 1)) < 1e-12)
   }
 
+  test("degenerate single-asset date: calibration stops with the feasible weight") {
+    // active risk is 0 for every candidate (w = bench is forced), so the
+    // lambda fit degenerates; the guard must keep w = [1.0], never NaN
+    val res = Qp.solveCalibrated(
+      DenseVector(0.02), DenseMatrix((0.01)), DenseVector(1.0))
+    assert(res.weights(0) == 1.0)
+    assert(!res.weights(0).isNaN && !res.activeRisk.isNaN)
+  }
+
+  test("certificate: feasibility constants and zero risk residual per date") {
+    val dates = Seq("2024-01-02", "2024-01-03").map(java.sql.Date.valueOf)
+    val tickers = Seq("A", "B", "C")
+    val alphas = for (d <- dates; (t, i) <- tickers.zipWithIndex)
+      yield (d, t, 0.01 * (i + 1))
+    val loadings = for (d <- dates; t <- tickers; f <- Seq("F1", "F2"))
+      yield (d, t, f, if (f == "F1") 1.0 else 0.5)
+    val fcov = for (d <- dates; f1 <- Seq("F1", "F2"); f2 <- Seq("F1", "F2"))
+      yield (d, f1, f2, if (f1 == f2) 0.04 else 0.01)
+    val ivol = for (d <- dates; t <- tickers) yield (d, t, 0.1)
+    val bench = for (d <- dates; t <- tickers) yield (d, t, 1.0 / 3)
+    val (aDf, lDf, fDf, iDf, bDf) = (
+      alphas.toDF("date", "ticker", "alpha"),
+      loadings.toDF("date", "ticker", "factor", "loading"),
+      fcov.toDF("date", "factor_1", "factor_2", "covariance"),
+      ivol.toDF("date", "ticker", "idio_vol"),
+      bench.toDF("date", "ticker", "weight"))
+    val w = PortfolioOpt.optimalWeights(aDf, lDf, fDf, iDf, bDf)
+    val cert = PortfolioOpt.certificate(w, lDf, fDf, iDf, bDf).collect()
+    assert(cert.length == dates.length)
+    cert.foreach { r =>
+      assert(r.getAs[Long]("n_assets") == 3)
+      assert(r.getAs[String]("tickers") == "A,B,C")
+      assert(r.getAs[Double]("sum_w") == 1.0)
+      assert(r.getAs[Boolean]("min_w_nonneg"))
+      assert(r.getAs[Double]("risk_resid") == 0.0)
+    }
+  }
+
   test("PortfolioOpt fan-out: per-date weights sum to 1, long-only") {
     val dates = Seq("2024-01-02", "2024-01-03").map(java.sql.Date.valueOf)
     val tickers = Seq("A", "B", "C")

@@ -122,11 +122,16 @@ object PortfolioOpt {
       factorCov: DataFrame,
       idioVol: DataFrame,
       benchmark: DataFrame): DataFrame = {
+    // two consumers below (factor exposure, per-date rollup) — without
+    // the persist each would re-run the whole upstream QP fan-out
+    // (an eager count() barrier was measured slower: the extra job costs
+    // more than the consumers' partial race-compute saves)
     val wa = weights
       .join(benchmark.select(col("date"), col("ticker"), col("weight").as("bw")),
         Seq("date", "ticker"), "left")
       .select(col("date"), col("ticker"), col("weight"), col("active_risk"),
         (col("weight") - coalesce(col("bw"), lit(0.0))).as("wa"))
+      .persist()
     // x_f = Bᵀwₐ per (date, factor); absent loadings are zeros in B, so the
     // inner join dropping them reproduces Covariance.loadingsMatrix exactly
     val xf = wa.join(loadings, Seq("date", "ticker"))
@@ -138,17 +143,26 @@ object PortfolioOpt {
       .join(xf.select(col("date"), col("factor").as("factor_2"), col("x").as("x2")),
         Seq("date", "factor_2"))
       .groupBy("date").agg(sum(col("x1") * col("covariance") * col("x2")).as("q1"))
-    val q2 = wa.join(idioVol, Seq("date", "ticker"))
-      .groupBy("date")
-      .agg(sum(col("wa") * col("wa") * col("idio_vol") * col("idio_vol")).as("q2"))
-    wa.groupBy("date").agg(
+    // the idio quadratic Σ wₐᵢ²Dᵢ² folds into the same per-date rollup as
+    // the feasibility stats (left join: a ticker without idio vol is a
+    // zero diagonal entry, matching the loadings-matrix assembly; idioVol
+    // must be unique per (date, ticker) — the QP input contract — or the
+    // join would inflate n_assets), so wa has two consumers instead of
+    // three; q1 — a few rows per date — is broadcast into the final join
+    // rather than shuffled
+    val rollup = wa
+      .join(idioVol.select(col("date"), col("ticker"), col("idio_vol")),
+        Seq("date", "ticker"), "left")
+      .groupBy("date").agg(
         count(lit(1)).as("n_assets"),
         concat_ws(",", sort_array(collect_list(col("ticker")))).as("tickers"),
         sum(col("weight")).as("sum_w_raw"),
         min(col("weight")).as("min_w"),
-        max(col("active_risk")).as("risk_reported"))
-      .join(q1, Seq("date"), "left")
-      .join(q2, Seq("date"), "left")
+        max(col("active_risk")).as("risk_reported"),
+        sum(col("wa") * col("wa")
+          * coalesce(col("idio_vol"), lit(0.0)) * coalesce(col("idio_vol"), lit(0.0))).as("q2"))
+    rollup
+      .join(broadcast(q1), Seq("date"), "left")
       .select(col("date"), col("n_assets"), col("tickers"),
         round(col("sum_w_raw"), 6).as("sum_w"),
         (col("min_w") >= 0.0).as("min_w_nonneg"),

@@ -145,24 +145,65 @@ class Lake(spark: SparkSession, root: String) {
     * [[graft.expr.catalyst.DeriveYearPruning]] rule relies on is enforced
     * here — a violating row would silently vanish from date-range queries
     * later, so fail the append instead.
+    *
+    * ONE Spark job per append: the input is written once to a staging
+    * directory with `observe()` metrics riding the write — the invariant
+    * violation count and the distinct partition values (bounded: one
+    * string per touched partition) — then the files are promoted into the
+    * data directory only if the invariant holds. The earlier form ran the
+    * input three times (guard count, write, dirty-partition distinct),
+    * which triples an expensive upstream frame; staging also means a
+    * violating or crashed append never leaves partial files in the table.
     */
   def append(name: String, df: DataFrame): Unit = {
     val m = meta(name)
-    if (m.partitionKeys.contains("year") &&
-        m.schema.fields.exists(f => f.name == "date" &&
-          f.dataType == org.apache.spark.sql.types.DateType)) {
-      val bad = df.filter(col("year") =!= year(col("date"))).limit(1).count()
-      require(bad == 0L,
-        s"append to $name violates year == year(date); partition pruning would drop these rows")
-    }
+    val checkYear = m.partitionKeys.contains("year") &&
+      m.schema.fields.exists(f => f.name == "date" &&
+        f.dataType == org.apache.spark.sql.types.DateType)
     val aligned = df.select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
       .withColumn(SeqCol, lit(nextSeq(name)))
       .withColumn(SubCol, monotonically_increasing_id())
-    aligned.write.mode(SaveMode.Append).partitionBy(m.partitionKeys: _*)
-      .parquet(dataDir(name))
+    val obs = org.apache.spark.sql.Observation()
+    // null year/date rows are not violations (matches the former
+    // `year =!= year(date)` filter, where a null comparison drops the row)
+    val badMetric =
+      if (checkYear)
+        sum(when(col("year") =!= year(col("date")), 1L).otherwise(0L)).as("bad")
+      else sum(lit(0L)).as("bad")
+    val partsMetric =
+      collect_set(concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*))
+        .as("parts")
+    val staging = s"${dir(name)}/_append_tmp"
+    deleteRecursively(Paths.get(staging))
+    aligned.observe(obs, badMetric, partsMetric)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(m.partitionKeys: _*).parquet(staging)
+    val got = obs.get
+    val bad = Option(got("bad")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (bad > 0L) {
+      deleteRecursively(Paths.get(staging))
+      throw new IllegalArgumentException(
+        s"requirement failed: append to $name violates year == year(date); " +
+          "partition pruning would drop these rows")
+    }
+    // promote: move every staged part file under the same relative path
+    // (part file names are globally unique, so this is a pure add)
+    val stagingPath = Paths.get(staging)
+    val stream = Files.walk(stagingPath)
+    try {
+      stream.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .forEach { p =>
+          val target = Paths.get(dataDir(name)).resolve(stagingPath.relativize(p))
+          Files.createDirectories(target.getParent)
+          Files.move(p, target)
+        }
+    } finally stream.close()
+    deleteRecursively(stagingPath)
     if (m.partitionKeys.nonEmpty) {
-      val dirty = df.select(m.partitionKeys.map(col): _*).distinct()
-        .collect().map(_.mkString("/")).toSet
+      val dirty = Option(got("parts"))
+        .map(_.asInstanceOf[scala.collection.Seq[String]].toSet)
+        .getOrElse(Set.empty[String])
       val p = Paths.get(s"${dir(name)}/_pending")
       val prev = if (Files.exists(p)) Files.readString(p).split("\n").toSet else Set.empty[String]
       Files.writeString(p, (prev ++ dirty).filter(_.nonEmpty).mkString("\n"))

@@ -88,19 +88,24 @@ case class EwmaAgg(
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.ewmaFn)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DeriveYearPruning)
   }
 }
 
 object GraftExtensions {
-  private[catalyst] val ewmaFn = (
-    FunctionIdentifier("ewma"),
-    new ExpressionInfo(classOf[EwmaAgg].getName, "ewma"),
-    (children: Seq[Expression]) => EwmaAgg(children(0), children(1)))
+  private def fn(name: String, cls: Class[_], make: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), make)
+
+  private[catalyst] val functions = Seq(
+    fn("ewma", classOf[EwmaAgg], ch => EwmaAgg(ch(0), ch(1))),
+    fn("simhash_agg", classOf[SimHashAgg], ch => SimHashAgg(ch(0))),
+    fn("minhash_agg", classOf[MinHashAgg], ch => MinHashAgg(ch(0), ch(1))),
+    fn("graft_dot", classOf[DotProduct], ch => DotProduct(ch(0), ch(1))))
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(ewmaFn._1, ewmaFn._2, ewmaFn._3)
+    functions.foreach { case (id, info, make) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, make)
+    }
 }

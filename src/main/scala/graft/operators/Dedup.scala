@@ -85,18 +85,19 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** MinHash signature columns mh0..mh{n-1}: per-doc min over shingles of
-    * the universal-hash family applied to one shared base hash. One md5
-    * per shingle, one shuffle (groupBy id).
+  /** MinHash signature as one `array<long>` column `sig`: per-doc minima
+    * over shingles of the universal-hash family applied to one shared base
+    * hash. One md5 per shingle, one shuffle (groupBy id), ONE aggregate —
+    * [[graft.expr.catalyst.MinHashAgg]] packs all `numHashes` minima into
+    * a single mergeable buffer, so partial aggregation still combines
+    * map-side and the codegen surface stays constant in `numHashes`
+    * (64 separate `min` aggregate columns made first-run compile cost
+    * dominate the driver bench, BENCH_r02).
     */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    def mh(i: Int): Column = {
-      val (a, b) = hashParams(i)
-      min((col("base") * a + b) % P).as(s"mh$i")
-    }
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("base", baseHash(col("s")))
-      .groupBy("id").agg(mh(0), (1 until numHashes).map(mh): _*)
-  }
+      .groupBy("id")
+      .agg(call_function("minhash_agg", col("base"), lit(numHashes)).as("sig"))
 
   /** MinHash + banded LSH near-dup pairs, exact-verified.
     *
@@ -108,31 +109,34 @@ object Dedup {
     * band/row parameters control.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      salts: Int = defaultSalts): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // signatures read the raw shingle stream (min is multiset-invariant,
-    // so the distinct's extra shuffle is skipped); the distinct set is
-    // still needed 3x below for exact verification, hence cached
+    // one shingle derivation feeds everything: the distinct set is cached
+    // and consumed by the signature aggregation AND the 3 verification
+    // reads below (min over the distinct set = min over the multiset, and
+    // sharing the cache means the text is split/exploded/hashed once per
+    // run instead of twice — the r2 driver bench paid the double
+    // derivation on its cold first run)
     val sh = shingles(df, idCol, textCol, k).cache()
-    val sig = minHashSignatures(shinglesRaw(df, idCol, textCol, k), numHashes)
+    val sig = minHashSignatures(sh, numHashes)
     val bandKeys = sig.select(col("id") +:
       (0 until bands).map { b =>
-        md5(concat_ws(",", (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
+        md5(concat_ws(",",
+          transform(slice(col("sig"), b * r + 1, r), _.cast("string"))))
           .as(s"band$b")
       }: _*)
     val long = bandKeys.selectExpr("id",
       s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
-    val cand = long.as("x").join(long.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    // exact verification restricted to candidates: count shared shingles
+    val cand = bandedPairs(long, Seq("band", "bkey"), salts)
+    // exact verification restricted to candidates: count shared shingles.
+    // The second join keys on (b, s) — shingle equality is part of the
+    // equi-join, not a post-filter, so the intersection never materializes
+    // the per-pair |sh_a|x|sh_b| cross product
     val interCnt = cand
       .join(sh.withColumnRenamed("id", "a"), "a")
-      .join(sh.withColumnRenamed("id", "b").withColumnRenamed("s", "s2"),
-        Seq("b"), "inner")
-      .filter(col("s") === col("s2"))
+      .join(sh.withColumnRenamed("id", "b"), Seq("b", "s"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     jaccardOf(interCnt, sizes, threshold)
@@ -140,29 +144,23 @@ object Dedup {
 
   /** 60-bit SimHash over the document's distinct words.
     *
-    * Bit counters are SWAR-packed: each aggregate sums `(wh >> t) & M`
-    * where M = 0x0000000100000001 keeps two 32-bit lanes per long, so 32
-    * sums (plus a count) replace 60 per-bit sums over the word stream —
-    * the same signature (`bit_j = [2·ones_j > n]` ⇔ `Σ(±1) > 0`) at ~2×
-    * less aggregation work. 32-bit lanes hold exact counts up to ~4.3e9
-    * distinct words per document, so no realistic input can overflow a
-    * lane into its neighbor.
+    * The whole signature is ONE native aggregate
+    * ([[graft.expr.catalyst.SimHashAgg]]: 60 bit counters + count in a
+    * single mergeable buffer) — the earlier pure-SQL forms (60 per-bit
+    * sums, then 32 SWAR-packed sums plus a 60-term signature select)
+    * computed the same bits but their aggregate codegen surface made
+    * first-run compile time dominate the driver bench (BENCH_r02:
+    * d4 24.9s). Map-side partial aggregation still applies, so the
+    * groupBy shuffle carries one 61-long buffer per doc, not the word
+    * stream.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .distinct()
       .withColumn("wh", hash60("w", col("w")))
-    val M = 0x0000000100000001L
-    val packed = words.groupBy("id").agg(
-      count(lit(1)).as("n"),
-      (0 until 32).map(t => sum(expr(s"(wh >> $t) & $M")).as(s"s$t")): _*)
-    def ones(j: Int) =
-      shiftright(col(s"s${j % 32}"), 32 * (j / 32)).bitwiseAND(lit(0xFFFFFFFFL))
-    packed.select(col("id"),
-      (0 until 60).map(j =>
-        when(ones(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
+    words.groupBy("id")
+      .agg(call_function("simhash_agg", col("wh")).as("simhash"))
   }
 
   /** Embedding-cosine near-dup pairs: SRP-LSH banded candidate generation
@@ -176,23 +174,27 @@ object Dedup {
     * (≥0.9) where narrow bands keep recall near 1.
     */
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bands: Int, bitsPerBand: Int, threshold: Double): DataFrame = {
+      bands: Int, bitsPerBand: Int, threshold: Double,
+      salts: Int = defaultSalts): DataFrame = {
     require(bands * bitsPerBand <= 63, "code must fit a long")
-    // cache only (id, code) — a few bytes per vector — for the band
-    // self-join; the verification joins re-read vectors from the source
-    // (a cached copy of every embedding would not fit at corpus scale)
+    // cache only (id, code, nrm) — a few bytes per vector — for the band
+    // self-join and the norm lookups; the verification joins re-read full
+    // vectors from the source (a cached copy of every embedding would not
+    // fit at corpus scale)
     val coded = df.select(col(idCol).as("id"),
-        Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"))
+        Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"),
+        Similarity.l2Norm(col(vecCol)).as("nrm"))
       .cache()
     val mask = (1L << bitsPerBand) - 1
     val chunks = coded.selectExpr("id",
       s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.band") === col("y.band") && col("x.ckey") === col("y.ckey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val cand = bandedPairs(chunks, Seq("band", "ckey"), salts)
+    // zero-norm vectors have undefined cosine (0/0 = NaN, which Spark
+    // orders ABOVE any threshold) — they can never be near-dups, so they
+    // are excluded before the division
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", Similarity.l2Norm(col("vec")))
+      .join(coded.select("id", "nrm"), "id")
+      .filter(col("nrm") > 0)
     cand
       .join(vecs.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
       .join(vecs.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
@@ -204,19 +206,41 @@ object Dedup {
   /** SimHash near-dup pairs: band the 60 bits into 4 chunks of 15; pairs
     * sharing any chunk are candidates; verify Hamming distance <= maxDist.
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      salts: Int = defaultSalts): DataFrame = {
     val sig = simHash(df, idCol, textCol)
     val chunks = sig.selectExpr("id", "simhash",
       s"stack(4, ${(0 until 4).map(c => s"$c, (simhash >> ${15 * c}) & 32767").mkString(", ")}) as (chunk, ckey)")
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("x.simhash").as("ha"),
-        col("y.id").as("b"), col("y.simhash").as("hb"))
-      .distinct()
+    val x = chunks.select(col("id").as("a"), col("simhash").as("ha"),
+      col("chunk"), col("ckey"))
+    val y = chunks.select(col("id").as("b"), col("simhash").as("hb"),
+      col("chunk"), col("ckey"))
+    val cand = Skew.saltedJoin(x, y, Seq("chunk", "ckey"), salts)
+      .filter(col("a") < col("b"))
+      .select("a", "ha", "b", "hb").distinct()
     cand
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
+  }
+
+  /** Default salt fan-out for the LSH band self-joins. */
+  val defaultSalts: Int = 8
+
+  /** Candidate (a, b) id pairs (a < b) sharing any blocking key — the LSH
+    * band self-join, routed through [[Skew.saltedJoin]] so one hot band
+    * key (e.g. a degenerate corpus where thousands of near-empty docs
+    * share a band) spreads its quadratic candidate blowup across `salts`
+    * tasks instead of serializing one. The salted join emits exactly the
+    * plain join's pair set: each left row lands in one deterministic salt
+    * bucket and the right side is replicated across all of them.
+    */
+  private def bandedPairs(keyed: DataFrame, keyCols: Seq[String],
+      salts: Int): DataFrame = {
+    val x = keyed.withColumnRenamed("id", "a")
+    val y = keyed.withColumnRenamed("id", "b")
+    Skew.saltedJoin(x, y, keyCols, salts)
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
   }
 }

@@ -19,13 +19,18 @@ object Similarity {
   /** Elementwise double cast. */
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Left-fold dot product of two equal-length array columns. */
+  /** Dot product of two equal-length array columns —
+    * [[graft.expr.catalyst.DotProduct]], a whole-stage-codegen'd loop with
+    * the same left-to-right summation order (bit-identical results) as the
+    * `aggregate(zip_with(...))` higher-order form it replaces, which was
+    * `CodegenFallback` (interpreted lambdas + an intermediate array per
+    * row) in every similarity/verification hot loop.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", asDouble(a), asDouble(b))
 
   /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, v) => acc + v))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * Ranks on a 6-d.p.-rounded cosine with id tie-break (deterministic
@@ -34,8 +39,13 @@ object Similarity {
     * @param queries (qid, qv) frame; @param corpus (cid, cv) frame.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // zero-norm vectors: cosine is 0/0 = NaN, and NaN orders above every
+    // real cosine in a desc sort — drop them from both sides up front
+    // (same guard in lshTopK/ivfTopK and Dedup.embCosinePairs)
     val q = queries.toDF("qid", "qv").withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
     val c = corpus.toDF("cid", "cv").withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -86,8 +96,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val cen = centroids.toDF("cenid", "cenv").withColumn("cenn", l2Norm(col("cenv")))
+      .filter(col("cenn") > 0)
     def rankedCentroids(vecs: DataFrame, rankCol: String): DataFrame = {
-      val v = vecs.withColumn("n", l2Norm(col("vec")))
+      val v = vecs.withColumn("n", l2Norm(col("vec"))).filter(col("n") > 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("cos").desc, col("cenid").asc)
       v.crossJoin(broadcast(cen))
@@ -124,9 +135,11 @@ object Similarity {
     val q = queries.toDF("qid", "qv")
       .withColumn("code", srpCode(col("qv"), dim, numPlanes))
       .withColumn("qn", l2Norm(col("qv")))
+      .filter(col("qn") > 0)
     val c = corpus.toDF("cid", "cv")
       .withColumn("code", srpCode(col("cv"), dim, numPlanes))
       .withColumn("cn", l2Norm(col("cv")))
+      .filter(col("cn") > 0)
     val scored = c.join(q, Seq("code"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

@@ -165,6 +165,43 @@ class OperatorsSpec extends SparkSpec {
     assert(saltedLeft.filter(col("name").isNull).count() == 50)
   }
 
+  test("hot LSH band: salting preserves the pair set and spreads the key") {
+    // adversarial corpus: 40 identical docs share EVERY band key, so one
+    // band bucket holds the whole corpus — the case where an unguarded
+    // band self-join serializes the quadratic candidate blowup in one task
+    val hotText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ((0L until 40L).map(i => (i, hotText)) :+
+      (99L, "unrelated filler words that never collide with anything else"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", 3, 64, 16, 0.9)
+    // the salted join must emit exactly the plain join's pair set: all
+    // C(40,2) identical pairs at jaccard 1.0, nothing touching doc 99
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 40L).combinations(2).map(c => (c(0), c(1))).toSet)
+    // the candidate generation is actually routed through the salt
+    assert(pairs.queryExecution.executedPlan.toString.contains("_salt"))
+    // and a single hot key's rows are spread across every salt bucket, so
+    // its join work is divisible across `salts` tasks at scale (AQE off
+    // for the probe: its small-output coalescing would legitimately merge
+    // these tiny test partitions back into one)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hotSide = (0 until 400).map(i => (i.toLong, "hot")).toDF("id", "bkey")
+      val spread = Skew.saltedJoin(
+        hotSide.withColumnRenamed("id", "a"),
+        hotSide.withColumnRenamed("id", "b"), Seq("bkey"), 8)
+      val perPartition = spread.rdd
+        .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+      assert(perPartition.length > 1, "hot key serialized into one partition")
+      assert(perPartition.max < spread.count(),
+        "one partition still holds every candidate pair")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // simhash + embedding-cosine candidate joins ride the same guard
+    assert(Dedup.simHashPairs(corpus, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString.contains("_salt"))
+  }
+
   test("multimodal decodeFeatures: normalized histogram, deterministic") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
     val feats = Multimodal.decodeFeatures(assets).collect()

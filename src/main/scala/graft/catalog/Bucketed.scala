@@ -22,6 +22,13 @@ object Bucketed {
     * layout. Afterwards the staging dir moves into place and the final
     * table metadata is recreated via CREATE TABLE LIKE (which copies the
     * bucket spec).
+    *
+    * Crash recovery: if the process dies between the final DROP and
+    * CREATE, the data files are intact at `path` (or `path + "__old"`)
+    * but the `table` catalog entry is missing — re-running `write`, or a
+    * manual `CREATE TABLE table LIKE table__staging LOCATION path`,
+    * restores it. A swap failure that raises instead of crashing
+    * self-heals in the catch below.
     */
   def write(df: DataFrame, table: String, path: String, buckets: Int,
       keys: Seq[String]): Unit = {
@@ -52,6 +59,16 @@ object Bucketed {
     } catch {
       case e: Throwable =>
         if (hadOld && !java.nio.file.Files.exists(p)) java.nio.file.Files.move(old, p)
+        // the DROP above already removed $table's catalog entry; recreate
+        // it over whichever files are now at `path` so readers keep
+        // working even when this swap failed. The staging spec matches the
+        // old layout whenever callers use a stable bucket count (both
+        // layouts come from this function); a caller changing the count
+        // mid-failure should re-run write() to convergence.
+        try {
+          if (java.nio.file.Files.exists(p))
+            spark.sql(s"CREATE TABLE IF NOT EXISTS $table LIKE $staging LOCATION '$path'")
+        } catch { case _: Throwable => () }
         throw e
     }
     spark.sql(s"DROP TABLE $staging")

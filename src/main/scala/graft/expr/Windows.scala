@@ -90,8 +90,8 @@ object Windows {
       chunkRows: Int,
       outCol: String)(agg: WindowSpec => Column): org.apache.spark.sql.DataFrame = {
     require(chunkRows >= n, "chunkRows must be at least the window size")
-    require(!Seq("_rn", "_c", "_keep", outCol).exists(df.columns.contains),
-      "input must not already contain _rn/_c/_keep or the output column")
+    require(!Seq("_rn", "_a", "_c", "_keep", outCol).exists(df.columns.contains),
+      "input must not already contain _rn/_a/_c/_keep or the output column")
     // single numbering pass (the serial per-key bottleneck this function
     // mitigates — do not run it twice): each row explodes into its own
     // chunk plus, for the trailing n-1 rows of a chunk, a replica in the

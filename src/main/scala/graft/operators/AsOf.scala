@@ -39,6 +39,9 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       "right value columns must not collide with left columns")
+    require(!Seq("_t", "_side", "_vals").exists(c =>
+      leftCols.contains(c) || valueCols.contains(c)),
+      "input must not already contain the internal _t/_side/_vals columns")
     val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
 
     // the right row travels as ONE struct, so (a) a null field in the

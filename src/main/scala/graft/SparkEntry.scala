@@ -838,7 +838,8 @@ object SparkEntry {
        |         JOIN x xa ON xa.id = c.a JOIN x xb ON xb.id = c.b AND xb.i = xa.i
        |         GROUP BY 1, 2),
        |cos AS (SELECT a, b, round(dot/(na.n*nb.n), 6) AS cos
-       |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b)
+       |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b
+       |        WHERE na.n > 0 AND nb.n > 0)
        |SELECT a, b, cos FROM cos WHERE cos >= 0.4""".stripMargin
 
   /** SQL mirror of [[Similarity.lshTopK]] (8 planes, top-5): bucket-equal
@@ -857,7 +858,8 @@ object SparkEntry {
        |         JOIN x xq ON xq.vec_id = p.qid JOIN x xc ON xc.vec_id = p.cid AND xc.i = xq.i
        |         GROUP BY 1, 2),
        |cos AS (SELECT qid, cid, round(dot/(a.n*b.n), 6) AS cos
-       |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid),
+       |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid
+       |        WHERE a.n > 0 AND b.n > 0),
        |r AS (SELECT qid, cid, cos,
        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |      FROM cos)
@@ -875,7 +877,8 @@ object SparkEntry {
        |ad AS (SELECT t.vec_id AS vid, c.vec_id AS cenid, sum(t.v*c.v) AS dot
        |       FROM x t JOIN cx c ON c.i = t.i GROUP BY 1, 2),
        |acos AS (SELECT vid, cenid, round(dot/(a.n*b.n), 6) AS cos FROM ad
-       |         JOIN nrm a ON a.vec_id = vid JOIN nrm b ON b.vec_id = cenid),
+       |         JOIN nrm a ON a.vec_id = vid JOIN nrm b ON b.vec_id = cenid
+       |         WHERE a.n > 0 AND b.n > 0),
        |ranked AS (SELECT vid, cenid,
        |             row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cenid) AS rn
        |           FROM acos),
@@ -1312,7 +1315,8 @@ object SparkEntry {
         |         FROM x q JOIN x c ON q.i = c.i
         |         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
         |cos AS (SELECT qid, cid, round(dot/(a.n*b.n), 6) AS cos
-        |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid),
+        |        FROM dots JOIN nrm a ON a.vec_id = qid JOIN nrm b ON b.vec_id = cid
+        |        WHERE a.n > 0 AND b.n > 0),
         |r AS (SELECT qid, cid, cos,
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
         |      FROM cos)

@@ -145,13 +145,15 @@ object PortfolioOpt {
       .groupBy("date").agg(sum(col("x1") * col("covariance") * col("x2")).as("q1"))
     // the idio quadratic Σ wₐᵢ²Dᵢ² folds into the same per-date rollup as
     // the feasibility stats (left join: a ticker without idio vol is a
-    // zero diagonal entry, matching the loadings-matrix assembly; idioVol
-    // must be unique per (date, ticker) — the QP input contract — or the
-    // join would inflate n_assets), so wa has two consumers instead of
-    // three; q1 — a few rows per date — is broadcast into the final join
-    // rather than shuffled
+    // zero diagonal entry, matching the loadings-matrix assembly), so wa
+    // has two consumers instead of three; q1 — a few rows per date — is
+    // broadcast into the final join rather than shuffled. idioVol is
+    // max-aggregated first: unique per (date, ticker) is the QP input
+    // contract, but a violating input must not inflate the FEASIBILITY
+    // stats (n_assets/tickers/sum_w) through join duplication — with the
+    // pre-aggregation only risk_resid can flag such input, as it should
     val rollup = wa
-      .join(idioVol.select(col("date"), col("ticker"), col("idio_vol")),
+      .join(idioVol.groupBy("date", "ticker").agg(max(col("idio_vol")).as("idio_vol")),
         Seq("date", "ticker"), "left")
       .groupBy("date").agg(
         count(lit(1)).as("n_assets"),

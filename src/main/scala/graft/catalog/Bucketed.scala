@@ -28,7 +28,10 @@ object Bucketed {
     * but the `table` catalog entry is missing — re-running `write`, or a
     * manual `CREATE TABLE table LIKE table__staging LOCATION path`,
     * restores it. A swap failure that raises instead of crashing
-    * self-heals in the catch below.
+    * self-heals in the catch below when the new files reached `path`;
+    * when the old files were restored the table entry is intentionally
+    * left absent (their bucket spec may not match this call's), so
+    * recovery is the same re-run or manual CREATE.
     */
   def write(df: DataFrame, table: String, path: String, buckets: Int,
       keys: Seq[String]): Unit = {
@@ -58,17 +61,18 @@ object Bucketed {
       spark.sql(s"CREATE TABLE $table LIKE $staging LOCATION '$path'")
     } catch {
       case e: Throwable =>
-        if (hadOld && !java.nio.file.Files.exists(p)) java.nio.file.Files.move(old, p)
-        // the DROP above already removed $table's catalog entry; recreate
-        // it over whichever files are now at `path` so readers keep
-        // working even when this swap failed. The staging spec matches the
-        // old layout whenever callers use a stable bucket count (both
-        // layouts come from this function); a caller changing the count
-        // mid-failure should re-run write() to convergence.
-        try {
-          if (java.nio.file.Files.exists(p))
-            spark.sql(s"CREATE TABLE IF NOT EXISTS $table LIKE $staging LOCATION '$path'")
-        } catch { case _: Throwable => () }
+        val restoredOld = hadOld && !java.nio.file.Files.exists(p)
+        if (restoredOld) java.nio.file.Files.move(old, p)
+        // the DROP above already removed $table's catalog entry. Recreate
+        // it ONLY when the NEW files landed at `path` (the staging spec
+        // is exactly their spec); if the OLD files were restored, their
+        // bucket spec may differ from staging's, and a wrong spec over
+        // restored files would silently corrupt Exchange-less joins —
+        // fail loud (table absent) instead, recovery per the scaladoc.
+        if (!restoredOld && java.nio.file.Files.exists(p)) {
+          try spark.sql(s"CREATE TABLE IF NOT EXISTS $table LIKE $staging LOCATION '$path'")
+          catch { case _: Throwable => () }
+        }
         throw e
     }
     spark.sql(s"DROP TABLE $staging")

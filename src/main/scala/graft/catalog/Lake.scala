@@ -100,6 +100,18 @@ class Lake(spark: SparkSession, root: String) {
 
   private def dataDir(name: String) = s"${dir(name)}/data"
 
+  /** Canonical partition-value string for the `_pending` ledger and the
+    * optimize scope filter: null partition values are spelled the way
+    * Spark writes their directories (`__HIVE_DEFAULT_PARTITION__`), so a
+    * null-keyed partition is tracked, matched, and compacted like any
+    * other. A bare `concat_ws` would silently SKIP nulls — dropping the
+    * partition from the ledger entirely (single key) or truncating the
+    * path to the wrong arity (multi key).
+    */
+  private def partitionString(keys: Seq[String]) =
+    concat_ws("/", keys.map(k =>
+      coalesce(col(k).cast("string"), lit("__HIVE_DEFAULT_PARTITION__"))): _*)
+
   def meta(name: String): TableMeta = {
     // minimal parse: schema json is produced by us; extract fields
     val s = Files.readString(metaPath(name))
@@ -154,9 +166,18 @@ class Lake(spark: SparkSession, root: String) {
     * input three times (guard count, write, dirty-partition distinct),
     * which triples an expensive upstream frame; staging also means a
     * violating or crashed append never leaves partial files in the table.
+    *
+    * Crash model: part files are promoted only after a `_graft_promote`
+    * marker (holding the batch's dirty-partition strings) lands in
+    * staging, so the next append can tell a validated half-promoted batch
+    * (marker present → finish the move and merge the marker's partitions
+    * into `_pending`) from an unvalidated partial write (no marker →
+    * discard). Promotion is resumable because part file names are
+    * globally unique: files already moved are simply absent from staging.
     */
   def append(name: String, df: DataFrame): Unit = {
     val m = meta(name)
+    recoverStaging(name)
     val checkYear = m.partitionKeys.contains("year") &&
       m.schema.fields.exists(f => f.name == "date" &&
         f.dataType == org.apache.spark.sql.types.DateType)
@@ -170,9 +191,7 @@ class Lake(spark: SparkSession, root: String) {
       if (checkYear)
         sum(when(col("year") =!= year(col("date")), 1L).otherwise(0L)).as("bad")
       else sum(lit(0L)).as("bad")
-    val partsMetric =
-      collect_set(concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*))
-        .as("parts")
+    val partsMetric = collect_set(partitionString(m.partitionKeys)).as("parts")
     val staging = s"${dir(name)}/_append_tmp"
     deleteRecursively(Paths.get(staging))
     aligned.observe(obs, badMetric, partsMetric)
@@ -180,15 +199,41 @@ class Lake(spark: SparkSession, root: String) {
       .partitionBy(m.partitionKeys: _*).parquet(staging)
     val got = obs.get
     val bad = Option(got("bad")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stagingPath = Paths.get(staging)
     if (bad > 0L) {
-      deleteRecursively(Paths.get(staging))
+      deleteRecursively(stagingPath)
       throw new IllegalArgumentException(
         s"requirement failed: append to $name violates year == year(date); " +
           "partition pruning would drop these rows")
     }
-    // promote: move every staged part file under the same relative path
-    // (part file names are globally unique, so this is a pure add)
-    val stagingPath = Paths.get(staging)
+    val dirty =
+      if (m.partitionKeys.isEmpty) Set("ALL")
+      else Option(got("parts"))
+        .map(_.asInstanceOf[scala.collection.Seq[String]].toSet)
+        .getOrElse(Set.empty[String])
+    // the marker commits the batch: everything after this line is
+    // idempotently resumable by recoverStaging
+    Files.writeString(stagingPath.resolve(PromoteMarker), dirty.mkString("\n"))
+    promoteStaging(name, stagingPath)
+  }
+
+  private val PromoteMarker = "_graft_promote"
+
+  /** Finish (or discard) a staging dir left by a crashed append. */
+  private def recoverStaging(name: String): Unit = {
+    val stagingPath = Paths.get(s"${dir(name)}/_append_tmp")
+    if (Files.exists(stagingPath)) {
+      if (Files.exists(stagingPath.resolve(PromoteMarker)))
+        promoteStaging(name, stagingPath) // validated batch: finish the move
+      else deleteRecursively(stagingPath) // unvalidated partial write
+    }
+  }
+
+  /** Move every staged part file under the same relative path (part file
+    * names are globally unique, so this is a pure add), merge the
+    * marker's partitions into `_pending`, then drop staging.
+    */
+  private def promoteStaging(name: String, stagingPath: java.nio.file.Path): Unit = {
     val stream = Files.walk(stagingPath)
     try {
       stream.filter(p => Files.isRegularFile(p) &&
@@ -199,15 +244,12 @@ class Lake(spark: SparkSession, root: String) {
           Files.move(p, target)
         }
     } finally stream.close()
+    val dirty = Files.readString(stagingPath.resolve(PromoteMarker))
+      .split("\n").toSet
+    val p = Paths.get(s"${dir(name)}/_pending")
+    val prev = if (Files.exists(p)) Files.readString(p).split("\n").toSet else Set.empty[String]
+    Files.writeString(p, (prev ++ dirty).filter(_.nonEmpty).mkString("\n"))
     deleteRecursively(stagingPath)
-    if (m.partitionKeys.nonEmpty) {
-      val dirty = Option(got("parts"))
-        .map(_.asInstanceOf[scala.collection.Seq[String]].toSet)
-        .getOrElse(Set.empty[String])
-      val p = Paths.get(s"${dir(name)}/_pending")
-      val prev = if (Files.exists(p)) Files.readString(p).split("\n").toSet else Set.empty[String]
-      Files.writeString(p, (prev ++ dirty).filter(_.nonEmpty).mkString("\n"))
-    } else Files.writeString(Paths.get(s"${dir(name)}/_pending"), "ALL")
   }
 
   /** S4: optimize = last-write-wins PK dedupe (by ingest stamp, with an
@@ -224,8 +266,7 @@ class Lake(spark: SparkSession, root: String) {
     val full = tableRaw(name)
     val scoped =
       if (m.partitionKeys.isEmpty || pending.contains("ALL")) full
-      else full.filter(
-        concat_ws("/", m.partitionKeys.map(c => col(c).cast("string")): _*).isin(pending.toSeq: _*))
+      else full.filter(partitionString(m.partitionKeys).isin(pending.toSeq: _*))
     val ordCols = if (orderCol == SeqCol) Seq(col(SeqCol).desc, col(SubCol).desc)
       else Seq(col(orderCol).desc, col(SeqCol).desc, col(SubCol).desc)
     val w = Window.partitionBy(m.primaryKeys.map(col): _*).orderBy(ordCols: _*)

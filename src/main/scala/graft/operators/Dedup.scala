@@ -110,7 +110,7 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int, bands: Int, threshold: Double,
-      salts: Int = defaultSalts): DataFrame = {
+      hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // one shingle derivation feeds everything: the distinct set is cached
@@ -129,7 +129,7 @@ object Dedup {
       }: _*)
     val long = bandKeys.selectExpr("id",
       s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
-    val cand = bandedPairs(long, Seq("band", "bkey"), salts)
+    val cand = bandedPairs(long, Seq("band", "bkey"), hotBandWidth)
     // exact verification restricted to candidates: count shared shingles.
     // The second join keys on (b, s) — shingle equality is part of the
     // equi-join, not a post-filter, so the intersection never materializes
@@ -175,7 +175,7 @@ object Dedup {
     */
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double,
-      salts: Int = defaultSalts): DataFrame = {
+      hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(bands * bitsPerBand <= 63, "code must fit a long")
     // cache only (id, code, nrm) — a few bytes per vector — for the band
     // self-join and the norm lookups; the verification joins re-read full
@@ -188,7 +188,7 @@ object Dedup {
     val mask = (1L << bitsPerBand) - 1
     val chunks = coded.selectExpr("id",
       s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
-    val cand = bandedPairs(chunks, Seq("band", "ckey"), salts)
+    val cand = bandedPairs(chunks, Seq("band", "ckey"), hotBandWidth)
     // zero-norm vectors have undefined cosine (0/0 = NaN, which Spark
     // orders ABOVE any threshold) — they can never be near-dups, so they
     // are excluded before the division
@@ -207,40 +207,66 @@ object Dedup {
     * sharing any chunk are candidates; verify Hamming distance <= maxDist.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      salts: Int = defaultSalts): DataFrame = {
+      hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     val sig = simHash(df, idCol, textCol)
     val chunks = sig.selectExpr("id", "simhash",
       s"stack(4, ${(0 until 4).map(c => s"$c, (simhash >> ${15 * c}) & 32767").mkString(", ")}) as (chunk, ckey)")
-    val x = chunks.select(col("id").as("a"), col("simhash").as("ha"),
-      col("chunk"), col("ckey"))
-    val y = chunks.select(col("id").as("b"), col("simhash").as("hb"),
-      col("chunk"), col("ckey"))
-    val cand = Skew.saltedJoin(x, y, Seq("chunk", "ckey"), salts)
-      .filter(col("a") < col("b"))
-      .select("a", "ha", "b", "hb").distinct()
-    cand
+    bandedPairs(chunks, Seq("chunk", "ckey"), hotBandWidth,
+        carry = Seq(("simhash", "ha", "hb")))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select("a", "b", "hamming")
   }
 
-  /** Default salt fan-out for the LSH band self-joins. */
-  val defaultSalts: Int = 8
+  /** Default hot-band width: band buckets wider than this get salted.
+    * Per-task join work for a salted bucket of width n is bounded by
+    * ~`width · n` rows instead of `n²` in one task; the right side is
+    * replicated only for hot keys, so well-distributed corpora pay one
+    * extra count aggregation and nothing else.
+    */
+  val defaultHotBandWidth: Int = 1024
 
   /** Candidate (a, b) id pairs (a < b) sharing any blocking key — the LSH
-    * band self-join, routed through [[Skew.saltedJoin]] so one hot band
-    * key (e.g. a degenerate corpus where thousands of near-empty docs
-    * share a band) spreads its quadratic candidate blowup across `salts`
-    * tasks instead of serializing one. The salted join emits exactly the
-    * plain join's pair set: each left row lands in one deterministic salt
-    * bucket and the right side is replicated across all of them.
+    * band self-join with ADAPTIVE skew salting. Bucket widths are counted
+    * first (map-side-combined aggregation, tiny output); keys wider than
+    * `hotWidth` get `ceil(n / hotWidth)` salts: the left occurrence of a
+    * row picks one deterministic salt (hash of id), the right occurrence
+    * is replicated across that key's salts, so the emitted pair set is
+    * exactly the plain self-join's while one degenerate band key (a
+    * near-empty-doc corpus collapsing into one bucket) spreads across
+    * its salts instead of serializing a single task. The quadratic SIZE
+    * of such a bucket's candidate output is inherent to LSH semantics —
+    * salting distributes the work, it cannot shrink it.
+    *
+    * `carry` renames extra columns onto each side of the pair, e.g.
+    * `("simhash", "ha", "hb")` for the Hamming verification.
     */
   private def bandedPairs(keyed: DataFrame, keyCols: Seq[String],
-      salts: Int): DataFrame = {
-    val x = keyed.withColumnRenamed("id", "a")
-    val y = keyed.withColumnRenamed("id", "b")
-    Skew.saltedJoin(x, y, keyCols, salts)
+      hotWidth: Int, carry: Seq[(String, String, String)] = Nil): DataFrame = {
+    require(hotWidth > 0, "hotWidth must be positive")
+    val kc = keyCols.map(col)
+    // three consumers (width counts, x side, y side) would each recompute
+    // the upstream signature pipeline — cache the band-key frame instead:
+    // a few small columns per (doc, band), negligible next to the corpus
+    val k = keyed.cache()
+    // hot keys only — rare by construction of a good hash family, so the
+    // broadcast stays small even at corpus scale
+    val hot = k.groupBy(kc: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotWidth)
+      .select(kc :+ ceil(col("_n") / hotWidth).cast("int").as("_s"): _*)
+    val withS = k.join(broadcast(hot), keyCols, "left")
+      .withColumn("_s", coalesce(col("_s"), lit(1)))
+    def side(idName: String, pick: Int): DataFrame = {
+      val salt =
+        if (pick == 0) pmod(hash(col("id")), col("_s"))
+        else explode(sequence(lit(0), col("_s") - 1))
+      withS.withColumn("_salt", salt)
+        .select((kc :+ col("_salt") :+ col("id").as(idName)) ++
+          carry.map { case (c, a, b) => col(c).as(if (pick == 0) a else b) }: _*)
+    }
+    side("a", 0).join(side("b", 1), keyCols :+ "_salt")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select(("a" +: "b" +: carry.flatMap(c => Seq(c._2, c._3))).map(col): _*)
+      .distinct()
   }
 }

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * shrink to one bucket — the 100 TB path (bucket join replaces the
   * cross join; same idea as IVF coarse quantization).
   *
-  * Dot products use `zip_with` + `aggregate` higher-order functions —
-  * no UDFs, columnar-friendly, deterministic left-to-right fold.
+  * Dot products use the codegen'd [[graft.expr.catalyst.DotProduct]]
+  * expression (`graft_dot`) — no UDFs, whole-stage-codegen friendly,
+  * deterministic left-to-right fold. The session must register
+  * [[graft.expr.catalyst.GraftExtensions]] (via `spark.sql.extensions`
+  * or `GraftExtensions.register`) for these operators to resolve.
   */
 object Similarity {
 
@@ -78,9 +81,11 @@ object Similarity {
     */
   def srpCode(v: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(asDouble(v), typedlit(planeSigns(p, dim)), (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
+      // same left-to-right fold as dot(): the sign-literal array promotes
+      // ±1 to ±1.0 exactly, so the projection is bit-identical to the
+      // previous zip_with/aggregate form (whose CodegenFallback lambdas
+      // this replaces) and to the oracle's list_dot_product mirror
+      val proj = dot(v, typedlit(planeSigns(p, dim).map(_.toDouble)))
       when(round(proj, 9) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -173,9 +173,11 @@ class OperatorsSpec extends SparkSpec {
     val corpus = ((0L until 40L).map(i => (i, hotText)) :+
       (99L, "unrelated filler words that never collide with anything else"))
       .toDF("doc_id", "text")
-    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", 3, 64, 16, 0.9)
-    // the salted join must emit exactly the plain join's pair set: all
+    // hotBandWidth = 8 forces the 40-wide bucket hot (5 salts); the
+    // salted join must emit exactly the plain join's pair set: all
     // C(40,2) identical pairs at jaccard 1.0, nothing touching doc 99
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", 3, 64, 16, 0.9,
+      hotBandWidth = 8)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (0L until 40L).combinations(2).map(c => (c(0), c(1))).toSet)
     // the candidate generation is actually routed through the salt
@@ -197,9 +199,11 @@ class OperatorsSpec extends SparkSpec {
       assert(perPartition.max < spread.count(),
         "one partition still holds every candidate pair")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-    // simhash + embedding-cosine candidate joins ride the same guard
-    assert(Dedup.simHashPairs(corpus, "doc_id", "text", 3)
-      .queryExecution.executedPlan.toString.contains("_salt"))
+    // simhash rides the same guard, carrying signatures through the
+    // salted pair generation — hamming-0 pairs for all identical docs
+    val sh = Dedup.simHashPairs(corpus, "doc_id", "text", 3, hotBandWidth = 8)
+    assert(sh.queryExecution.executedPlan.toString.contains("_salt"))
+    assert(sh.filter(col("hamming") === 0).count() == 40L * 39 / 2)
   }
 
   test("multimodal decodeFeatures: normalized histogram, deterministic") {

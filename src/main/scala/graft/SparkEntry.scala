@@ -624,6 +624,15 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text", 3, 64, 16, 0.5)
     }),
 
+    // Near-dup pairs -> connected components -> one canonical doc per
+    // cluster: the decision step of the dedup pipeline. Min-label
+    // propagation on Spark; the oracle replays it as a recursive CTE.
+    "d6_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      Dedup.canonicalize(docs, "doc_id", pairs)
+    }),
+
     // SimHash near-dups via banded Hamming blocking.
     "d4_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
@@ -1303,6 +1312,22 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
     "d3_dedup_minhash" -> minHashSql,
+    // Same pair graph as d3, closed into components by a recursive CTE:
+    // label l reaches id if a path exists, so min(l) per id is exactly
+    // the min-label-propagation fixpoint the Spark loop converges to.
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minHashSql
+         |),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |lbl(id, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(l) AS canon_id, (min(l) <> id) AS is_dup
+         |FROM lbl GROUP BY id""".stripMargin,
     "d4_dedup_simhash" -> simHashSql,
     "d5_dedup_embcos" -> embCosSql,
     "n2_ann_lsh" -> annLshSql,

@@ -218,6 +218,82 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Connected-components canonicalization — the keep-one-per-cluster
+    * step that turns near-dup PAIRS (from [[minHashLsh]], [[simHashPairs]]
+    * or [[embCosinePairs]]) into a dedup decision: every document gets
+    * `canon_id` = the minimum id reachable through the pair graph, and
+    * `is_dup` marks everything but the cluster representative.
+    *
+    * Min-label propagation: each iteration joins labels across edges and
+    * keeps the elementwise minimum, converging in O(cluster diameter)
+    * iterations — near-dup clusters are near-cliques (diameter ≤ 2-3), so
+    * a handful of passes closes even a 100 TB corpus; each pass is one
+    * join + one aggregation, all shuffle-partitioned by id. Convergence
+    * is detected by the label-sum fixpoint (labels only ever decrease, so
+    * an unchanged sum means an unchanged labeling), one tiny aggregate
+    * action per iteration. For pathological high-diameter graphs the
+    * large-star/small-star variant would cut iterations to O(log n);
+    * near-dup graphs never need it.
+    *
+    * Deterministic: the min-label fixpoint is unique, independent of
+    * iteration order or partitioning — a DuckDB recursive CTE reproduces
+    * it exactly.
+    */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
+    val edges = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .persist()
+    // propagate only over edge-touched nodes: the label frame scales with
+    // the DUP population (tiny next to the corpus), and the untouched
+    // majority joins back in once at the end as its own canonical id
+    val seed = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    def propagate(cur: DataFrame): DataFrame = {
+      val nbrMin = edges.join(cur, col("dst") === col("id"))
+        .groupBy(col("src").as("nid")).agg(min(col("lbl")).as("nbl"))
+      cur.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+    }
+    var lbl = seed
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    // labels only decrease; decimal sum avoids overflow on wide id spaces
+    def labelSum(d: DataFrame): java.math.BigDecimal = {
+      val v = d.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    // ONE propagation level per action, each level persisted before the
+    // convergence aggregate materializes it. Batching levels between
+    // actions was measured strictly worse here: an uncached intermediate
+    // level is referenced twice by the next one (recomputed by both), a
+    // lazily-cached one makes its two consuming stages race-compute it,
+    // and deep lazy unrolling expands k self-referencing levels into 2^k
+    // plan-tree copies inside Catalyst's copying transforms (OOM at 8).
+    var prev = labelSum(lbl)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val next = propagate(lbl).persist()
+      val cur = labelSum(next) // materializes `next`, so the swap is safe
+      persisted += lbl
+      lbl = next
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    edges.unpersist()
+    persisted.foreach(_.unpersist())
+    require(done,
+      s"connected components did not converge within $maxIter iterations")
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lbl"), col("id")).as("canon_id"),
+        (coalesce(col("lbl"), col("id")) =!= col("id")).as("is_dup"))
+  }
+
   /** Default hot-band width: band buckets wider than this get salted.
     * Per-task join work for a salted bucket of width n is bounded by
     * ~`width · n` rows instead of `n²` in one task; the right side is

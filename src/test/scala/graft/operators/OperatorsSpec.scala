@@ -165,6 +165,22 @@ class OperatorsSpec extends SparkSpec {
     assert(saltedLeft.filter(col("name").isNull).count() == 50)
   }
 
+  test("canonicalize: multi-hop clusters collapse to the min id") {
+    // components: {1,2,3,4} via a chain (diameter 3 — forces iteration),
+    // {6,7} via one edge, {5, 9} singletons
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val out = Dedup.canonicalize(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)))
+    assert(out(3L) == ((1L, true)) && out(4L) == ((1L, true)))
+    assert(out(6L) == ((6L, false)) && out(7L) == ((6L, true)))
+    assert(out(5L) == ((5L, false)) && out(9L) == ((9L, false)))
+    // empty pair set: everything is its own canonical doc
+    val solo = Dedup.canonicalize(ids, "doc_id", pairs.limit(0)).collect()
+    assert(solo.forall(r => r.getLong(0) == r.getLong(1) && !r.getBoolean(2)))
+  }
+
   test("hot LSH band: salting preserves the pair set and spreads the key") {
     // adversarial corpus: 40 identical docs share EVERY band key, so one
     // band bucket holds the whole corpus — the case where an unguarded

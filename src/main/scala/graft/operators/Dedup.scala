@@ -238,9 +238,19 @@ object Dedup {
     * Deterministic: the min-label fixpoint is unique, independent of
     * iteration order or partitioning — a DuckDB recursive CTE reproduces
     * it exactly.
+    *
+    * The returned frame is backed by a persisted label frame (sized by
+    * the dup population); long-lived sessions calling this repeatedly
+    * should release it after materializing the result
+    * (`spark.sharedState.cacheManager.clearCache()` or unpersisting the
+    * returned plan), as the bench/verify drivers do between queries.
     */
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    require(Seq("long", "int", "bigint", "integer", "smallint", "short")
+      .contains(df.schema(idCol).dataType.typeName),
+      s"canonicalize needs an integral id column; ${df.schema(idCol).dataType.sql} " +
+        "ids would cast to null and silently collapse the corpus")
     val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
     val edges = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))

@@ -12,6 +12,7 @@ object ExplainPlans {
       else Seq("q5_star_join", "q1_agg", "w6_rolling_ols", "d3_dedup_minhash",
         "d5_dedup_embcos", "n3_ann_ivf", "l5_qp_weights")
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

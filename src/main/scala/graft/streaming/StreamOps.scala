@@ -146,6 +146,26 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** D1 as a stream: exact dedup on the text digest across micro-batches.
+    * First arrival wins (the streaming analogue of the batch operator's
+    * min-id canonical choice — an unbounded stream has no global min to
+    * pick); later identical texts within the watermark horizon are
+    * dropped, and `dropDuplicatesWithinWatermark` expires digest state
+    * past the horizon, so state is bounded by the distinct-doc rate times
+    * the watermark instead of growing with the corpus. Exactness trade:
+    * a duplicate arriving later than the watermark can re-emit — the
+    * batch [[graft.operators.Dedup.exact]] over the lake is the global
+    * form, this is the ingest-time prefilter (standard at 100 TB: cheap
+    * streaming dedup up front, exact compaction in the lake behind it).
+    */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col(idCol), col(tsCol), col("digest"))
+
   /** W1 as a stream: per-ticker pct_change with one close price of state —
     * the streaming head of the reference's price → return → signal chain.
     */

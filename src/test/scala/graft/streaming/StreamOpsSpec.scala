@@ -77,6 +77,23 @@ class StreamOpsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s vs $b") }
   }
 
+  test("streamingExactDedup drops later identical texts across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDS().toDF("doc_id", "ts", "text")
+    val q = StreamOps.streamingExactDedup(docs, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    input.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+    q.processAllAvailable()
+    // 3 duplicates "alpha beta" within the watermark, 4 is new
+    input.addData((3L, ts(2), "alpha beta"), (4L, ts(3), "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L)) // first arrival wins; dup 3 dropped
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -567,6 +567,30 @@ object SparkEntry {
     "t1_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Deterministic language-stratified hash sample: en 25%, de 50%,
+    // everything else 80% — membership from the md5 hash of doc_id, so
+    // the exact row set is engine-portable and rerun-stable.
+    "x1_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      Sampling.stratifiedSample(docs, "doc_id", col("lang"),
+          Map("en" -> 0.25, "de" -> 0.5), 0.8)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Per-language exact length percentiles (linear interpolation — the
+    // same definition as DuckDB's quantile_cont).
+    "t6_length_percentiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .withColumn("n", length(col("text")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("round(percentile(n, 0.5), 6)").as("p50"),
+          expr("round(percentile(n, 0.9), 6)").as("p90"),
+          expr("round(percentile(n, 0.99), 6)").as("p99"))
     }),
 
     // Quality scoring: length/punct/stopword features + composite score.
@@ -1282,6 +1306,23 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+    "x1_stratified_sample" ->
+      s"""WITH lp AS (SELECT * FROM ($langIdSql) t),
+         |b AS (SELECT doc_id, lang_pred AS lang,
+         |        CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |          % 1000000 AS bkt
+         |      FROM lp)
+         |SELECT doc_id, lang FROM b
+         |WHERE bkt < (CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+         |             ELSE 800000 END)""".stripMargin,
+    "t6_length_percentiles" ->
+      s"""WITH lp AS (SELECT * FROM ($langIdSql) t),
+         |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
+         |SELECT lang_pred AS lang, count(*) AS n_docs,
+         |  round(quantile_cont(n, 0.5), 6) AS p50,
+         |  round(quantile_cont(n, 0.9), 6) AS p90,
+         |  round(quantile_cont(n, 0.99), 6) AS p99
+         |FROM ln JOIN lp USING (doc_id) GROUP BY 1""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,

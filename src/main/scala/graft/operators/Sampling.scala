@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `sample(fraction)` with a seed is NOT reproducible across engines (and
+  * changes with partitioning); these operators decide membership from the
+  * md5-derived hash of a key column instead — the same
+  * [[Dedup.hash60]] family, so a DuckDB oracle reproduces the exact row
+  * set, reruns are stable, and adding/removing other rows never flips a
+  * row's membership (the property that makes hash sampling the standard
+  * at corpus scale: samples are consistent across pipeline versions).
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Membership bucket in [0, 1e6): uniform over the key's hash. */
+  def bucket(key: Column): Column = Dedup.hash60("sample", key.cast("string")) % Buckets
+
+  /** Keep rows whose key hashes below `fraction` of the bucket space —
+    * a deterministic, engine-portable Bernoulli sample. Narrow (no
+    * shuffle): the filter sits on the scan and prunes at full scan speed.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(bucket(col(keyCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Per-stratum rates: rows keep membership by their stratum's fraction
+    * (strata absent from `rates` get `defaultFraction`). The rates map is
+    * a literal CASE expression — no join, still a narrow scan-side filter.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: Column,
+      rates: Map[String, Double], defaultFraction: Double): DataFrame = {
+    require((defaultFraction +: rates.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultFraction * Buckets).toLong)) { case (acc, (s, f)) =>
+      when(stratumCol === s, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < threshold)
+  }
+}

@@ -165,6 +165,27 @@ class OperatorsSpec extends SparkSpec {
     assert(saltedLeft.filter(col("name").isNull).count() == 50)
   }
 
+  test("hash sampling: deterministic, consistent across supersets, rate-accurate") {
+    val ids = (0L until 4000L).toDF("id")
+    val s1 = Sampling.hashSample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // rerun-stable
+    // membership never flips when other rows appear (consistency)
+    val sub = Sampling.hashSample(ids.filter(col("id") < 2000), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(sub == s1.filter(_ < 2000L))
+    // rate within a few percent on 4000 keys
+    assert(math.abs(s1.size / 4000.0 - 0.3) < 0.05)
+    // nested fractions: a 10% sample is a subset of the 30% sample
+    val s3 = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+    // stratified: per-stratum thresholds apply
+    val strat = ids.withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSample(strat, "id", col("g"),
+      Map("a" -> 1.0), 0.0).collect()
+    assert(out.nonEmpty && out.forall(_.getString(1) == "a"))
+  }
+
   test("canonicalize: multi-hop clusters collapse to the min id") {
     // components: {1,2,3,4} via a chain (diameter 3 — forces iteration),
     // {6,7} via one edge, {5, 9} singletons

@@ -146,25 +146,68 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
-  /** D1 as a stream: exact dedup on the text digest across micro-batches.
-    * First arrival wins (the streaming analogue of the batch operator's
-    * min-id canonical choice — an unbounded stream has no global min to
-    * pick); later identical texts within the watermark horizon are
-    * dropped, and `dropDuplicatesWithinWatermark` expires digest state
-    * past the horizon, so state is bounded by the distinct-doc rate times
-    * the watermark instead of growing with the corpus. Exactness trade:
-    * a duplicate arriving later than the watermark can re-emit — the
-    * batch [[graft.operators.Dedup.exact]] over the lake is the global
-    * form, this is the ingest-time prefilter (standard at 100 TB: cheap
-    * streaming dedup up front, exact compaction in the lake behind it).
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class DocKeyed(doc_id: Long, ts: Timestamp, text: String, digest: String)
+  final case class DedupedDoc(doc_id: Long, ts: Timestamp, text: String, digest: String)
+
+  /** D1 as a stream: exact dedup on the text digest across micro-batches,
+    * carrying the full payload through (it IS the ingest prefilter — the
+    * deduped document continues into the lake, where the batch
+    * [[graft.operators.Dedup.exact]] compaction is the global form).
+    *
+    * Deterministic within a batch: when duplicates land in the same
+    * micro-batch, the row with the minimum (ts, doc_id) survives — a
+    * rerun of the batch emits the same winner, unlike
+    * `dropDuplicatesWithinWatermark`, whose survivor depends on partition
+    * processing order. Across batches, first batch wins (an unbounded
+    * stream has no global min to pick).
+    *
+    * State is one boolean per distinct digest, expired by event-time
+    * timeout `watermark` past the last occurrence, so it is bounded by
+    * the distinct-doc rate times the horizon. Exactness trade: a
+    * duplicate arriving after its digest's state expired re-emits; the
+    * lake compaction behind this operator removes those globally.
     */
-  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
-      tsCol: String, watermark: String = "1 hour"): DataFrame =
+  def streamingExactDedup(docs: Dataset[Doc],
+      watermark: String = "1 hour"): Dataset[DedupedDoc] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = parseDurationMs(watermark)
+    def update(digest: String, rows: Iterator[DocKeyed],
+        state: GroupState[Boolean]): Iterator[DedupedDoc] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val batch = rows.toSeq
+      val out =
+        if (state.exists || batch.isEmpty) Iterator.empty
+        else {
+          val first = batch.minBy(r => (r.ts.getTime, r.doc_id))
+          Iterator.single(DedupedDoc(first.doc_id, first.ts, first.text, digest))
+        }
+      state.update(true)
+      state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + horizonMs)
+      out
+    }
     docs
-      .withColumn("digest", md5(col(textCol)))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("digest")
-      .select(col(idCol), col(tsCol), col("digest"))
+      .withColumn("digest", md5(col("text")))
+      .as[DocKeyed]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Parses the `"N unit"` duration strings used by watermarks. */
+  private def parseDurationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val base = unit.toLowerCase.stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported duration unit $u")
+    }
+    n.toLong * base
+  }
 
   /** W1 as a stream: per-ticker pct_change with one close price of state —
     * the streaming head of the reference's price → return → signal chain.

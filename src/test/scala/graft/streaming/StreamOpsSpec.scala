@@ -79,19 +79,23 @@ class StreamOpsSpec extends SparkSpec {
 
   test("streamingExactDedup drops later identical texts across micro-batches") {
     implicit val sc = spark.sqlContext
-    val input = MemoryStream[(Long, Timestamp, String)]
-    val docs = input.toDS().toDF("doc_id", "ts", "text")
-    val q = StreamOps.streamingExactDedup(docs, "doc_id", "text", "ts")
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingExactDedup(input.toDS())
       .writeStream.format("memory").queryName("dedup").outputMode("append")
       .start()
-    input.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta"))
+    // 9 and 1 are same-batch duplicates: min (ts, doc_id) must win
+    // deterministically, not whichever partition processes first
+    input.addData(Doc(9L, ts(1), "alpha beta"), Doc(1L, ts(0), "alpha beta"),
+      Doc(2L, ts(1), "gamma delta"))
     q.processAllAvailable()
-    // 3 duplicates "alpha beta" within the watermark, 4 is new
-    input.addData((3L, ts(2), "alpha beta"), (4L, ts(3), "epsilon"))
+    // 3 duplicates "alpha beta" across batches within the horizon, 4 is new
+    input.addData(Doc(3L, ts(2), "alpha beta"), Doc(4L, ts(3), "epsilon"))
     q.processAllAvailable()
     q.stop()
-    val out = spark.table("dedup").collect().map(_.getLong(0)).sorted
-    assert(out.toSeq == Seq(1L, 2L, 4L)) // first arrival wins; dup 3 dropped
+    val out = spark.table("dedup").as[DedupedDoc].collect()
+    assert(out.map(_.doc_id).sorted.toSeq == Seq(1L, 2L, 4L))
+    // the payload rides through — this is the lake-bound document
+    assert(out.find(_.doc_id == 1L).get.text == "alpha beta")
   }
 
   test("sessionize closes a session when the gap exceeds 30 minutes") {

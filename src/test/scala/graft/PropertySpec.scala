@@ -129,4 +129,41 @@ class PropertySpec extends SparkSpec {
     assert(once.toSeq == twice.toSeq)
     assert(once.toSeq == Seq(("a", 3), ("b", 30)))
   }
+
+  test("canonicalize on random pair graphs: valid partition into components") {
+    (1 to 3).foreach { _ =>
+      val n = 20 + rnd.nextInt(30)
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = (1 to rnd.nextInt(25))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toDF("a", "b")
+      val out = graft.operators.Dedup.canonicalize(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every doc labeled; canonical ids are fixpoints; every edge's two
+      // endpoints share a label; labels never exceed their member
+      assert(out.size == n)
+      out.foreach { case (id, c) => assert(out(c) == c && c <= id) }
+      pairs.collect().foreach { r =>
+        assert(out(r.getLong(0)) == out(r.getLong(1)))
+      }
+      // idempotence: feeding the canonical mapping back as pairs changes nothing
+      val again = graft.operators.Dedup.canonicalize(ids, "doc_id",
+          (ids.sparkSession.createDataFrame(
+            out.toSeq.filter(t => t._1 != t._2)).toDF("a", "b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == out)
+    }
+  }
+
+  test("hash sampling: monotone in fraction, exact on boundaries") {
+    val ids = (0L until 500L).toDF("id")
+    assert(graft.operators.Sampling.hashSample(ids, "id", 0.0).count() == 0)
+    assert(graft.operators.Sampling.hashSample(ids, "id", 1.0).count() == 500)
+    val fracs = Seq.fill(4)(rnd.nextDouble()).sorted
+    val sizes = fracs.map(f =>
+      graft.operators.Sampling.hashSample(ids, "id", f).count())
+    assert(sizes == sizes.sorted) // nested samples grow with fraction
+  }
 }

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Lake, TableMeta}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** End-to-end training-data curation pipeline over a document corpus —
+  * the LLM-data analogue of [[DailyPipeline]] (which orchestrates the
+  * reference's daily DAG). No reference counterpart: this wires the
+  * SURVEY §7 extension operators into the deployment shape they are
+  * designed for:
+  *
+  *   annotate (langid / quality / tokens / fingerprint)
+  *     → exact dedup → near-dup pairs (MinHash+LSH, exact-verified)
+  *     → connected-components canonicalization
+  *     → keep cluster representatives → stratified sample
+  *     → corpus stats rollup
+  *
+  * All stages are the already-oracle-verified operators; the pipeline
+  * persists through the same Lake create/append/optimize triple as the
+  * financial DAG, so curation output is a queryable lakehouse table set.
+  * Every stage is shuffle-bounded (hash shuffles + banded joins, no
+  * all-pairs work) — the 100 TB shape end to end.
+  */
+class CorpusPipeline(spark: SparkSession, lake: Lake) {
+
+  private val S = StringType; private val L = LongType
+  private val F = DoubleType; private val B = BooleanType
+
+  private def tm(name: String, cols: (String, DataType)*)(pk: String*) =
+    TableMeta(name, StructType(cols.map { case (n, t) => StructField(n, t) }),
+      Seq.empty, pk.toSeq)
+
+  val tables: Seq[TableMeta] = Seq(
+    tm("doc_annotations", "doc_id" -> L, "lang" -> S, "n_tokens" -> L,
+      "quality" -> F, "fingerprint" -> S)("doc_id"),
+    tm("doc_clusters", "doc_id" -> L, "canon_id" -> L, "is_dup" -> B)("doc_id"),
+    tm("corpus_sample", "doc_id" -> L, "lang" -> S, "text" -> S)("doc_id"),
+    tm("corpus_stats", "lang" -> S, "n_docs" -> L, "n_kept" -> L,
+      "n_sampled" -> L, "sum_tokens" -> L)("lang"))
+
+  /** Run the full curation DAG over `docs` (doc_id, text). Sample rates
+    * are per-language fractions; `defaultRate` covers absent languages.
+    */
+  def run(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): Unit = {
+    tables.foreach(lake.create(_, "replace"))
+
+    // 1. annotate — one narrow pass, no shuffle
+    val annotated = TextAnalysis.qualityFeatures(docs, "text").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      col("quality_score").as("quality"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    lake.append("doc_annotations", annotated)
+    lake.optimize("doc_annotations")
+
+    // 2. near-dup clusters: exact dups collapse through the same pair
+    // graph (identical texts share every band), so one canonicalization
+    // covers both exact and near duplicates
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+    val clusters = Dedup.canonicalize(docs, "doc_id", pairs)
+    lake.append("doc_clusters", clusters)
+    lake.optimize("doc_clusters")
+
+    // 3. keep one representative per cluster, then language-stratified
+    // deterministic sample of the kept docs
+    val kept = docs.join(
+      lake.table("doc_clusters").filter(!col("is_dup")).select("doc_id"),
+      "doc_id")
+    val keptLang = kept.join(
+      lake.table("doc_annotations").select("doc_id", "lang"), "doc_id")
+    val sampled = Sampling.stratifiedSample(
+      keptLang, "doc_id", col("lang"), rates, defaultRate)
+    lake.append("corpus_sample", sampled.select("doc_id", "lang", "text"))
+    lake.optimize("corpus_sample")
+
+    // 4. rollup: corpus → kept → sampled funnel per language
+    val ann = lake.table("doc_annotations")
+    val stats = ann
+      .join(lake.table("doc_clusters").select("doc_id", "is_dup"), "doc_id")
+      .join(lake.table("corpus_sample").select(col("doc_id"), lit(1).as("s")),
+        Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("n_tokens")).as("sum_tokens"))
+    lake.append("corpus_stats", stats)
+    lake.optimize("corpus_stats")
+  }
+}

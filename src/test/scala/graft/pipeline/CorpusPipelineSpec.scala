@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.catalog.Lake
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("corpus pipeline: annotate -> dedup -> sample -> stats funnel is consistent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val lake = new Lake(spark, root)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+
+    new CorpusPipeline(spark, lake)
+      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9)
+
+    val ann = lake.table("doc_annotations")
+    val clusters = lake.table("doc_clusters")
+    val sample = lake.table("corpus_sample")
+    val stats = lake.table("corpus_stats")
+
+    assert(ann.count() == nDocs && clusters.count() == nDocs)
+
+    // cluster sanity: every canonical id is kept, dups point at kept docs
+    val kept = clusters.filter(!col("is_dup"))
+    val canonOfDups = clusters.filter(col("is_dup")).select(col("canon_id").as("doc_id")).distinct()
+    assert(canonOfDups.join(kept, "doc_id").count() == canonOfDups.count())
+
+    // the sample only contains kept docs
+    assert(sample.join(kept.select("doc_id"), "doc_id").count() == sample.count())
+
+    // funnel per language: sampled <= kept <= docs; totals add up
+    val bad = stats.filter(col("n_sampled") > col("n_kept") ||
+      col("n_kept") > col("n_docs")).count()
+    assert(bad == 0)
+    assert(stats.agg(sum("n_docs")).first().getLong(0) == nDocs)
+    assert(stats.agg(sum("n_sampled")).first().getLong(0) == sample.count())
+
+    // deterministic: a rerun into a fresh lake produces the same sample
+    val root2 = java.nio.file.Files.createTempDirectory("graft_corpus2").toString
+    val lake2 = new Lake(spark, root2)
+    new CorpusPipeline(spark, lake2)
+      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9)
+    val ids1 = sample.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = lake2.table("corpus_sample").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids1.toSeq == ids2.toSeq)
+  }
+}

@@ -17,6 +17,10 @@ import graft.stages.Variables
 object RunPipeline {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--streaming")) { runStreaming(args(1)); return }
+    if (args.headOption.contains("--corpus")) {
+      runCorpus(args.lift(1).getOrElse("/tmp/graft_corpus"),
+        args.lift(2).getOrElse("/root/testdata/sf0.001")); return
+    }
     val root = args.headOption.getOrElse("/tmp/graft_lake")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -92,6 +96,35 @@ object RunPipeline {
     val counts = pipe.tables.map(t => s"${t.name}=${lake.table(t.name).count()}")
     println(s"[pipeline] backfill=${f"$tBackfill%.1f"}s daily=${f"$tDaily%.1f"}s")
     println(s"[pipeline] ${counts.mkString(" ")}")
+    spark.stop()
+  }
+
+  /** Corpus curation demo: run the full LLM-data DAG
+    * (annotate → dedup/canonicalize → sample → stats) over the documents
+    * fixture into a local lake.
+    *
+    *   sbt "runMain graft.RunPipeline --corpus /tmp/graft_corpus /root/testdata/sf0.01"
+    */
+  private def runCorpus(root: String, sfDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    val lake = new Lake(spark, root)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    new graft.pipeline.CorpusPipeline(spark, lake)
+      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stats = lake.table("corpus_stats").orderBy("lang").collect()
+      .map(r => s"${r.getString(0)}:docs=${r.getLong(1)},kept=${r.getLong(2)},sampled=${r.getLong(3)}")
+    println(s"[corpus] ${f"$secs%.1f"}s ${stats.mkString(" ")}")
     spark.stop()
   }
 

@@ -1004,9 +1004,22 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pct_change rounding mirrors Spark's Round exactly: Spark rounds the
+    // SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf =
+    // Double.toString) half-away-from-zero, while DuckDB's round(double)
+    // rounds the exact binary value — they disagree when the shortest
+    // repr lands on a 6-decimal halfway point (found at sf0.1:
+    // 8.0046875 → Spark 8.004688, plain DuckDB 8.004687). Round-tripping
+    // through VARCHAR reproduces the shortest repr; DECIMAL round is
+    // half-away-from-zero; the final DOUBLE cast restores the dtype.
+    // DECIMAL(38,20) holds every shortest-repr digit of these magnitudes
+    // — a narrower scale re-rounds the repr and flips near-halfway cases
+    // the other way (measured with DECIMAL(30,15): 9 cells).
     "w1_pct_change" ->
       """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
-        |  round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct_change
+        |  CAST(round(CAST(CAST(
+        |    value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS pct_change
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
     "a3_distinct" ->
       "SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",

@@ -721,6 +721,100 @@ object SparkEntry {
       PortfolioOpt.certificate(w, in.loadings, in.fcov, in.ivol, in.bench)
     }),
 
+    // Hierarchical aggregation: ROLLUP grouping sets — subtotals and a
+    // grand total in one pass (partial-aggregated like any groupBy; the
+    // expand adds one row per grouping set, not one job per level).
+    "a10_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((sumCents("l_extendedprice") / 100.0).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("revenue"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // Two-dimension-table star join with two roles for one dim (nation as
+    // both supplier and customer side) — TPC-H Q7 shape. All dims
+    // broadcast; the only big-big join is lineitem x orders.
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg((sum(rev) / 1e4).as("volume"), count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
+    // Conditional-aggregate ratio over a dim attribute — TPC-H Q14 shape.
+    // Revenue stays in exact integer (cents x (100-disc)) until the final
+    // division, so the promo share is engine-deterministic.
+    "q14_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) / 1e4)
+            .as("promo_revenue"),
+          (sum(rev) / 1e4).as("total_revenue"),
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0L))) / sum(rev), 6).as("promo_pct"))
+        .orderBy("ship_year")
+    }),
+
+    // Disjunctive multi-attribute predicate pushed through a dim join —
+    // TPC-H Q19 shape (OR of brand/size/quantity bands).
+    "q19_or_filters" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val qty = round(col("l_quantity")).cast("long")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && qty.between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+            && qty.between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 35)
+            && qty.between(20, 30)))
+        .agg((sum(rev) / 1e4).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // Corpus scrubbing: PII-ish patterns (emails, long digit runs) are
+    // counted and redacted; the digest of the redacted text is compared so
+    // the oracle certifies the full rewritten string, not just the counts.
+    "t9_redact" -> ((s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val numPat = "[0-9]{3,}"
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), emailPat, "<EMAIL>"), numPat, "<NUM>")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0)))
+          .cast("long").as("n_num"),
+        md5(redacted).as("redacted_md5"))
+    }),
+
     // Multimodal payload plumbing: bytes/sha/chunks + frame samples.
     "m1_multimodal_stats" -> ((s, dir) => {
       val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id",
@@ -1424,6 +1518,59 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS sum_w,
         |  TRUE AS min_w_nonneg,
         |  CAST(0.0 AS DOUBLE) AS risk_resid
-        |FROM seg GROUP BY 1""".stripMargin
+        |FROM seg GROUP BY 1""".stripMargin,
+    "a10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS volume,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q14_promo_share" ->
+      """WITH r AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, p_type,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_year,
+        |  sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)/10000.0 AS promo_revenue,
+        |  sum(rev)/10000.0 AS total_revenue,
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |        / sum(rev), 6) AS promo_pct
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_or_filters" ->
+      """SELECT
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+    "t9_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_num,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin
   )
 }

@@ -252,9 +252,20 @@ object Dedup {
       s"canonicalize needs an integral id column; ${df.schema(idCol).dataType.sql} " +
         "ids would cast to null and silently collapse the corpus")
     val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
+    // both edge directions from ONE pass over `pairs`: a union of two
+    // selects would evaluate the (unpersisted, typically expensive) pair
+    // pipeline once per branch — and the two branches race-fill any caches
+    // inside it — while the explode is narrow and scans it exactly once
     val edges = pairs
-      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .select(explode(array(
+        struct(col("a").cast("long").as("src"), col("b").cast("long").as("dst")),
+        struct(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // partition by the propagation join key BEFORE persisting: every
+      // iteration joins on dst, and the cached hash partitioning is
+      // reused by each of them — without it the (large-at-scale) edge set
+      // would re-shuffle once per iteration
+      .repartition(col("dst"))
       .persist()
     // propagate only over edge-touched nodes: the label frame scales with
     // the DUP population (tiny next to the corpus), and the untouched

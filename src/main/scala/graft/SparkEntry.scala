@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -798,6 +798,51 @@ object SparkEntry {
         .agg((sum(rev) / 1e4).as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
+    // TF-IDF / BM25 salient-term extraction: top-3 terms per document.
+    "t7_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+    }),
+
+    // HLL cardinality sketch (deterministic md5 registers) per language,
+    // alongside the exact distinct count the sketch approximates.
+    "t8_hll_cardinality" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val est = Sketch.hllCardinality(words, Seq("lang"), col("w"))
+      val exact = words.groupBy("lang")
+        .agg(countDistinct(col("w")).as("n_exact"))
+      exact.join(est, "lang")
+        .select(col("lang"), col("n_exact"), col("n_present"), col("hll_est"))
+        .orderBy("lang")
+    }),
+
+    // Point-in-interval (non-equi) join via bin bucketing: lineitems
+    // shipped inside each sampled order's follow-up window. The oracle is
+    // the naive BETWEEN join; the Spark plan is the binned equi-join.
+    "j13_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(to_date(col("l_shipdate")).as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      RangeJoin.pointInInterval(pts, iv, "sd", "lo", "hi", 30)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("cents")) / 100.0).as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Deterministic Lloyd k-means (k=8, one update round) on embeddings;
+    // the oracle replays init/assign/update/assign as SQL CTEs.
+    "n4_kmeans" -> ((s, dir) => {
+      KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 1)
+    }),
+
     // Corpus scrubbing: PII-ish patterns (emails, long digit runs) are
     // counted and redacted; the digest of the redacted text is compared so
     // the oracle certifies the full rewritten string, not just the counts.
@@ -1069,6 +1114,16 @@ object SparkEntry {
       |  CASE WHEN cnt = 252 THEN round((det1/det)/100.0, 6) END AS beta_x,
       |  CASE WHEN cnt = 252 THEN round((det2/det)/100.0, 6) END AS beta_z
       |FROM c""".stripMargin
+
+  /** DuckDB mirror of Spark's `round(x, n)`: Spark rounds the SHORTEST
+    * DECIMAL REPR of the double half-away-from-zero (BigDecimal.valueOf),
+    * DuckDB's plain round(double) rounds the exact binary value — they
+    * disagree when the shortest repr lands on an n-decimal halfway point.
+    * Round-tripping through VARCHAR reproduces the repr; scale 20 holds
+    * every repr digit at these magnitudes (see the w1_pct_change note).
+    */
+  private def roundSql(e: String, n: Int): String =
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,20)), $n) AS DOUBLE)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1564,6 +1619,75 @@ object SparkEntry {
         |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
         |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+    // BM25 constants are interpolated from the SAME Scala doubles the
+    // Spark plan evaluates: (1.2 + 1.0) is NOT the double literal 2.2,
+    // and a hand-written 2.2 in the SQL would diverge at the last ulp.
+    "t7_tfidf" ->
+      s"""WITH terms AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT id, sum(tf) AS len FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE)/count(*) AS avglen FROM dl),
+        |scored AS (
+        |  SELECT id, term, tf,
+        |    round(tf * (ln((n + 1.0)/(df + 1.0)) + 1.0), 6) AS score,
+        |    round(ln(1.0 + (n - df + 0.5)/(df + 0.5))
+        |      * ((tf * ${1.2 + 1.0}) / (tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * (len/avglen)))), 6) AS bm25
+        |  FROM tf JOIN dl USING(id) JOIN dfq USING(term) CROSS JOIN g),
+        |r AS (SELECT id, term, tf, score, bm25,
+        |  row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT id AS doc_id, term, tf, score, bm25, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "t8_hll_cardinality" ->
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |ww AS (SELECT lang, w FROM w WHERE w <> ''),
+        |h AS (SELECT lang, w,
+        |  CAST(concat('0x', substr(md5(concat('hll:', w)), 1, 15)) AS BIGINT) AS h FROM ww),
+        |r AS (SELECT lang, h % 256 AS bucket, ${Sketch.rho52Sql("(h >> 8)")} AS rho FROM h),
+        |reg AS (SELECT lang, bucket, max(rho) AS m_b FROM r GROUP BY 1, 2),
+        |g AS (SELECT lang, count(*) AS n_present,
+        |  sum(CAST(1 AS BIGINT) << (53 - m_b)) AS s_present FROM reg GROUP BY 1),
+        |e AS (SELECT lang, n_present, 256 - n_present AS zeros,
+        |  ${Sketch.alphaNumeratorRepr}
+        |    / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS raw
+        |  FROM g),
+        |est AS (SELECT lang, n_present,
+        |  round(CASE WHEN raw <= 640.0 AND zeros > 0
+        |        THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 4) AS hll_est FROM e),
+        |ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM ww GROUP BY 1)
+        |SELECT ex.lang, n_exact, n_present, hll_est
+        |FROM ex JOIN est USING(lang) ORDER BY 1""".stripMargin,
+    "j13_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0)
+        |SELECT o_orderkey, count(*) AS n_lines,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+        |FROM iv JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "n4_kmeans" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |init AS (SELECT id AS cid, e AS c FROM v ORDER BY id LIMIT 8),
+        |a1 AS (SELECT v.id, i.cid,
+        |    ${roundSql("list_dot_product(v.e, v.e) - 2.0*list_dot_product(v.e, i.c) + list_dot_product(i.c, i.c)", 9)} AS d
+        |  FROM v CROSS JOIN init i),
+        |asg1 AS (SELECT id, cid FROM (
+        |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM a1)
+        |  WHERE rn = 1),
+        |comp AS (SELECT id, unnest(range(0, 64)) AS i, e FROM v),
+        |compv AS (SELECT id, i, e[i+1] AS x FROM comp),
+        |cen AS (SELECT cid, i, ${roundSql("sum(x)/count(*)", 9)} AS c
+        |  FROM compv JOIN asg1 USING(id) GROUP BY 1, 2),
+        |ccs AS (SELECT cid, sum(c*c) AS cc FROM cen GROUP BY 1),
+        |vcs AS (SELECT compv.id, cen.cid, sum(x*c) AS vc FROM compv JOIN cen USING(i) GROUP BY 1, 2),
+        |vvs AS (SELECT id, list_dot_product(e, e) AS vv FROM v),
+        |a2 AS (SELECT vvs.id, vcs.cid, ${roundSql("vv - 2.0*vc + cc", 9)} AS d
+        |  FROM vvs JOIN vcs USING(id) JOIN ccs USING(cid)),
+        |res AS (SELECT id, cid, d,
+        |  row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM a2)
+        |SELECT id AS vec_id, cid AS cluster, d AS dist2 FROM res WHERE rn = 1""".stripMargin,
     "t9_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching (HyperLogLog) with a fully
+  * deterministic, cross-engine-reproducible construction.
+  *
+  * Differences from `approx_count_distinct` (Spark's built-in HLL++):
+  * the register construction here is pure Column algebra over an
+  * md5-derived hash — every intermediate (bucket, rho, register table,
+  * estimate) is a plain DataFrame an independent engine can recompute
+  * bit-for-bit, which is what the DuckDB oracle does. At scale the shape
+  * is the same as any HLL: one narrow pass to (group, bucket, rho), one
+  * map-side-combinable max per register, one tiny per-group rollup —
+  * registers are mergeable, so partial aggregation works and the shuffle
+  * carries at most `m` rows per group.
+  *
+  * Sketch mathematics follow Flajolet et al. (2007): m=256 registers,
+  * alpha_m = 0.7213/(1+1.079/m), raw = alpha_m * m^2 / sum(2^-M_b),
+  * linear counting below 2.5m when empty registers remain.
+  */
+object Sketch {
+
+  /** Register count (2^8 buckets: low 8 bits of the 60-bit hash). */
+  val M: Int = 256
+
+  /** alpha_256 * m^2 * 2^53 — the numerator of the raw estimate with the
+    * register sum kept as the exact integer sum(2^(53-M_b)). Computed
+    * once on the driver; [[alphaNumeratorRepr]] embeds the same double in
+    * the oracle SQL via its shortest decimal repr (round-trips exactly).
+    */
+  val alphaNumerator: Double =
+    0.7213 / (1 + 1.079 / M) * M * M * 9007199254740992.0 // 2^53
+
+  def alphaNumeratorRepr: String = alphaNumerator.toString
+
+  /** Rank of the highest set bit (1-based from the MSB of the 52-bit
+    * field), i.e. the count of leading zeros + 1; r = 0 maps to 53.
+    * Pure integer comparisons — no floating log2 whose rounding could
+    * disagree across engines at exact powers of two.
+    */
+  def rho52(r: Column): Column = {
+    val first = when(r >= lit(1L << 51), lit(1))
+    (2 to 52).foldLeft(first) { (acc, k) =>
+      acc.when(r >= lit(1L << (52 - k)), lit(k))
+    }.otherwise(lit(53))
+  }
+
+  /** The same rho as [[rho52]] rendered as SQL CASE text over `varName` —
+    * interpolated into the DuckDB oracle so both engines evaluate the
+    * identical integer comparison ladder.
+    */
+  def rho52Sql(varName: String): String = {
+    val whens = (1 to 52).map { k =>
+      s"WHEN $varName >= ${1L << (52 - k)} THEN $k"
+    }.mkString(" ")
+    s"CASE $whens ELSE 53 END"
+  }
+
+  /** Per-group HLL cardinality estimate of `valueCol`.
+    *
+    * @return one row per group: groupCols, `n_present` (non-empty
+    *         registers), `hll_est` (the estimate, rounded to 4 d.p. —
+    *         the only non-integer step is the final division and the
+    *         linear-counting ln, so 4 d.p. absorbs any last-ulp libm
+    *         difference between engines).
+    */
+  def hllCardinality(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val h = Dedup.hash60("hll", valueCol)
+    val gc = groupCols.map(col)
+    val reg = df
+      .select(gc :+ pmod(h, lit(256L)).as("bucket") :+
+        rho52(shiftright(h, 8)).as("rho"): _*)
+      .groupBy(gc :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("m_b"))
+    // sum(2^(53-M_b)) stays an exact integer (<= 256 * 2^53 = 2^61), so
+    // the register sum is order-independent; the absent registers (M=0)
+    // contribute 2^53 each and double as the linear-counting zero count
+    val g = reg.groupBy(gc: _*).agg(
+      count(lit(1)).as("n_present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_b AS INT))")).as("s_present"))
+    val zeros = lit(256L) - col("n_present")
+    val sTotal = col("s_present") + zeros * lit(1L << 53)
+    val raw = lit(alphaNumerator) / sTotal.cast("double")
+    val est = when(raw <= lit(2.5 * 256) && zeros > 0,
+      lit(256.0) * log(lit(256.0) / zeros)).otherwise(raw)
+    g.select(gc :+ col("n_present") :+ round(est, 4).as("hll_est"): _*)
+  }
+}

@@ -70,4 +70,47 @@ object TextAnalysis {
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
+
+  /** Top-k salient terms per document by TF-IDF, with BM25 alongside —
+    * the relevance/keyword-extraction primitive of corpus curation.
+    *
+    * Scale shape: one narrow explode, then three map-side-combinable
+    * aggregations (term freq per (doc, term), doc freq per term, doc
+    * length); the global (N, avg length) pair is a scalar broadcast. The
+    * doc-frequency join shuffles by term — vocabulary-sized, not
+    * corpus-sized, and never collected.
+    *
+    * Determinism: counts are exact longs; idf/bm25 are double formulas
+    * evaluated with the same association on both engines and rounded to
+    * 6 d.p.; ranking orders by the ROUNDED score with term tie-break.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("id").agg(sum(col("tf")).as("len"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val global = docLen.agg(count(lit(1)).as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val scored = tf
+      .join(docLen, "id")
+      .join(docFreq, "term")
+      .crossJoin(broadcast(global))
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 6).as("score"),
+        round(log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * ((col("tf") * lit(k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * (col("len") / col("avglen"))))), 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("score"),
+        col("bm25"), col("rank"))
+  }
 }

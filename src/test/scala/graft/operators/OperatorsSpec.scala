@@ -274,4 +274,100 @@ class OperatorsSpec extends SparkSpec {
     assert(assets.getAs[Long]("n_chunks") == 1L)
     assert(assets.getAs[String]("sha").length == 64)
   }
+
+  test("kmeans: separated clusters recovered; every point assigned once") {
+    // two tight groups far apart in 2-D; ids 0 and 1 (the deterministic
+    // init) land one in each group, so one update round separates them
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (4L, Seq(0.05f, 0.05f)),
+      (1L, Seq(9.0f, 9.1f)), (3L, Seq(9.1f, 9.0f)), (5L, Seq(9.05f, 9.05f))
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.lloyd(vecs, "vec_id", "embedding", 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    assert(Set(out(0L), out(2L), out(4L)).size == 1)
+    assert(Set(out(1L), out(3L), out(5L)).size == 1)
+    assert(out(0L) != out(1L))
+  }
+
+  test("kmeans: zero iterations assigns to the init vectors themselves") {
+    val vecs = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(4.0f, 4.0f)),
+      (2L, Seq(3.9f, 4.1f))).toDF("vec_id", "embedding")
+    val out = KMeans.lloyd(vecs, "vec_id", "embedding", 2, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(0L)._2 == 0L && byId(0L)._3 == 0.0)
+    assert(byId(1L)._2 == 1L && byId(1L)._3 == 0.0)
+    assert(byId(2L)._2 == 1L) // closer to (4,4) than (0,0)
+  }
+
+  test("hll sketch: estimate tracks exact cardinality within sketch error") {
+    val n = 5000
+    val vals = (0 until n).map(i => ("g", s"value_$i")).toDF("grp", "v")
+    val est = Sketch.hllCardinality(vals, Seq("grp"), col("v")).collect().head
+      .getAs[Double]("hll_est")
+    // HLL standard error at m=256 is ~6.5%; 3 sigma bound
+    assert(math.abs(est - n) / n < 0.2, s"est $est vs exact $n")
+  }
+
+  test("hll sketch: small sets fall into accurate linear counting") {
+    val vals = (0 until 40).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val row = Sketch.hllCardinality(vals, Seq("grp"), col("v")).collect().head
+    assert(math.abs(row.getAs[Double]("hll_est") - 40) < 5)
+    // duplicates never move registers
+    val dup = (0 until 40).flatMap(i => Seq(("g", s"v$i"), ("g", s"v$i")))
+      .toDF("grp", "v")
+    val row2 = Sketch.hllCardinality(dup, Seq("grp"), col("v")).collect().head
+    assert(row2.getAs[Double]("hll_est") == row.getAs[Double]("hll_est"))
+  }
+
+  test("range join: binned equi-join equals the naive containment join") {
+    val ivs = Seq(
+      (10L, "2024-01-05", "2024-01-05"), // single-day
+      (11L, "2024-01-01", "2024-03-10"), // spans several bins
+      (12L, "2024-02-20", "2024-02-10"), // empty (hi < lo)
+      (13L, "2023-12-01", "2024-01-02")
+    ).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pts = Seq((0L, "2024-01-05"), (1L, "2024-01-04"), (2L, "2024-03-10"),
+      (3L, "2024-03-11"), (4L, "2023-12-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), to_date(col("d_s")).as("d"))
+    val binned = RangeJoin.pointInInterval(pts, ivs, "d", "lo", "hi", 7)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.crossJoin(ivs)
+      .filter(col("d").between(col("lo"), col("hi")))
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+    assert(binned.contains((0L, 10L)) && binned.contains((2L, 11L))) // inclusive ends
+    assert(!binned.exists(_._2 == 12L))
+  }
+
+  test("range join: rejects colliding column names") {
+    val x = Seq((1L, "2024-01-01")).toDF("id", "d_s")
+      .select(col("id"), to_date(col("d_s")).as("d"))
+    val y = Seq((2L, "2024-01-01", "2024-01-02")).toDF("id", "lo_s", "hi_s")
+      .select(col("id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(x, y, "d", "lo", "hi", 7)
+    }
+  }
+
+  test("tf-idf: doc-unique terms outrank ubiquitous ones") {
+    val corpus = Seq(
+      (0L, "spark spark catalyst shuffle the the"),
+      (1L, "python pandas pandas the the"),
+      (2L, "rust tokio tokio the the")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(corpus, "doc_id", "text", 2)
+    val rows = top.collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // at equal tf, "the" (in every doc -> idf floor 1) loses to the
+    // doc-specific terms whose idf is ln(2)+1
+    assert(rows((0L, 1L)) == "spark")
+    assert(rows((1L, 1L)) == "pandas")
+    assert(rows((2L, 1L)) == "tokio")
+    val all = top.collect()
+    assert(all.groupBy(_.getLong(0)).forall(_._2.length == 2))
+  }
 }

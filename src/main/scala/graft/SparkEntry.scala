@@ -843,6 +843,24 @@ object SparkEntry {
       KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 1)
     }),
 
+    // Train/eval decontamination: 5-gram leakage of each held-out doc
+    // (doc_id % 10 == 0) against the training split's n-gram vocabulary.
+    "t10_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
+    // Unigram LM quality score: mean token log-prob under the corpus's
+    // own add-one-smoothed unigram distribution.
+    "t11_lm_score" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus scrubbing: PII-ish patterns (emails, long digit runs) are
     // counted and redacted; the digest of the redacted text is compared so
     // the oracle certifies the full rewritten string, not just the counts.
@@ -1688,6 +1706,32 @@ object SparkEntry {
         |res AS (SELECT id, cid, d,
         |  row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM a2)
         |SELECT id AS vec_id, cid AS cluster, d AS dist2 FROM res WHERE rn = 1""".stripMargin,
+    "t10_decontaminate" ->
+      """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-4, 0))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+5], ' ') AS s FROM idx),
+        |hg AS (SELECT id,
+        |  CAST(concat('0x', substr(md5(concat('ng:', s)), 1, 15)) AS BIGINT) AS g FROM sh),
+        |tr AS (SELECT DISTINCT g FROM hg WHERE id % 10 <> 0),
+        |ev AS (SELECT id, g FROM hg WHERE id % 10 = 0),
+        |hits AS (SELECT ev.id, count(*) AS n_grams,
+        |    sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS n_hits
+        |  FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY 1),
+        |ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 10 = 0)
+        |SELECT ids.id AS doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS ratio
+        |FROM ids LEFT JOIN hits USING(id) ORDER BY 1""".stripMargin,
+    "t11_lm_score" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tt AS (SELECT id, w FROM toks WHERE w <> ''),
+        |freq AS (SELECT w, count(*) AS c FROM tt GROUP BY 1),
+        |g AS (SELECT sum(c) AS t, count(*) AS v FROM freq)
+        |SELECT id AS doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(CAST(c + 1 AS DOUBLE) / (t + v))) / count(*), 6) AS avg_logprob
+        |FROM tt JOIN freq USING(w) CROSS JOIN g
+        |GROUP BY id ORDER BY id""".stripMargin,
     "t9_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,

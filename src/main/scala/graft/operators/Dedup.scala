@@ -218,6 +218,39 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Train/eval n-gram contamination check — the split-hygiene operator a
+    * training pipeline runs before publishing an eval set: an eval
+    * document whose k-grams appear in the training corpus is leaking.
+    *
+    * Shape at scale: both sides reduce to distinct (id, 60-bit shingle
+    * hash) streams — narrow explode + one distinct shuffle each — and the
+    * overlap is a hash equi-join on the shingle hash (compact fixed-width
+    * keys, never the raw n-gram strings) followed by one map-side-
+    * combinable count per eval doc. Nothing quadratic, nothing collected.
+    *
+    * @return one row per eval doc: (idCol, n_grams, n_hits, ratio) with
+    *         ratio = round(n_hits / n_grams, 6); docs shorter than k
+    *         words have no k-grams and report (0, 0, null).
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val trGrams = shingles(train, idCol, textCol, k)
+      .select(hash60("ng", col("s")).as("g")).distinct()
+    val evGrams = shingles(eval, idCol, textCol, k)
+      .select(col("id"), hash60("ng", col("s")).as("g"))
+    val ids = eval.select(col(idCol).cast("long").as("id")).distinct()
+    val hits = evGrams
+      .join(trGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    ids.join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6).as("ratio"))
+  }
+
   /** Connected-components canonicalization — the keep-one-per-cluster
     * step that turns near-dup PAIRS (from [[minHashLsh]], [[simHashPairs]]
     * or [[embCosinePairs]]) into a dedup decision: every document gets

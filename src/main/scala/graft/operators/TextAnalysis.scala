@@ -71,6 +71,32 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(trim(regexp_replace(lower(textCol), "\\s+", " ")))
 
+  /** Per-document mean token log-probability under the corpus's own
+    * add-one-smoothed unigram model — the cheap LM-quality score used to
+    * filter gibberish/boilerplate before expensive model-based scoring
+    * (documents far below the corpus-typical logprob are outliers).
+    *
+    * p(w) = (count(w)+1) / (T+V) over the whole input corpus; score =
+    * mean ln p(w_i) over the document's token MULTISET. Scale shape: one
+    * token-frequency aggregation (vocabulary-sized, map-side combined),
+    * one scalar (T, V) broadcast, one vocabulary hash join back to the
+    * token stream, one per-doc average — all linear.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val global = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    toks.join(freq, "w")
+      .crossJoin(broadcast(global))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log((col("c") + lit(1L)).cast("double") / (col("t") + col("v"))))
+          / count(lit(1)), 6).as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   /** Top-k salient terms per document by TF-IDF, with BM25 alongside —
     * the relevance/keyword-extraction primitive of corpus curation.
     *

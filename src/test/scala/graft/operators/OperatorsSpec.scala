@@ -353,6 +353,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: leaked eval docs flagged, clean and short docs not") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // full leak
+      (20L, "totally novel words never seen anywhere at all"), // clean
+      (30L, "too short")                             // < k words
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, eval, "doc_id", "text", 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) == ((2L, 2L))) // both 5-grams leaked
+    assert(out(20L)._1 > 0 && out(20L)._2 == 0L)
+    assert(out(30L) == ((0L, 0L)))
+  }
+
+  test("unigram LM score: hand-computed smoothed logprob") {
+    val corpus = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val row = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .collect().head
+    // freq: a=2, b=1; T=3, V=2; p(a)=3/5, p(b)=2/5
+    val expected = (2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3
+    assert(row.getLong(1) == 3L)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-6)
+  }
+
   test("tf-idf: doc-unique terms outrank ubiquitous ones") {
     val corpus = Seq(
       (0L, "spark spark catalyst shuffle the the"),

@@ -32,6 +32,13 @@ object SparkEntry {
   private def sumCents(c: String): org.apache.spark.sql.Column =
     sum(round(col(c) * 100).cast("long"))
 
+  /** Discounted-revenue in exact integer units (cents x (100-disc_pct));
+    * divide by 1e4 after aggregation. Shared by q7/q14/q19.
+    */
+  private def revCents: org.apache.spark.sql.Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100) - round(col("l_discount") * 100).cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q5_star_join")(spark, "/root/testdata/sf0.001")
@@ -744,8 +751,6 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       val supp = t(s, dir, "supplier")
       val nat = t(s, dir, "nation")
-      val rev = round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long"))
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
@@ -756,7 +761,7 @@ object SparkEntry {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("ship_year"))
-        .agg((sum(rev) / 1e4).as("volume"), count(lit(1)).as("n_lines"))
+        .agg((sum(revCents) / 1e4).as("volume"), count(lit(1)).as("n_lines"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     }),
 
@@ -766,16 +771,14 @@ object SparkEntry {
     "q14_promo_share" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
-      val rev = round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
         .agg(
-          (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) / 1e4)
+          (sum(when(col("p_type") === "PROMO", revCents).otherwise(lit(0L))) / 1e4)
             .as("promo_revenue"),
-          (sum(rev) / 1e4).as("total_revenue"),
-          round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0L))) / sum(rev), 6).as("promo_pct"))
+          (sum(revCents) / 1e4).as("total_revenue"),
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", revCents)
+            .otherwise(lit(0L))) / sum(revCents), 6).as("promo_pct"))
         .orderBy("ship_year")
     }),
 
@@ -785,8 +788,6 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
       val qty = round(col("l_quantity")).cast("long")
-      val rev = round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100) - round(col("l_discount") * 100).cast("long"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
@@ -795,7 +796,7 @@ object SparkEntry {
             && qty.between(10, 20)) ||
           (col("p_brand") === "Brand#4" && col("p_size").between(1, 35)
             && qty.between(20, 30)))
-        .agg((sum(rev) / 1e4).as("revenue"), count(lit(1)).as("n_lines"))
+        .agg((sum(revCents) / 1e4).as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
     // TF-IDF / BM25 salient-term extraction: top-3 terms per document.
@@ -806,9 +807,13 @@ object SparkEntry {
     // HLL cardinality sketch (deterministic md5 registers) per language,
     // alongside the exact distinct count the sketch approximates.
     "t8_hll_cardinality" -> ((s, dir) => {
+      // two consumers (sketch + exact count) — cache the exploded words
+      // so the documents scan/split/explode runs once; the bench/verify
+      // drivers release it via clearCache between queries
       val words = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
+        .cache()
       val est = Sketch.hllCardinality(words, Seq("lang"), col("w"))
       val exact = words.groupBy("lang")
         .agg(countDistinct(col("w")).as("n_exact"))
@@ -1698,8 +1703,14 @@ object SparkEntry {
         |compv AS (SELECT id, i, e[i+1] AS x FROM comp),
         |cen AS (SELECT cid, i, ${roundSql("sum(x)/count(*)", 9)} AS c
         |  FROM compv JOIN asg1 USING(id) GROUP BY 1, 2),
-        |ccs AS (SELECT cid, sum(c*c) AS cc FROM cen GROUP BY 1),
-        |vcs AS (SELECT compv.id, cen.cid, sum(x*c) AS vc FROM compv JOIN cen USING(i) GROUP BY 1, 2),
+        |init_comp AS (SELECT cid, i, c[i+1] AS c
+        |  FROM (SELECT cid, unnest(range(0, 64)) AS i, c FROM init)),
+        |empty AS (SELECT cid FROM init EXCEPT SELECT DISTINCT cid FROM asg1),
+        |full_cen AS (SELECT * FROM cen
+        |  UNION ALL SELECT ic.cid, ic.i, ic.c FROM init_comp ic JOIN empty USING(cid)),
+        |ccs AS (SELECT cid, sum(c*c) AS cc FROM full_cen GROUP BY 1),
+        |vcs AS (SELECT compv.id, full_cen.cid, sum(x*c) AS vc
+        |  FROM compv JOIN full_cen USING(i) GROUP BY 1, 2),
         |vvs AS (SELECT id, list_dot_product(e, e) AS vv FROM v),
         |a2 AS (SELECT vvs.id, vcs.cid, ${roundSql("vv - 2.0*vc + cc", 9)} AS d
         |  FROM vvs JOIN vcs USING(id) JOIN ccs USING(cid)),
@@ -1709,11 +1720,11 @@ object SparkEntry {
     "t10_decontaminate" ->
       """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
         |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-4, 0))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT id, array_to_string(ts[i+1:i+5], ' ') AS s FROM idx),
+        |sh AS (SELECT id, array_to_string(ts[i+1:i+5], ' ') AS s FROM idx),
         |hg AS (SELECT id,
         |  CAST(concat('0x', substr(md5(concat('ng:', s)), 1, 15)) AS BIGINT) AS g FROM sh),
         |tr AS (SELECT DISTINCT g FROM hg WHERE id % 10 <> 0),
-        |ev AS (SELECT id, g FROM hg WHERE id % 10 = 0),
+        |ev AS (SELECT DISTINCT id, g FROM hg WHERE id % 10 = 0),
         |hits AS (SELECT ev.id, count(*) AS n_grams,
         |    sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS n_hits
         |  FROM ev LEFT JOIN tr ON ev.g = tr.g GROUP BY 1),

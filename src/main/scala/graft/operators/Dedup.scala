@@ -234,10 +234,13 @@ object Dedup {
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    val trGrams = shingles(train, idCol, textCol, k)
+    // hash BEFORE the distinct: the dedup shuffle then carries fixed-width
+    // longs instead of raw k-gram strings (~k x the corpus text), and each
+    // side pays exactly one shuffle
+    val trGrams = shinglesRaw(train, idCol, textCol, k)
       .select(hash60("ng", col("s")).as("g")).distinct()
-    val evGrams = shingles(eval, idCol, textCol, k)
-      .select(col("id"), hash60("ng", col("s")).as("g"))
+    val evGrams = shinglesRaw(eval, idCol, textCol, k)
+      .select(col("id"), hash60("ng", col("s")).as("g")).distinct()
     val ids = eval.select(col(idCol).cast("long").as("id")).distinct()
     val hits = evGrams
       .join(trGrams.withColumn("hit", lit(1L)), Seq("g"), "left")

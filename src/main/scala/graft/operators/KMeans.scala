@@ -42,6 +42,9 @@ object KMeans {
         r.getSeq[Double](1).toArray)).toSeq
     require(init.size == k, s"need at least $k vectors, found ${init.size}")
     val dim = init.head._2.length
+    require(init.forall(_._2.length == dim),
+      s"inconsistent vector dimensions among init vectors (expected $dim); " +
+        "lloyd requires a fixed-dimension embedding column")
 
     def assigned(cens: Seq[(Long, Array[Double])]): DataFrame = {
       val vv = Similarity.dot(col("v"), col("v"))
@@ -64,11 +67,21 @@ object KMeans {
         .groupBy("cluster", "pos")
         .agg(round(sum(col("col")) / count(lit(1)), 9).as("c"))
         .collect()
-      cens = comps.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+      val updated = comps.groupBy(_.getLong(0)).map { case (cid, rows) =>
         val arr = new Array[Double](dim)
-        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-        (cid, arr)
-      }.sortBy(_._1)
+        rows.foreach { r =>
+          val pos = r.getInt(1)
+          require(pos < dim,
+            s"vector wider than the $dim-dim init vectors (component $pos); " +
+              "lloyd requires a fixed-dimension embedding column")
+          arr(pos) = r.getDouble(2)
+        }
+        cid -> arr
+      }
+      // a cluster that won no points keeps its previous centroid (standard
+      // Lloyd treatment) — silently dropping it would return fewer than k
+      // clusters whenever two init vectors coincide
+      cens = cens.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     assigned(cens).select(col("id").as(idCol), col("cluster"), col("dist2"))
   }

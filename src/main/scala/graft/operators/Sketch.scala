@@ -68,6 +68,9 @@ object Sketch {
     */
   def hllCardinality(df: DataFrame, groupCols: Seq[String],
       valueCol: Column): DataFrame = {
+    val reserved = Set("bucket", "rho", "m_b", "n_present", "s_present", "hll_est")
+    val clash = groupCols.toSet.intersect(reserved)
+    require(clash.isEmpty, s"group columns collide with internal names: $clash")
     val h = Dedup.hash60("hll", valueCol)
     val gc = groupCols.map(col)
     val reg = df

@@ -301,6 +301,20 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(2L)._2 == 1L) // closer to (4,4) than (0,0)
   }
 
+  test("kmeans: empty cluster keeps its previous centroid, k is preserved") {
+    // ids 0 and 1 are identical -> every point prefers cid 0 on ties,
+    // cluster 1 wins no points in the update; it must survive with its
+    // init centroid rather than vanish
+    val vecs = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.1f, 0.9f)), (3L, Seq(0.9f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.lloyd(vecs, "vec_id", "embedding", 2, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_ == 0L)) // all nearer the updated cluster 0
+  }
+
   test("hll sketch: estimate tracks exact cardinality within sketch error") {
     val n = 5000
     val vals = (0 until n).map(i => ("g", s"value_$i")).toDF("grp", "v")

@@ -116,15 +116,22 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.col
     val lake = new Lake(spark, root)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // hold out every 10th doc as the "eval set" the decontamination
+    // stage screens against the kept training corpus
+    val docs = all.filter(col("doc_id") % 10 =!= 0)
+    val evalDocs = all.filter(col("doc_id") % 10 === 0)
     val t0 = System.nanoTime()
     new graft.pipeline.CorpusPipeline(spark, lake)
-      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9)
+      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9,
+        evalDocs = Some(evalDocs))
     val secs = (System.nanoTime() - t0) / 1e9
     val stats = lake.table("corpus_stats").orderBy("lang").collect()
       .map(r => s"${r.getString(0)}:docs=${r.getLong(1)},kept=${r.getLong(2)},sampled=${r.getLong(3)}")
-    println(s"[corpus] ${f"$secs%.1f"}s ${stats.mkString(" ")}")
+    val leaked = lake.table("eval_contamination")
+      .filter(col("n_hits") > 0).count()
+    println(s"[corpus] ${f"$secs%.1f"}s ${stats.mkString(" ")} leaked_eval_docs=$leaked")
     spark.stop()
   }
 

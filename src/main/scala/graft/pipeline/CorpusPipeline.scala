@@ -13,11 +13,12 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * SURVEY §7 extension operators into the deployment shape they are
   * designed for:
   *
-  *   annotate (langid / quality / tokens / fingerprint)
+  *   annotate (langid / quality / tokens / fingerprint / unigram-LM score)
   *     → exact dedup → near-dup pairs (MinHash+LSH, exact-verified)
   *     → connected-components canonicalization
   *     → keep cluster representatives → stratified sample
   *     → corpus stats rollup
+  *     → (optional) eval-set decontamination report vs the kept corpus
   *
   * All stages are the already-oracle-verified operators; the pipeline
   * persists through the same Lake create/append/optimize triple as the
@@ -36,26 +37,35 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
 
   val tables: Seq[TableMeta] = Seq(
     tm("doc_annotations", "doc_id" -> L, "lang" -> S, "n_tokens" -> L,
-      "quality" -> F, "fingerprint" -> S)("doc_id"),
+      "quality" -> F, "fingerprint" -> S, "lm_score" -> F)("doc_id"),
     tm("doc_clusters", "doc_id" -> L, "canon_id" -> L, "is_dup" -> B)("doc_id"),
     tm("corpus_sample", "doc_id" -> L, "lang" -> S, "text" -> S)("doc_id"),
     tm("corpus_stats", "lang" -> S, "n_docs" -> L, "n_kept" -> L,
-      "n_sampled" -> L, "sum_tokens" -> L)("lang"))
+      "n_sampled" -> L, "sum_tokens" -> L)("lang"),
+    tm("eval_contamination", "doc_id" -> L, "n_grams" -> L, "n_hits" -> L,
+      "ratio" -> F)("doc_id"))
 
   /** Run the full curation DAG over `docs` (doc_id, text). Sample rates
     * are per-language fractions; `defaultRate` covers absent languages.
+    * When `evalDocs` is given, a 5-gram leakage report of that held-out
+    * set against the kept (post-dedup) corpus lands in
+    * `eval_contamination`.
     */
   def run(docs: DataFrame, rates: Map[String, Double],
-      defaultRate: Double): Unit = {
+      defaultRate: Double, evalDocs: Option[DataFrame] = None): Unit = {
     tables.foreach(lake.create(_, "replace"))
 
-    // 1. annotate — one narrow pass, no shuffle
+    // 1. annotate — a narrow per-row pass plus the unigram-LM score
+    // (vocabulary join; see TextAnalysis.unigramLogProb's scale notes)
     val annotated = TextAnalysis.qualityFeatures(docs, "text").select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       col("quality_score").as("quality"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .join(TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob").as("lm_score")),
+        Seq("doc_id"), "left")
     lake.append("doc_annotations", annotated)
     lake.optimize("doc_annotations")
 
@@ -92,5 +102,13 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
         sum(col("n_tokens")).as("sum_tokens"))
     lake.append("corpus_stats", stats)
     lake.optimize("corpus_stats")
+
+    // 5. split hygiene: report each eval doc's 5-gram leakage against the
+    // kept training corpus (the set a model would actually train on)
+    evalDocs.foreach { ev =>
+      val report = Dedup.contamination(kept, ev, "doc_id", "text", 5)
+      lake.append("eval_contamination", report)
+      lake.optimize("eval_contamination")
+    }
   }
 }

@@ -13,8 +13,17 @@ class CorpusPipelineSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
 
+    // plant a leaked eval doc (verbatim copy of a corpus doc) plus a
+    // clearly novel one
+    val firstText = docs.orderBy("doc_id").first().getString(1)
+    import spark.implicits._
+    val evalDocs = Seq(
+      (900001L, firstText),
+      (900002L, "zx qv wk jh pq mn bt cd ef gh")).toDF("doc_id", "text")
+
     new CorpusPipeline(spark, lake)
-      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9)
+      .run(docs, Map("en" -> 0.5, "de" -> 0.5), defaultRate = 0.9,
+        evalDocs = Some(evalDocs))
 
     val ann = lake.table("doc_annotations")
     val clusters = lake.table("doc_clusters")
@@ -37,6 +46,16 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bad == 0)
     assert(stats.agg(sum("n_docs")).first().getLong(0) == nDocs)
     assert(stats.agg(sum("n_sampled")).first().getLong(0) == sample.count())
+
+    // annotations carry a finite LM score for every doc
+    assert(ann.filter(col("lm_score").isNull || isnan(col("lm_score"))).count() == 0)
+
+    // decontamination: the verbatim copy is fully leaked, the novel doc not
+    val cont = lake.table("eval_contamination").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cont.size == 2)
+    assert(cont(900001L)._1 > 0 && cont(900001L)._2 == cont(900001L)._1)
+    assert(cont(900002L)._2 == 0L)
 
     // deterministic: a rerun into a fresh lake produces the same sample
     val root2 = java.nio.file.Files.createTempDirectory("graft_corpus2").toString

@@ -113,14 +113,13 @@ object Dedup {
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // one shingle derivation feeds everything: the distinct set is cached
-    // and consumed by the signature aggregation AND the 3 verification
-    // reads below (min over the distinct set = min over the multiset, and
-    // sharing the cache means the text is split/exploded/hashed once per
-    // run instead of twice — the r2 driver bench paid the double
-    // derivation on its cold first run)
-    val sh = shingles(df, idCol, textCol, k).cache()
-    val sig = minHashSignatures(sh, numHashes)
+    // the signature path consumes the RAW shingle stream: per-doc minima
+    // are multiset-invariant, so the narrow explode feeds minhash_agg's
+    // map-side partial aggregation directly and the corpus never pays a
+    // distinct shuffle or a corpus-sized cache here — the distinct set is
+    // derived below for CANDIDATE docs only (the population verification
+    // actually touches, a small fraction of the corpus by LSH design)
+    val sig = minHashSignatures(shinglesRaw(df, idCol, textCol, k), numHashes)
     val bandKeys = sig.select(col("id") +:
       (0 until bands).map { b =>
         md5(concat_ws(",",
@@ -129,11 +128,25 @@ object Dedup {
       }: _*)
     val long = bandKeys.selectExpr("id",
       s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
+    // the candidate pair set is SMALL (LSH's whole point) but referenced
+    // twice below — once to pick the docs verification must re-shingle,
+    // once as the join spine — and a lazily-cached frame with two
+    // consumers in one job race-computes the entire signature pipeline.
+    // An eager localCheckpoint materializes it exactly once and truncates
+    // the lineage consumers (e.g. canonicalize's iterations) re-plan over.
     val cand = bandedPairs(long, Seq("band", "bkey"), hotBandWidth)
-    // exact verification restricted to candidates: count shared shingles.
-    // The second join keys on (b, s) — shingle equality is part of the
-    // equi-join, not a post-filter, so the intersection never materializes
-    // the per-pair |sh_a|x|sh_b| cross product
+      .localCheckpoint(true)
+    // exact verification restricted to candidates: re-derive the DISTINCT
+    // shingle sets only for docs appearing in some candidate pair (a
+    // semi-join, then the narrow shingle explode + one small distinct
+    // shuffle over that subset) and count shared shingles. The second
+    // join keys on (b, s) — shingle equality is part of the equi-join,
+    // not a post-filter, so the intersection never materializes the
+    // per-pair |sh_a|x|sh_b| cross product
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+    val sh = shingles(df.join(candIds, Seq(idCol), "semi"),
+      idCol, textCol, k).cache()
     val interCnt = cand
       .join(sh.withColumnRenamed("id", "a"), "a")
       .join(sh.withColumnRenamed("id", "b"), Seq("b", "s"))
@@ -374,7 +387,7 @@ object Dedup {
     * `carry` renames extra columns onto each side of the pair, e.g.
     * `("simhash", "ha", "hb")` for the Hamming verification.
     */
-  private def bandedPairs(keyed: DataFrame, keyCols: Seq[String],
+  private[operators] def bandedPairs(keyed: DataFrame, keyCols: Seq[String],
       hotWidth: Int, carry: Seq[(String, String, String)] = Nil): DataFrame = {
     require(hotWidth > 0, "hotWidth must be positive")
     val kc = keyCols.map(col)

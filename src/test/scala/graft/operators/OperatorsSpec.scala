@@ -217,8 +217,15 @@ class OperatorsSpec extends SparkSpec {
       hotBandWidth = 8)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (0L until 40L).combinations(2).map(c => (c(0), c(1))).toSet)
-    // the candidate generation is actually routed through the salt
-    assert(pairs.queryExecution.executedPlan.toString.contains("_salt"))
+    // the candidate generation is actually routed through the salt —
+    // asserted on bandedPairs directly, because minHashLsh eagerly
+    // checkpoints the candidate frame and the final plan only shows the
+    // truncated lineage (Scan ExistingRDD), not the salted join inside it
+    val hotKeyed = ((0L until 40L).map(i => (i, 0, "hot")) :+
+      (99L, 0, "cold")).toDF("id", "band", "bkey")
+    val banded = Dedup.bandedPairs(hotKeyed, Seq("band", "bkey"), 8)
+    assert(banded.queryExecution.executedPlan.toString.contains("_salt"))
+    assert(banded.count() == 40L * 39 / 2)
     // and a single hot key's rows are spread across every salt bucket, so
     // its join work is divisible across `salts` tasks at scale (AQE off
     // for the probe: its small-output coalescing would legitimately merge

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Bloom, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -842,6 +842,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Bloom-pruned selective join: a bloom filter over the filtered dim's
+    // keys prunes fact rows before the join; false positives are removed
+    // by the exact join, so the oracle is the plain join — the bloom
+    // changes cost, never the answer.
+    "j14_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "part").filter(col("p_size") <= 2)
+      Bloom.prunedJoin(t(s, dir, "lineitem"), dim,
+          "l_partkey", "p_partkey", expectedItems = 20000L)
+        .groupBy("p_brand")
+        .agg((sumCents("l_extendedprice") / 100.0).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")
+    }),
+
     // Deterministic Lloyd k-means (k=8, one update round) on embeddings;
     // the oracle replays init/assign/update/assign as SQL CTEs.
     "n4_kmeans" -> ((s, dir) => {
@@ -863,6 +877,13 @@ object SparkEntry {
     // own add-one-smoothed unigram distribution.
     "t11_lm_score" -> ((s, dir) => {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition filters: duplicate-word, top-bigram, and
+    // duplicate-trigram fractions plus the filter verdict.
+    "t12_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1690,6 +1711,13 @@ object SparkEntry {
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
         |FROM iv JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j14_bloom_join" ->
+      """SELECT p_brand,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "n4_kmeans" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |init AS (SELECT id AS cid, e AS c FROM v ORDER BY id LIMIT 8),
@@ -1743,6 +1771,33 @@ object SparkEntry {
         |  round(sum(ln(CAST(c + 1 AS DOUBLE) / (t + v))) / count(*), 6) AS avg_logprob
         |FROM tt JOIN freq USING(w) CROSS JOIN g
         |GROUP BY id ORDER BY id""".stripMargin,
+    "t12_repetition" ->
+      """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
+        |g1 AS (SELECT id, 1 AS n, unnest(ts) AS g FROM tok),
+        |i2 AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-1, 0))) AS i FROM tok),
+        |g2 AS (SELECT id, 2 AS n, array_to_string(ts[i+1:i+2], ' ') AS g FROM i2),
+        |i3 AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
+        |g3 AS (SELECT id, 3 AS n, array_to_string(ts[i+1:i+3], ' ') AS g FROM i3),
+        |c AS (SELECT id, n, g, count(*) AS c FROM
+        |  (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+        |  GROUP BY 1, 2, 3),
+        |a AS (SELECT id,
+        |  CAST(sum(CASE WHEN n=1 THEN c END) AS BIGINT) AS nw,
+        |  CAST(count(CASE WHEN n=1 THEN 1 END) AS BIGINT) AS ndw,
+        |  CAST(sum(CASE WHEN n=2 THEN c END) AS BIGINT) AS nbg,
+        |  CAST(max(CASE WHEN n=2 THEN c END) AS BIGINT) AS maxbg,
+        |  CAST(sum(CASE WHEN n=3 THEN c END) AS BIGINT) AS ntg,
+        |  CAST(coalesce(sum(CASE WHEN n=3 AND c>1 THEN c END), 0) AS BIGINT) AS duptg
+        |  FROM c GROUP BY 1),
+        |m AS (SELECT id AS doc_id, nw AS n_words,
+        |  round(CAST(nw - ndw AS DOUBLE) / nw, 6) AS dup_word_frac,
+        |  round(coalesce(CAST(maxbg AS DOUBLE) / nbg, 0.0), 6) AS top_bigram_frac,
+        |  round(coalesce(CAST(duptg AS DOUBLE) / ntg, 0.0), 6) AS dup_trigram_frac
+        |  FROM a)
+        |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+        |  (dup_word_frac > 0.8 OR top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3)
+        |    AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t9_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,

@@ -101,7 +101,17 @@ object GraftExtensions {
     fn("ewma", classOf[EwmaAgg], ch => EwmaAgg(ch(0), ch(1))),
     fn("simhash_agg", classOf[SimHashAgg], ch => SimHashAgg(ch(0))),
     fn("minhash_agg", classOf[MinHashAgg], ch => MinHashAgg(ch(0), ch(1))),
-    fn("graft_dot", classOf[DotProduct], ch => DotProduct(ch(0), ch(1))))
+    fn("graft_dot", classOf[DotProduct], ch => DotProduct(ch(0), ch(1))),
+    // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
+    // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
+    // probe as a codegen'd predicate on the fact scan.
+    fn("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      ch => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ch(0), ch(1), ch(2))),
+    fn("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      ch => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(ch(0), ch(1))))
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -97,6 +97,56 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("avg_logprob"))
   }
 
+  /** Repetition metrics per document, after the Gopher data-quality
+    * filters (Rae et al. 2021, table A1): excessively repetitious text is
+    * boilerplate/spam and gets filtered before training. The corpus here
+    * has no line structure, so the line-based variants are expressed over
+    * token n-grams instead:
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that are repeats of
+    *    an earlier word (1 - distinct/total);
+    *  - `top_bigram_frac`: fraction of bigram occurrences taken by the
+    *    single most frequent bigram;
+    *  - `dup_trigram_frac`: fraction of trigram occurrences whose trigram
+    *    occurs more than once;
+    *  - `repetitive`: the filter verdict at Gopher-ish thresholds.
+    *
+    * Scale shape: ONE narrow explode emits all three gram streams tagged
+    * by n (no per-n passes over the text), one map-side-combinable count
+    * per (doc, n, gram), one per-doc fold — linear, shuffles bounded by
+    * the gram stream, never corpus x corpus.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def grams(k: Int): Column = {
+      val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+        .otherwise(array().cast("array<int>"))
+      transform(idxs, j => struct(lit(k).as("n"),
+        concat_ws(" ", slice(toks, j + 1, lit(k))).as("g")))
+    }
+    val counts = df
+      .select(col(idCol).as("id"),
+        explode(concat(grams(1), grams(2), grams(3))).as("e"))
+      .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val one = (n: Int, c: Column) => when(col("n") === n, c)
+    counts.groupBy("id").agg(
+        sum(one(1, col("c"))).as("nw"),
+        count(one(1, lit(1))).as("ndw"),
+        sum(one(2, col("c"))).as("nbg"),
+        max(one(2, col("c"))).as("maxbg"),
+        sum(one(3, col("c"))).as("ntg"),
+        coalesce(sum(when(col("n") === 3 && col("c") > 1, col("c"))), lit(0L)).as("duptg"))
+      .select(col("id").as(idCol),
+        col("nw").as("n_words"),
+        round((col("nw") - col("ndw")).cast("double") / col("nw"), 6).as("dup_word_frac"),
+        round(coalesce(col("maxbg").cast("double") / col("nbg"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("duptg").cast("double") / col("ntg"), lit(0.0)), 6).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18 ||
+          col("dup_trigram_frac") > 0.3)
+  }
+
   /** Top-k salient terms per document by TF-IDF, with BM25 alongside —
     * the relevance/keyword-extraction primitive of corpus curation.
     *

@@ -417,4 +417,48 @@ class OperatorsSpec extends SparkSpec {
     val all = top.collect()
     assert(all.groupBy(_.getLong(0)).forall(_._2.length == 2))
   }
+
+  test("repetition metrics: repeated text flagged, varied text passes") {
+    val corpus = Seq(
+      (0L, "buy now buy now buy now buy now buy now"),  // pure repetition
+      (1L, "the quick brown fox jumps over a lazy dog") // all-distinct words
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 0: 10 words, 2 distinct -> dup 0.8; bigrams 9, "buy now" x5 ->
+    // top 5/9; trigrams 8, every one occurs >=3 times -> dup 1.0
+    assert(m(0L).getDouble(2) == 0.8)
+    assert(math.abs(m(0L).getDouble(3) - 5.0 / 9) < 1e-6)
+    assert(m(0L).getDouble(4) == 1.0)
+    assert(m(0L).getBoolean(5))
+    // doc 1: 9 distinct words, no repeated gram of any order
+    assert(m(1L).getDouble(2) == 0.0 && m(1L).getDouble(3) > 0.0)
+    assert(m(1L).getDouble(4) == 0.0)
+    assert(!m(1L).getBoolean(5))
+  }
+
+  test("bloom-pruned join: identical to the plain join, actually prunes") {
+    val fact = (0L until 2000L).map(k => (k, s"v$k")).toDF("fk", "payload")
+    // dim matches only multiples of 100 -> 20 of 2000 fact rows survive
+    val dim = (0L until 2000L by 100L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = Bloom.prunedJoin(fact, dim, "fk", "dk", expectedItems = 32L)
+      .select("fk", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.size == 20)
+    // the pruning filter really cuts the fact side (fpp 3% of 1980 false
+    // candidates ~ 60; even 10x that stays far under the full 2000)
+    val kept = Bloom.prune(fact, dim, "fk", "dk", expectedItems = 32L).count()
+    assert(kept >= 20 && kept < 1000, s"bloom kept $kept of 2000")
+    // probe runs as the native predicate, not a UDF or a join (asserted
+    // on the analyzed plan: over a local relation the optimizer constant-
+    // folds the whole filter into the LocalTableScan, which is itself
+    // evidence the predicate is a first-class foldable expression)
+    val plan = Bloom.prune(fact, dim, "fk", "dk", expectedItems = 32L)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"))
+    // empty dim short-circuits to an empty (but same-schema) result
+    assert(Bloom.prunedJoin(fact, dim.filter(col("dk") < 0), "fk", "dk", 32L)
+      .count() == 0)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Bloom, Dedup, KMeans, Multimodal, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Bloom, Dedup, KMeans, Multimodal, Pq, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -860,6 +860,15 @@ object SparkEntry {
     // the oracle replays init/assign/update/assign as SQL CTEs.
     "n4_kmeans" -> ((s, dir) => {
       KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", 8, 1)
+    }),
+
+    // Product-quantization ANN: 4 subspaces x 16 Lloyd-trained codewords,
+    // asymmetric-distance top-10 per query (every 97th vector queries).
+    "n5_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.adcTopK(emb, emb.filter(col("vec_id") % 97 === 0),
+          "vec_id", "embedding", 4, 16, 10)
+        .orderBy("query_id", "rank")
     }),
 
     // Train/eval decontamination: 5-gram leakage of each held-out doc
@@ -1745,6 +1754,47 @@ object SparkEntry {
         |res AS (SELECT id, cid, d,
         |  row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM a2)
         |SELECT id AS vec_id, cid AS cluster, d AS dist2 FROM res WHERE rn = 1""".stripMargin,
+    "n5_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |comp AS (SELECT id, CAST(i // 16 AS INT) AS sub, CAST(i % 16 AS INT) AS j, e[i+1] AS x
+        |  FROM (SELECT id, e, unnest(range(0, 64)) AS i FROM v)),
+        |init AS (SELECT id AS cid, e FROM v ORDER BY id LIMIT 16),
+        |icomp AS (SELECT CAST(i // 16 AS INT) AS sub, cid, CAST(i % 16 AS INT) AS j, e[i+1] AS c
+        |  FROM (SELECT cid, e, unnest(range(0, 64)) AS i FROM init)),
+        |a1 AS (SELECT comp.id, comp.sub, icomp.cid,
+        |    ${roundSql("sum((x - c) * (x - c))", 9)} AS d
+        |  FROM comp JOIN icomp ON comp.sub = icomp.sub AND comp.j = icomp.j
+        |  GROUP BY 1, 2, 3),
+        |asg1 AS (SELECT id, sub, cid FROM (
+        |    SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn FROM a1)
+        |  WHERE rn = 1),
+        |cen AS (SELECT comp.sub, asg1.cid, comp.j, ${roundSql("sum(x)/count(*)", 9)} AS c
+        |  FROM comp JOIN asg1 ON comp.id = asg1.id AND comp.sub = asg1.sub
+        |  GROUP BY 1, 2, 3),
+        |emptyc AS (SELECT DISTINCT sub, cid FROM icomp
+        |  EXCEPT SELECT DISTINCT sub, cid FROM cen),
+        |fcen AS (SELECT * FROM cen
+        |  UNION ALL SELECT ic.sub, ic.cid, ic.j, ic.c FROM icomp ic JOIN emptyc USING(sub, cid)),
+        |a2 AS (SELECT comp.id, comp.sub, fcen.cid,
+        |    ${roundSql("sum((x - c) * (x - c))", 9)} AS d
+        |  FROM comp JOIN fcen ON comp.sub = fcen.sub AND comp.j = fcen.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT id, sub, cid FROM (
+        |    SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn FROM a2)
+        |  WHERE rn = 1),
+        |q AS (SELECT id FROM v WHERE id % 97 = 0),
+        |lut AS (SELECT comp.id AS qid, comp.sub, fcen.cid,
+        |    ${roundSql("sum((x - c) * (x - c))", 9)} AS d
+        |  FROM comp JOIN q ON comp.id = q.id
+        |  JOIN fcen ON comp.sub = fcen.sub AND comp.j = fcen.j
+        |  GROUP BY 1, 2, 3),
+        |ad AS (SELECT qid, codes.id, ${roundSql("sum(d)", 6)} AS adist
+        |  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.cid = lut.cid
+        |  WHERE qid <> codes.id GROUP BY 1, 2),
+        |r AS (SELECT qid, id, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn FROM ad)
+        |SELECT qid AS query_id, id AS vec_id, adist, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 10 ORDER BY 1, 4""".stripMargin,
     "t10_decontaminate" ->
       """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
         |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-4, 0))) AS i FROM tok),

@@ -437,6 +437,30 @@ class OperatorsSpec extends SparkSpec {
     assert(!m(1L).getBoolean(5))
   }
 
+  test("pq: identical vectors share codes; adc finds the near cluster") {
+    // two well-separated clusters in 8-dim space (m=2 subspaces of 4)
+    def vec(base: Double, i: Int): Seq[Double] =
+      (0 until 8).map(d => base + 0.01 * i + 0.001 * d)
+    val rows = (0L until 20L).map(i => (i, vec(0.0, i.toInt))) ++
+      (20L until 40L).map(i => (i, vec(100.0, i.toInt - 20)))
+    val db = rows.toDF("vec_id", "embedding")
+    val cb = Pq.codebooks(db, "vec_id", "embedding", 2, 4)
+    assert(cb.count() == 2 * 4 * 4) // sub x cid x j
+    val codes = Pq.encode(db, "vec_id", "embedding", 2, cb)
+      .groupBy("id").agg(sort_array(collect_list(concat_ws(":", col("sub"), col("cid")))).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(codes(0L) == codes(1L) || codes(0L) != codes(20L),
+      "near vectors should not code like far ones")
+    assert(codes(20L) == codes(21L)) // same cluster, same nearest codewords
+    val top = Pq.adcTopK(db, db.filter(col("vec_id").isin(0L, 25L)),
+      "vec_id", "embedding", 2, 4, 5)
+    val byQ = top.collect().groupBy(_.getLong(0))
+    // every neighbor of query 0 is in cluster A, of query 25 in cluster B
+    assert(byQ(0L).forall(_.getLong(1) < 20L))
+    assert(byQ(25L).forall(r => r.getLong(1) >= 20L && r.getLong(1) != 25L))
+    assert(byQ(0L).map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("bloom-pruned join: identical to the plain join, actually prunes") {
     val fact = (0L until 2000L).map(k => (k, s"v$k")).toDF("fk", "payload")
     // dim matches only multiples of 100 -> 20 of 2000 fact rows survive

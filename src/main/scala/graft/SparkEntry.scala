@@ -896,6 +896,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Conditional two-way counts across a big-big join — TPC-H Q12 shape
+    // (adapted: this schema has no ship mode, so priority bands play the
+    // high/low role).
+    "q12_priority_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Distribution query — TPC-H Q13: orders per customer, then customers
+    // per order count (left join keeps zero-order customers).
+    "q13_custdist" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("c_count"))
+      t(s, dir, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // Small-quantity-order revenue — TPC-H Q17 shape: lineitems under 20%
+    // of their part's average quantity. The per-part average joins back to
+    // the fact (aggregate-then-join, partial-aggregated on both sides);
+    // quantities compare in exact integer cents.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val avgq = li.groupBy("l_partkey")
+        .agg((sum(qc).cast("double") / count(lit(1))).as("avg_qc"))
+      li.join(avgq, "l_partkey")
+        .filter(qc.cast("double") < lit(0.2) * col("avg_qc"))
+        .agg((sumCents("l_extendedprice") / 700.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Dormant-rich-customer rollup — TPC-H Q22 shape: customers with
+    // above-average (positive) balance and no RECENT orders (none since
+    // 1998; every customer in this data has SOME order), counted per
+    // nation. Balance sums/averages stay in integer cents; the
+    // no-recent-orders check is an anti-join against the filtered orders.
+    "q22_dormant" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+      val avgPos = cust.filter(col("bal_c") > 0)
+        .agg((sum(col("bal_c")).cast("double") / count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgPos))
+        .filter(col("bal_c").cast("double") > col("avg_bal"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") >= "1998-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")) / 100.0).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // Corpus scrubbing: PII-ish patterns (emails, long digit runs) are
     // counted and redacted; the digest of the redacted text is compared so
     // the oracle certifies the full rewritten string, not just the counts.
@@ -1848,6 +1909,40 @@ object SparkEntry {
         |  (dup_word_frac > 0.8 OR top_bigram_frac > 0.18 OR dup_trigram_frac > 0.3)
         |    AS repetitive
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY 1)
+        |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |av AS (SELECT l_partkey, CAST(sum(qc) AS DOUBLE)/count(*) AS avg_qc
+        |  FROM li GROUP BY 1)
+        |SELECT sum(pc)/700.0 AS avg_yearly, count(*) AS n_lines
+        |FROM li JOIN av USING(l_partkey)
+        |WHERE CAST(qc AS DOUBLE) < 0.2 * avg_qc""".stripMargin,
+    "q22_dormant" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |av AS (SELECT CAST(sum(bal_c) AS DOUBLE)/count(*) AS avg_bal
+        |  FROM cust WHERE bal_c > 0)
+        |SELECT c_nationkey, count(*) AS numcust, sum(bal_c)/100.0 AS totacctbal
+        |FROM cust CROSS JOIN av
+        |WHERE CAST(bal_c AS DOUBLE) > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t9_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,

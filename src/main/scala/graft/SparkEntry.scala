@@ -1889,7 +1889,9 @@ object SparkEntry {
         |g2 AS (SELECT id, 2 AS n, array_to_string(ts[i+1:i+2], ' ') AS g FROM i2),
         |i3 AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
         |g3 AS (SELECT id, 3 AS n, array_to_string(ts[i+1:i+3], ' ') AS g FROM i3),
-        |c AS (SELECT id, n, g, count(*) AS c FROM
+        |c AS (SELECT id, n,
+        |  CAST(concat('0x', substr(md5(concat('rep:', g)), 1, 15)) AS BIGINT) AS g,
+        |  count(*) AS c FROM
         |  (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
         |  GROUP BY 1, 2, 3),
         |a AS (SELECT id,

@@ -51,11 +51,17 @@ object Dedup {
     * they can consume this directly.
     */
   def shinglesRaw(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // split once into a materialized column: the transform lambda below
+    // runs interpreted (HOFs don't codegen), and a lambda body that
+    // references the split() EXPRESSION re-splits the text per array
+    // element — O(tokens^2) per doc; an attribute reference is a bound
+    // row read
+    val toks = col("_ts")
     val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
       .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("id"),
-      explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("_ts"))
+      .select(col("id"),
+        explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
   }
 
   /** Distinct word k-gram shingles per document: (id, shingle). */

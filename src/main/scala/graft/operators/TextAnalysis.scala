@@ -117,17 +117,30 @@ object TextAnalysis {
     * the gram stream, never corpus x corpus.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // materialize the token array BEFORE the gram lambdas: higher-order
+    // functions evaluate interpreted, so a lambda body referencing the
+    // split() expression re-splits the text once per array ELEMENT
+    // (O(tokens^2) per doc); referencing a materialized column is a bound
+    // row read
+    val base = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("_ts"))
+    val toks = col("_ts")
     def grams(k: Int): Column = {
       val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
         .otherwise(array().cast("array<int>"))
       transform(idxs, j => struct(lit(k).as("n"),
         concat_ws(" ", slice(toks, j + 1, lit(k))).as("g")))
     }
-    val counts = df
-      .select(col(idCol).as("id"),
+    // grams are hashed to 60-bit longs BEFORE the count shuffle (mirrored
+    // md5 family, same as Dedup.contamination): the shuffle carries
+    // fixed-width keys instead of up-to-3-word strings, and any hash
+    // collision affects both engines identically so the oracle still
+    // matches bit-for-bit
+    val counts = base
+      .select(col("id"),
         explode(concat(grams(1), grams(2), grams(3))).as("e"))
-      .select(col("id"), col("e.n").as("n"), col("e.g").as("g"))
+      .select(col("id"), col("e.n").as("n"),
+        Dedup.hash60("rep", col("e.g")).as("g"))
       .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
     val one = (n: Int, c: Column) => when(col("n") === n, c)
     counts.groupBy("id").agg(

@@ -37,7 +37,8 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
 
   val tables: Seq[TableMeta] = Seq(
     tm("doc_annotations", "doc_id" -> L, "lang" -> S, "n_tokens" -> L,
-      "quality" -> F, "fingerprint" -> S, "lm_score" -> F)("doc_id"),
+      "quality" -> F, "fingerprint" -> S, "lm_score" -> F,
+      "repetitive" -> B)("doc_id"),
     tm("doc_clusters", "doc_id" -> L, "canon_id" -> L, "is_dup" -> B)("doc_id"),
     tm("corpus_sample", "doc_id" -> L, "lang" -> S, "text" -> S)("doc_id"),
     tm("corpus_stats", "lang" -> S, "n_docs" -> L, "n_kept" -> L,
@@ -66,6 +67,9 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
       .join(TextAnalysis.unigramLogProb(docs, "doc_id", "text")
         .select(col("doc_id"), col("avg_logprob").as("lm_score")),
         Seq("doc_id"), "left")
+      .join(TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+        .select(col("doc_id"), col("repetitive")),
+        Seq("doc_id"), "left")
     lake.append("doc_annotations", annotated)
     lake.optimize("doc_annotations")
 
@@ -77,11 +81,14 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
     lake.append("doc_clusters", clusters)
     lake.optimize("doc_clusters")
 
-    // 3. keep one representative per cluster, then language-stratified
-    // deterministic sample of the kept docs
-    val kept = docs.join(
-      lake.table("doc_clusters").filter(!col("is_dup")).select("doc_id"),
-      "doc_id")
+    // 3. keep one representative per cluster, drop repetitious docs
+    // (Gopher-style filter), then language-stratified deterministic
+    // sample of the kept docs
+    val kept = docs
+      .join(lake.table("doc_clusters").filter(!col("is_dup")).select("doc_id"),
+        "doc_id")
+      .join(lake.table("doc_annotations").filter(!col("repetitive"))
+        .select("doc_id"), "doc_id")
     val keptLang = kept.join(
       lake.table("doc_annotations").select("doc_id", "lang"), "doc_id")
     val sampled = Sampling.stratifiedSample(
@@ -97,7 +104,8 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
         Seq("doc_id"), "left")
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        sum(when(!col("is_dup"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("is_dup") && !col("repetitive"), 1L).otherwise(0L))
+          .as("n_kept"),
         sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n_sampled"),
         sum(col("n_tokens")).as("sum_tokens"))
     lake.append("corpus_stats", stats)

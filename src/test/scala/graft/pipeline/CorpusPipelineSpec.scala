@@ -9,14 +9,18 @@ class CorpusPipelineSpec extends SparkSpec {
   test("corpus pipeline: annotate -> dedup -> sample -> stats funnel is consistent") {
     val root = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val lake = new Lake(spark, root)
+    import spark.implicits._
+    // plant a repetitious spam doc: the Gopher-style gate must drop it
+    val spam = Seq((800001L, Array.fill(30)("buy now").mkString(" ")))
+      .toDF("doc_id", "text")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .unionByName(spam)
     val nDocs = docs.count()
 
     // plant a leaked eval doc (verbatim copy of a corpus doc) plus a
     // clearly novel one
     val firstText = docs.orderBy("doc_id").first().getString(1)
-    import spark.implicits._
     val evalDocs = Seq(
       (900001L, firstText),
       (900002L, "zx qv wk jh pq mn bt cd ef gh")).toDF("doc_id", "text")
@@ -49,6 +53,12 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // annotations carry a finite LM score for every doc
     assert(ann.filter(col("lm_score").isNull || isnan(col("lm_score"))).count() == 0)
+
+    // the planted spam doc is flagged repetitive and filtered before
+    // sampling; the organic corpus (random-word docs) is not flagged
+    assert(ann.filter(col("doc_id") === 800001L).first().getAs[Boolean]("repetitive"))
+    assert(sample.filter(col("doc_id") === 800001L).count() == 0)
+    assert(ann.filter(col("repetitive")).count() < nDocs / 2)
 
     // decontamination: the verbatim copy is fully leaked, the novel doc not
     val cont = lake.table("eval_contamination").collect()

@@ -906,7 +906,10 @@ object SparkEntry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          // when(high, 0).otherwise(1), NOT when(!high, ...): a NULL
+          // priority must land in the low bucket exactly like the
+          // oracle's CASE ... ELSE 1
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy("l_returnflag")
     }),
 

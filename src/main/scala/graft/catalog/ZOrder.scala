@@ -36,7 +36,9 @@ object ZOrder {
     val maxQ = (1L << bits) - 1
     val quantized = cols.zip(ranges).map { case (c, (lo, hi)) =>
       val unit = if (hi > lo) (c.cast("double") - lo) / (hi - lo) else lit(0.0)
-      // clamp: values outside the sampled range saturate at the ends
+      // clamp: values outside the sampled range saturate at the ends;
+      // a NULL value quantizes to the minimum corner (greatest(null,0)=0)
+      // — acceptable for a layout hint, but nulls cluster in bucket 0
       least(greatest(round(unit * maxQ).cast("long"), lit(0L)), lit(maxQ))
     }
     // bit b of column i lands at position b * d + i
@@ -53,10 +55,13 @@ object ZOrder {
     */
   def write(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int, bits: Int = 16): Unit = {
+    require(!df.columns.contains("_z"),
+      "input already has a _z column; rename it before z-ordering")
     val aggCols = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head
-    require(!bounds.isNullAt(0), "cannot z-order an empty frame")
+    zCols.indices.foreach(i => require(!bounds.isNullAt(2 * i),
+      s"cannot z-order: column ${zCols(i)} is empty or all-null"))
     val ranges = zCols.indices.map(i => (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1)))
     val z = zValue(zCols.map(col), ranges, bits)
     df.withColumn("_z", z)

@@ -57,16 +57,30 @@ object Bloom {
   def prune(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
+    // xxhash64 dispatches on input TYPE: the same numeric value hashes
+    // differently as int vs bigint, so an int fact key probed against a
+    // filter built from a bigint dim key would prune every true match.
+    // Hash both sides through the tightest common type, like the join's
+    // own coercion would.
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    val common =
+      if (ft == dt) ft
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(ft, dt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloom keys have incompatible types: $factKey is ${ft.sql}, " +
+            s"$dimKey is ${dt.sql}"))
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     // one aggregation job over the dim side builds the filter eagerly;
     // a null result means the dim is EMPTY — the join is empty, short-
     // circuit rather than probing a null filter
     val bf = dim
-      .select(call_function("bloom_agg", xxhash64(col(dimKey)),
+      .select(call_function("bloom_agg", xxhash64(col(dimKey).cast(common)),
         lit(expectedItems), lit(numBits)).as("bf"))
       .head.getAs[Array[Byte]](0)
     if (bf == null) fact.limit(0)
     else fact.filter(call_function("bloom_might_contain", lit(bf),
-      xxhash64(col(factKey))))
+      xxhash64(col(factKey).cast(common))))
   }
 }

@@ -50,19 +50,11 @@ object Dedup {
     * narrow (no shuffle); min-based signatures are multiset-invariant so
     * they can consume this directly.
     */
-  def shinglesRaw(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // split once into a materialized column: the transform lambda below
-    // runs interpreted (HOFs don't codegen), and a lambda body that
-    // references the split() EXPRESSION re-splits the text per array
-    // element — O(tokens^2) per doc; an attribute reference is a bound
-    // row read
-    val toks = col("_ts")
-    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-      .otherwise(array().cast("array<int>"))
+  def shinglesRaw(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    // token array materialized first — see TextAnalysis.gramArray's contract
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("_ts"))
       .select(col("id"),
-        explode(transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))).as("s"))
-  }
+        explode(TextAnalysis.gramArray(col("_ts"), k)).as("s"))
 
   /** Distinct word k-gram shingles per document: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

@@ -15,6 +15,21 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(textCol: Column): Column = split(textCol, " ")
 
+  /** Array of word k-grams over a MATERIALIZED token-array column.
+    *
+    * `toks` must be an attribute reference (a column produced by a prior
+    * select), not the `split()` expression itself: higher-order functions
+    * evaluate interpreted, and a lambda body containing `split()` would
+    * re-split the text once per array element — O(tokens²) per document.
+    * This helper is the single home of that trick; [[Dedup.shinglesRaw]]
+    * and [[repetitionMetrics]] both build on it.
+    */
+  private[operators] def gramArray(toks: Column, k: Int): Column = {
+    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))
+  }
+
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")
 
@@ -117,20 +132,12 @@ object TextAnalysis {
     * the gram stream, never corpus x corpus.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the token array BEFORE the gram lambdas: higher-order
-    // functions evaluate interpreted, so a lambda body referencing the
-    // split() expression re-splits the text once per array ELEMENT
-    // (O(tokens^2) per doc); referencing a materialized column is a bound
-    // row read
+    // token array materialized first — see gramArray's contract
     val base = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("_ts"))
-    val toks = col("_ts")
-    def grams(k: Int): Column = {
-      val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-        .otherwise(array().cast("array<int>"))
-      transform(idxs, j => struct(lit(k).as("n"),
-        concat_ws(" ", slice(toks, j + 1, lit(k))).as("g")))
-    }
+    def grams(k: Int): Column =
+      transform(gramArray(col("_ts"), k),
+        g => struct(lit(k).as("n"), g.as("g")))
     // grams are hashed to 60-bit longs BEFORE the count shuffle (mirrored
     // md5 family, same as Dedup.contamination): the shuffle carries
     // fixed-width keys instead of up-to-3-word strings, and any hash

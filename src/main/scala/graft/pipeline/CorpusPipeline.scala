@@ -70,6 +70,9 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
       .join(TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
         .select(col("doc_id"), col("repetitive")),
         Seq("doc_id"), "left")
+      // a doc with NULL text yields no gram rows and no repetition row;
+      // null is NOT repetitive (the gate below must not silently drop it)
+      .withColumn("repetitive", coalesce(col("repetitive"), lit(false)))
     lake.append("doc_annotations", annotated)
     lake.optimize("doc_annotations")
 
@@ -84,15 +87,15 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
     // 3. keep one representative per cluster, drop repetitious docs
     // (Gopher-style filter), then language-stratified deterministic
     // sample of the kept docs
+    // one annotations join serves both the repetition gate and the
+    // language tag (repetitive is never null: annotate coalesces it)
     val kept = docs
       .join(lake.table("doc_clusters").filter(!col("is_dup")).select("doc_id"),
         "doc_id")
       .join(lake.table("doc_annotations").filter(!col("repetitive"))
-        .select("doc_id"), "doc_id")
-    val keptLang = kept.join(
-      lake.table("doc_annotations").select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang"), "doc_id")
     val sampled = Sampling.stratifiedSample(
-      keptLang, "doc_id", col("lang"), rates, defaultRate)
+      kept, "doc_id", col("lang"), rates, defaultRate)
     lake.append("corpus_sample", sampled.select("doc_id", "lang", "text"))
     lake.optimize("corpus_sample")
 

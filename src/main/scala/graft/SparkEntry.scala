@@ -587,6 +587,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Deterministic weighted sample (A-Res): 100 docs, probability
+    // proportional to text length, reproducible across engines.
+    "x2_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          length(col("text")), 100)
+        .select(col("doc_id"), length(col("text")).cast("long").as("wt"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     // Per-language exact length percentiles (linear interpolation — the
     // same definition as DuckDB's quantile_cont).
     "t6_length_percentiles" -> ((s, dir) => {
@@ -820,6 +830,26 @@ object SparkEntry {
       exact.join(est, "lang")
         .select(col("lang"), col("n_exact"), col("n_present"), col("hll_est"))
         .orderBy("lang")
+    }),
+
+    // Count-min-sketch heavy hitters: estimated vs exact occurrence
+    // counts for the corpus's top-20 words — est >= exact always (CMS
+    // over-estimates only, via bucket collisions).
+    "t13_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .cache()
+      val sketch = Sketch.countMin(words, col("w"))
+      val est = Sketch.countMinEstimate(words.distinct(), "w", sketch)
+      val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))
+      val ranked = est.join(exact, "w")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("est").desc, col("w").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+      ranked.select(col("w").as("word"), col("est"), col("exact"), col("rank"))
+        .orderBy("rank")
     }),
 
     // Point-in-interval (non-equi) join via bin bucketing: lineitems
@@ -1594,6 +1624,18 @@ object SparkEntry {
          |SELECT doc_id, lang FROM b
          |WHERE bkt < (CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
          |             ELSE 800000 END)""".stripMargin,
+    "x2_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS wt FROM documents),
+        |k AS (SELECT doc_id, wt,
+        |    ${roundSql(
+            "ln((CAST(CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0) " +
+            "/ 1152921504606846976.0) / CAST(wt AS DOUBLE)", 9)} AS wskey
+        |  FROM d WHERE wt > 0),
+        |r AS (SELECT doc_id, wt,
+        |    row_number() OVER (ORDER BY wskey DESC, doc_id ASC) AS rank
+        |  FROM k)
+        |SELECT doc_id, wt, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "t6_length_percentiles" ->
       s"""WITH lp AS (SELECT * FROM ($langIdSql) t),
          |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
@@ -1775,6 +1817,26 @@ object SparkEntry {
         |ex AS (SELECT lang, count(DISTINCT w) AS n_exact FROM ww GROUP BY 1)
         |SELECT ex.lang, n_exact, n_present, hll_est
         |FROM ex JOIN est USING(lang) ORDER BY 1""".stripMargin,
+    "t13_heavy_hitters" -> {
+      val hashes = (0 until 4).map(r =>
+        s"SELECT w, $r AS r, CAST(concat('0x', substr(md5(concat('cm$r:', w)), 1, 15)) AS BIGINT) % 1024 AS b FROM wf")
+        .mkString("\n  UNION ALL ")
+      s"""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w FROM wd WHERE w <> ''),
+        |pairs AS (
+        |  $hashes),
+        |sk AS (SELECT r, b, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+        |vp AS (SELECT DISTINCT w, r, b FROM pairs),
+        |est AS (SELECT vp.w, min(coalesce(cnt, 0)) AS est
+        |  FROM vp LEFT JOIN sk USING(r, b) GROUP BY 1),
+        |ex AS (SELECT w, count(*) AS exact FROM wf GROUP BY 1),
+        |j AS (SELECT est.w AS word, CAST(est.est AS BIGINT) AS est,
+        |    CAST(ex.exact AS BIGINT) AS exact,
+        |    row_number() OVER (ORDER BY est.est DESC, est.w ASC) AS rank
+        |  FROM est JOIN ex ON est.w = ex.w)
+        |SELECT word, est, exact, CAST(rank AS BIGINT) AS rank
+        |FROM j WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
     "j13_range_join" ->
       """WITH iv AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,

@@ -33,6 +33,38 @@ object Sampling {
     * (strata absent from `rates` get `defaultFraction`). The rates map is
     * a literal CASE expression — no join, still a narrow scan-side filter.
     */
+  /** Deterministic weighted sample WITHOUT replacement of `n` rows
+    * (Efraimidis & Spirakis 2006, A-Res): each row draws a reproducible
+    * uniform u from its key's hash and ranks by u^(1/weight) — rows with
+    * twice the weight are twice as likely to make the cut. Ranking uses
+    * the monotone-equivalent ln(u)/weight, ROUNDED to 9 d.p. with the key
+    * as tie-break, so an independent engine reproduces the exact row set.
+    *
+    * Scale shape: the sort key is a narrow per-row expression and the
+    * top-n runs as TakeOrderedAndProject (per-partition heads, one merge
+    * of n·partitions rows) — no global sort, no shuffle of the corpus.
+    * Zero/negative weights are excluded (they can never win a draw).
+    *
+    * @return the sampled rows plus (`_wskey`, `rank`).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    // u = (h+1)/2^60 in (0, 1]; the long->double cast rounds identically
+    // under IEEE on any engine
+    val u = (Dedup.hash60("ws", col(keyCol).cast("string")).cast("double") + 1.0) /
+      lit((1L << 60).toDouble)
+    val key = round(log(u) / weightCol.cast("double"), 9)
+    val top = df.filter(weightCol > 0)
+      .withColumn("_wskey", key)
+      .orderBy(col("_wskey").desc, col(keyCol).asc)
+      .limit(n)
+    // rank assigned after the top-n cut: the window spans n rows, not df
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("_wskey").desc, col(keyCol).asc)).cast("long"))
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: Column,
       rates: Map[String, Double], defaultFraction: Double): DataFrame = {
     require((defaultFraction +: rates.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),

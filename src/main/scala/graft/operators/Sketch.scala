@@ -91,4 +91,44 @@ object Sketch {
       lit(256.0) * log(lit(256.0) / zeros)).otherwise(raw)
     g.select(gc :+ col("n_present") :+ round(est, 4).as("hll_est"): _*)
   }
+
+  /** The (row, bucket) pair stream for a count-min sketch: each input
+    * value lands in one bucket per hash row, tags `cm0..cm{d-1}` keeping
+    * the rows independent. Plan-time unrolled so the same md5 family can
+    * be mirrored literally in oracle SQL.
+    */
+  private def cmPairs(valueCol: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(Dedup.hash60(s"cm$r", valueCol), lit(width.toLong)).as("b"))): _*))
+
+  /** Count-min sketch of the frequency of `valueCol` occurrences
+    * (Cormode & Muthukrishnan 2005): `depth` hash rows x `width` buckets
+    * of exact integer counts. Mergeable sums — map-side combine works,
+    * the shuffle carries at most depth·width rows, and two sketches add
+    * bucket-wise — so the build is one narrow pass at any scale.
+    *
+    * @return (r, b, cnt) — the sketch table.
+    */
+  def countMin(df: DataFrame, valueCol: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(cmPairs(valueCol, depth, width).as("e"))
+      .select(col("e.r").as("r"), col("e.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: estimated occurrence count per item —
+    * min over the item's `depth` buckets, the classic CMS upper bound
+    * (est >= true count always; over-estimates come only from bucket
+    * collisions). Items absent from every bucket estimate 0.
+    */
+  def countMinEstimate(items: DataFrame, itemCol: String, sketch: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    items
+      .select(col(itemCol), cmPairs(col(itemCol), depth, width).as("e"))
+      .select(col(itemCol), col("e.r").as("r"), col("e.b").as("b"))
+      .join(sketch, Seq("r", "b"), "left")
+      .groupBy(itemCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -186,6 +186,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_.getString(1) == "a"))
   }
 
+  test("weighted sampling: deterministic, proportional, without replacement") {
+    // 500 heavy (weight 100) + 500 light (weight 1) rows
+    val rows = (0L until 500L).map((_, 100L)) ++ (500L until 1000L).map((_, 1L))
+    val df = rows.toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", col("w"), 200)
+      .select("id").collect().map(_.getLong(0))
+    val s2 = Sampling.weightedSample(df, "id", col("w"), 200)
+      .select("id").collect().map(_.getLong(0))
+    assert(s1.sorted.toSeq == s2.sorted.toSeq) // rerun-stable
+    assert(s1.distinct.length == 200)          // without replacement
+    // heavy rows dominate: E[heavy] >> E[light] at 100:1 weights
+    val heavy = s1.count(_ < 500L)
+    assert(heavy > 150, s"only $heavy of 200 sampled rows were heavy-weight")
+    // zero-weight rows can never be drawn
+    val withZero = df.withColumn("w", when(col("id") === 7L, 0L).otherwise(col("w")))
+    val s3 = Sampling.weightedSample(withZero, "id", col("w"), 1000).collect()
+    assert(!s3.exists(_.getLong(0) == 7L) && s3.length == 999)
+  }
+
   test("canonicalize: multi-hop clusters collapse to the min id") {
     // components: {1,2,3,4} via a chain (diameter 3 — forces iteration),
     // {6,7} via one edge, {5, 9} singletons
@@ -435,6 +454,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L).getDouble(2) == 0.0 && m(1L).getDouble(3) > 0.0)
     assert(m(1L).getDouble(4) == 0.0)
     assert(!m(1L).getBoolean(5))
+  }
+
+  test("count-min: never under-estimates; tight without collisions") {
+    val words = Seq.fill(100)("alpha") ++ Seq.fill(10)("beta") ++ Seq("gamma")
+    val df = words.toDF("w")
+    // roomy sketch: 1024 buckets for 3 items -> no collisions, est exact
+    val roomy = Sketch.countMinEstimate(df.distinct(), "w",
+      Sketch.countMin(df, col("w")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(roomy == Map("alpha" -> 100L, "beta" -> 10L, "gamma" -> 1L))
+    // cramped sketch: width 2 forces collisions -> over-estimates only
+    val tight = Sketch.countMinEstimate(df.distinct(), "w",
+      Sketch.countMin(df, col("w"), depth = 2, width = 2), depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight("alpha") >= 100L && tight("beta") >= 10L && tight("gamma") >= 1L)
+    // an item never inserted estimates from whatever shares its buckets —
+    // present in the roomy sketch as 0 (empty buckets)
+    val absent = Sketch.countMinEstimate(Seq("delta").toDF("w"), "w",
+      Sketch.countMin(df, col("w")))
+      .collect().head.getLong(1)
+    assert(absent == 0L)
   }
 
   test("pq: identical vectors share codes; adc finds the near cluster") {

@@ -674,6 +674,16 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", pairs)
     }),
 
+    // C4-style corpus-wide duplicate-segment removal: non-overlapping
+    // 10-word segments, first corpus occurrence wins, documents rebuilt
+    // from their surviving segments.
+    "d7_dedup_segments" -> ((s, dir) => {
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+        .select(col("id").as("doc_id"), col("n_segments"), col("n_kept"),
+          col("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dups via banded Hamming blocking.
     "d4_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
@@ -1690,6 +1700,20 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(l) AS canon_id, (min(l) <> id) AS is_dup
          |FROM lbl GROUP BY id""".stripMargin,
+    "d7_dedup_segments" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ci,
+        |    array_to_string(list_slice(ws, ci*10 + 1, ci*10 + 10), ' ') AS seg
+        |  FROM w CROSS JOIN range(0, 16) t(ci)
+        |  WHERE ci < ceil(len(ws) / 10.0)),
+        |k AS (SELECT doc_id, ci, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, ci) AS rn
+        |  FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(
+        |    list(seg ORDER BY ci) FILTER (WHERE rn = 1), ' '), '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_dedup_simhash" -> simHashSql,
     "d5_dedup_embcos" -> embCosSql,
     "n2_ann_lsh" -> annLshSql,

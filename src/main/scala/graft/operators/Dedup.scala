@@ -370,6 +370,48 @@ object Dedup {
     */
   val defaultHotBandWidth: Int = 1024
 
+  /** Corpus-wide duplicate-segment removal (the C4 recipe re-expressed at
+    * word-chunk granularity, since this corpus has no newlines): split
+    * each document into non-overlapping `k`-word segments, keep only the
+    * FIRST occurrence of each distinct segment corpus-wide — first =
+    * lexicographic min of (doc id, segment index) — and rebuild each
+    * document from its surviving segments.
+    *
+    * Scale shape: the segment stream is narrow (one explode, no shuffle);
+    * the keeper election is ONE hash shuffle on the segment value with a
+    * map-side-combinable min(struct) aggregate; the join back is a second
+    * shuffle on the same key (co-partitioned with the election, so AQE
+    * reuses the exchange); the per-doc rebuild is a third. All linear in
+    * corpus size — at 100 TB you'd key the shuffle on a segment hash and
+    * keep the string only for the final equality check.
+    *
+    * @return per-document (id, n_segments, n_kept, kept_text), where
+    *         kept_text is the surviving segments joined in order ("" if
+    *         every segment was seen earlier in the corpus).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "segment width must be positive")
+    val ws = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_ws"))
+    // ceil(n/k) chunk starts; slice handles the short tail chunk
+    val nSeg = ceil(size(col("_ws")) / lit(k.toDouble)).cast("int")
+    val segs = ws
+      .select(col("id"), posexplode(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(col("_ws"), i * k + 1, lit(k)), " "))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "seg")
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("ci"))).as("_first"))
+    segs.join(first, "seg")
+      .withColumn("_kept", struct(col("id"), col("ci")) === col("_first"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("_kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_kept"),
+            struct(col("ci"), col("seg"))))),
+          s => s.getField("seg")), " ").as("kept_text"))
+  }
+
   /** Candidate (a, b) id pairs (a < b) sharing any blocking key — the LSH
     * band self-join with ADAPTIVE skew salting. Bucket widths are counted
     * first (map-side-combined aggregation, tiny output); keys wider than

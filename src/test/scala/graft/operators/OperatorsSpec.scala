@@ -29,6 +29,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("segment dedup: first corpus occurrence wins, docs rebuilt in order") {
+    // k=2 segments; doc 10 owns all its segments, doc 11 repeats 10's
+    // first segment then adds its own, doc 12 is entirely segments seen
+    // earlier, doc 13 has a short tail segment
+    val corpus = Seq(
+      (10L, "a b c d"),        // segs: "a b", "c d"
+      (11L, "a b x y"),        // "a b" dup of 10's, "x y" fresh
+      (12L, "c d a b"),        // both segs seen in doc 10
+      (13L, "x y z")           // "x y" dup of 11's, tail "z" fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", 2)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(10L) == ((2L, 2L, "a b c d")))
+    assert(out(11L) == ((2L, 1L, "x y")))
+    assert(out(12L) == ((2L, 0L, "")))
+    assert(out(13L) == ((2L, 1L, "z")))
+    // deterministic across runs
+    val rerun = Dedup.segmentDedup(corpus, "doc_id", "text", 2)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(rerun.map(_.toList).toList ==
+      out.toList.sortBy(_._1).map(x => List(x._1, x._2._1, x._2._2, x._2._3)))
+  }
+
   test("minhash LSH recalls the exact-jaccard pairs on this corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

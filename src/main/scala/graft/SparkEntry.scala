@@ -862,6 +862,16 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Histogram-sketch approximate quantiles: per-language p50/p90/p99 of
+    // document length from 16-char fixed bins — the mergeable one-pass
+    // counterpart to t6's exact percentiles (error bounded by bin width).
+    "t14_hist_quantile" -> ((s, dir) => {
+      Sketch.histQuantile(t(s, dir, "documents"), col("lang"), col("n_chars"),
+          16.0, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("lang"), col("q"), col("est"))
+        .orderBy("lang", "q")
+    }),
+
     // Point-in-interval (non-equi) join via bin bucketing: lineitems
     // shipped inside each sampled order's follow-up window. The oracle is
     // the naive BETWEEN join; the Spark plan is the binned equi-join.
@@ -985,6 +995,36 @@ object SparkEntry {
     // 1998; every customer in this data has SOME order), counted per
     // nation. Balance sums/averages stay in integer cents; the
     // no-recent-orders check is an anti-join against the filtered orders.
+    // TPC-H Q21 shape (adapted: "late" = shipped >60 days after the order
+    // date, since this dataset has no receipt/commit dates): suppliers who
+    // were the SOLE late supplier on a multi-supplier finished order.
+    // Composes a semi join (another supplier exists on the order) with an
+    // anti join (no OTHER supplier was late) — both shuffle on l_orderkey,
+    // so AQE reuses one exchange; supplier/nation dims are broadcast.
+    "q21_late_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val late = li
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = li.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"))
+      val cand = late
+        .join(others,
+          col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("b_k"), col("l_suppkey").as("b_s")),
+          col("l_orderkey") === col("b_k") && col("l_suppkey") =!= col("b_s"),
+          "left_anti")
+      cand
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").filter(col("n_nationkey") < 13)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
     "q22_dormant" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
@@ -1861,6 +1901,19 @@ object SparkEntry {
         |SELECT word, est, exact, CAST(rank AS BIGINT) AS rank
         |FROM j WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
+    "t14_hist_quantile" ->
+      s"""WITH h AS (SELECT lang AS g, CAST(floor(n_chars / 16.0) AS BIGINT) AS b,
+        |    count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |c AS (SELECT g, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum FROM h),
+        |t AS (SELECT g, max(cum) AS n FROM c GROUP BY 1),
+        |x AS (SELECT c.g, b, cnt, cum, n, q FROM c JOIN t USING (g)
+        |  CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |    (CAST(0.99 AS DOUBLE))) v(q))
+        |SELECT g AS lang, q,
+        |  ${roundSql("b*16.0 + 16.0*((q*n) - (cum - cnt))/cnt", 6)} AS est
+        |FROM x WHERE cum >= q*n AND (cum - cnt) < q*n
+        |ORDER BY lang, q""".stripMargin,
     "j13_range_join" ->
       """WITH iv AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
@@ -2023,6 +2076,23 @@ object SparkEntry {
         |SELECT sum(pc)/700.0 AS avg_yearly, count(*) AS n_lines
         |FROM li JOIN av USING(l_partkey)
         |WHERE CAST(qc AS DOUBLE) < 0.2 * avg_qc""".stripMargin,
+    "q21_late_supplier" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |cand AS (SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = lt.l_orderkey
+        |        AND l2.l_suppkey <> lt.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |      WHERE l3.l_orderkey = lt.l_orderkey
+        |        AND l3.l_suppkey <> lt.l_suppkey))
+        |SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM cand JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 13
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q22_dormant" ->
       """WITH cust AS (SELECT c_custkey, c_nationkey,
         |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),

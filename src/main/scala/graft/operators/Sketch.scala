@@ -131,4 +131,40 @@ object Sketch {
       .join(sketch, Seq("r", "b"), "left")
       .groupBy(itemCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Approximate per-group quantiles from a fixed-width histogram sketch:
+    * bin counts are a plain mergeable groupBy (ONE narrow map-side-
+    * combined shuffle over the corpus, at most #groups · #bins output
+    * rows), then each requested quantile interpolates linearly inside the
+    * bin where the cumulative count crosses q·N. Error is bounded by
+    * `binWidth` — the classic streaming-histogram trade: unlike exact
+    * percentile (see t6), nothing about this pass holds per-group data in
+    * one task, so it survives any corpus size.
+    *
+    * @return (g, q, est) — one row per group x requested quantile.
+    */
+  def histQuantile(df: DataFrame, groupCol: Column, valueCol: Column,
+      binWidth: Double, qs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+    val h = df
+      .groupBy(groupCol.as("g"),
+        floor(valueCol / binWidth).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("b")
+    val cum = h.withColumn("cum", sum("cnt").over(w))
+    val tot = cum.groupBy("g").agg(max("cum").as("n"))
+    // exactly one bin per (g, q) satisfies the crossing predicate: cum is
+    // strictly increasing over the group's present bins (cnt > 0)
+    cum.join(tot, "g")
+      .select(col("g"), col("b"), col("cnt"), col("cum"), col("n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("_tgt", col("q") * col("n"))
+      .filter(col("cum") >= col("_tgt") && (col("cum") - col("cnt")) < col("_tgt"))
+      .select(col("g"), col("q"),
+        round(col("b") * lit(binWidth) +
+          lit(binWidth) * (col("_tgt") - (col("cum") - col("cnt"))) / col("cnt"),
+          6).as("est"))
+  }
 }

@@ -502,6 +502,26 @@ class OperatorsSpec extends SparkSpec {
     assert(absent == 0L)
   }
 
+  test("hist quantile: exact on bin edges, within binWidth elsewhere") {
+    // 100 values 0..99, binWidth 1 -> every value its own bin: the
+    // interpolated quantile is exact up to the in-bin linear ramp
+    val df = (0 until 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Sketch.histQuantile(df, col("grp"), col("v"), 1.0,
+        Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // q=0.5 -> target 50 -> bin 49 covers cum (49,50] -> est 49+1*(50-49)/1
+    assert(out(0.5) == 50.0 && out(0.9) == 90.0 && out(1.0) == 100.0)
+    // coarse bins: error bounded by binWidth
+    val coarse = Sketch.histQuantile(df, col("grp"), col("v"), 10.0, Seq(0.5))
+      .collect().head.getDouble(2)
+    assert(math.abs(coarse - 50.0) <= 10.0)
+    // two groups stay independent
+    val two = df.union(Seq(("h", 1000.0), ("h", 2000.0)).toDF("grp", "v"))
+    val m = Sketch.histQuantile(two, col("grp"), col("v"), 1.0, Seq(1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("g") == 100.0 && m("h") == 2001.0)
+  }
+
   test("pq: identical vectors share codes; adc finds the near cluster") {
     // two well-separated clusters in 8-dim space (m=2 subspaces of 4)
     def vec(base: Double, i: Int): Seq[Double] =

@@ -16,7 +16,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // iteration knobs (local profiling only; the driver sets neither):
     // comma-separated query subset, and how many timed repetitions each
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val only = SparkEntry.querySubset(sys.env.get("SPARK_GRAFT_QUERIES"))
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

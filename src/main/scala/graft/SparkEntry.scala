@@ -32,6 +32,12 @@ object SparkEntry {
   private def sumCents(c: String): org.apache.spark.sql.Column =
     sum(round(col(c) * 100).cast("long"))
 
+  /** The SPARK_GRAFT_QUERIES iteration knob, parsed identically by Bench
+    * and Verify: comma-separated names, whitespace-tolerant.
+    */
+  def querySubset(env: Option[String]): Option[Set[String]] =
+    env.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Discounted-revenue in exact integer units (cents x (100-disc_pct));
     * divide by 1e4 after aggregation. Shared by q7/q14/q19.
     */
@@ -990,11 +996,6 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
-    // Dormant-rich-customer rollup — TPC-H Q22 shape: customers with
-    // above-average (positive) balance and no RECENT orders (none since
-    // 1998; every customer in this data has SOME order), counted per
-    // nation. Balance sums/averages stay in integer cents; the
-    // no-recent-orders check is an anti-join against the filtered orders.
     // TPC-H Q21 shape (adapted: "late" = shipped >60 days after the order
     // date, since this dataset has no receipt/commit dates): suppliers who
     // were the SOLE late supplier on a multi-supplier finished order.
@@ -1025,6 +1026,11 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name")).limit(100)
     }),
 
+    // Dormant-rich-customer rollup — TPC-H Q22 shape: customers with
+    // above-average (positive) balance and no RECENT orders (none since
+    // 1998; every customer in this data has SOME order), counted per
+    // nation. Balance sums/averages stay in integer cents; the
+    // no-recent-orders check is an anti-join against the filtered orders.
     "q22_dormant" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
@@ -1742,10 +1748,11 @@ object SparkEntry {
          |FROM lbl GROUP BY id""".stripMargin,
     "d7_dedup_segments" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |i AS (SELECT doc_id, ws,
+        |    unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS ci FROM w),
         |c AS (SELECT doc_id, ci,
         |    array_to_string(list_slice(ws, ci*10 + 1, ci*10 + 10), ' ') AS seg
-        |  FROM w CROSS JOIN range(0, 16) t(ci)
-        |  WHERE ci < ceil(len(ws) / 10.0)),
+        |  FROM i),
         |k AS (SELECT doc_id, ci, seg,
         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, ci) AS rn
         |  FROM c)

@@ -17,8 +17,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast iteration (same knob as Bench)
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val subset = SparkEntry.querySubset(sys.env.get("SPARK_GRAFT_QUERIES"))
     val selected = subset match {
       case Some(qs) => SparkEntry.queries.view.filterKeys(qs).toMap
       case None     => SparkEntry.queries

@@ -45,6 +45,12 @@ object Sampling {
     * of n·partitions rows) — no global sort, no shuffle of the corpus.
     * Zero/negative weights are excluded (they can never win a draw).
     *
+    * `keyCol` MUST be unique: rows sharing a key draw the same u (their
+    * selection correlates perfectly) and tie identically in the final
+    * order, so the cut among them is arbitrary — both the A-Res
+    * independence assumption and the cross-engine reproducibility
+    * guarantee hold only for unique keys.
+    *
     * @return the sampled rows plus (`_wskey`, `rank`).
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,

@@ -102,20 +102,28 @@ object Sketch {
       struct(lit(r).as("r"),
         pmod(Dedup.hash60(s"cm$r", valueCol), lit(width.toLong)).as("b"))): _*))
 
+  /** A built count-min sketch: the (r, b, cnt) bucket table plus the
+    * depth/width it was hashed with. Carrying the parameters prevents a
+    * query-time mismatch — estimating with a different hash family than
+    * the build silently UNDER-estimates (absent buckets read as 0),
+    * which breaks the one guarantee CMS makes.
+    */
+  final case class CmSketch(table: DataFrame, depth: Int, width: Int)
+
   /** Count-min sketch of the frequency of `valueCol` occurrences
     * (Cormode & Muthukrishnan 2005): `depth` hash rows x `width` buckets
     * of exact integer counts. Mergeable sums — map-side combine works,
     * the shuffle carries at most depth·width rows, and two sketches add
     * bucket-wise — so the build is one narrow pass at any scale.
-    *
-    * @return (r, b, cnt) — the sketch table.
     */
   def countMin(df: DataFrame, valueCol: Column, depth: Int = 4,
-      width: Int = 1024): DataFrame = {
+      width: Int = 1024): CmSketch = {
     require(depth > 0 && width > 0, "depth and width must be positive")
-    df.select(cmPairs(valueCol, depth, width).as("e"))
-      .select(col("e.r").as("r"), col("e.b").as("b"))
-      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    CmSketch(
+      df.select(cmPairs(valueCol, depth, width).as("e"))
+        .select(col("e.r").as("r"), col("e.b").as("b"))
+        .groupBy("r", "b").agg(count(lit(1)).as("cnt")),
+      depth, width)
   }
 
   /** Point-query the sketch: estimated occurrence count per item —
@@ -123,12 +131,13 @@ object Sketch {
     * (est >= true count always; over-estimates come only from bucket
     * collisions). Items absent from every bucket estimate 0.
     */
-  def countMinEstimate(items: DataFrame, itemCol: String, sketch: DataFrame,
-      depth: Int = 4, width: Int = 1024): DataFrame =
+  def countMinEstimate(items: DataFrame, itemCol: String,
+      sketch: CmSketch): DataFrame =
     items
-      .select(col(itemCol), cmPairs(col(itemCol), depth, width).as("e"))
+      .select(col(itemCol),
+        cmPairs(col(itemCol), sketch.depth, sketch.width).as("e"))
       .select(col(itemCol), col("e.r").as("r"), col("e.b").as("b"))
-      .join(sketch, Seq("r", "b"), "left")
+      .join(sketch.table, Seq("r", "b"), "left")
       .groupBy(itemCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 

@@ -489,9 +489,10 @@ class OperatorsSpec extends SparkSpec {
       Sketch.countMin(df, col("w")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(roomy == Map("alpha" -> 100L, "beta" -> 10L, "gamma" -> 1L))
-    // cramped sketch: width 2 forces collisions -> over-estimates only
+    // cramped sketch: width 2 forces collisions -> over-estimates only;
+    // the sketch carries its own depth/width so the query side can't drift
     val tight = Sketch.countMinEstimate(df.distinct(), "w",
-      Sketch.countMin(df, col("w"), depth = 2, width = 2), depth = 2, width = 2)
+      Sketch.countMin(df, col("w"), depth = 2, width = 2))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tight("alpha") >= 100L && tight("beta") >= 10L && tight("gamma") >= 1L)
     // an item never inserted estimates from whatever shares its buckets —

@@ -859,12 +859,16 @@ object SparkEntry {
       val sketch = Sketch.countMin(words, col("w"))
       val est = Sketch.countMinEstimate(words.distinct(), "w", sketch)
       val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))
-      val ranked = est.join(exact, "w")
-        .withColumn("rank", row_number().over(
+      // top-20 cut FIRST (TakeOrderedAndProject: per-partition heads, no
+      // global sort), then the rank window runs over 20 rows — a global
+      // row_number before the cut would single-partition every distinct
+      // word in the corpus
+      val top = est.join(exact, "w")
+        .orderBy(col("est").desc, col("w").asc).limit(20)
+      top.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("est").desc, col("w").asc)).cast("long"))
-        .filter(col("rank") <= 20)
-      ranked.select(col("w").as("word"), col("est"), col("exact"), col("rank"))
+        .select(col("w").as("word"), col("est"), col("exact"), col("rank"))
         .orderBy("rank")
     }),
 

@@ -399,10 +399,14 @@ object Dedup {
       .select(col("id"), posexplode(transform(sequence(lit(0), nSeg - 1),
         i => array_join(slice(col("_ws"), i * k + 1, lit(k)), " "))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "seg")
-    val first = segs.groupBy("seg")
-      .agg(min(struct(col("id"), col("ci"))).as("_first"))
-    segs.join(first, "seg")
-      .withColumn("_kept", struct(col("id"), col("ci")) === col("_first"))
+    // keeper election as a window min over the seg partition (same
+    // pattern as [[exact]]): ONE scan of the segment stream and one
+    // shuffle, where a groupBy + join back would scan and explode the
+    // corpus twice
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    segs
+      .withColumn("_kept",
+        struct(col("id"), col("ci")) === min(struct(col("id"), col("ci"))).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("_kept").cast("long")).as("n_kept"),

@@ -160,13 +160,17 @@ object Sketch {
       .groupBy(groupCol.as("g"),
         floor(valueCol / binWidth).cast("long").as("b"))
       .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
+    // running cum and the group total as two windows over the SAME
+    // partition key: one exchange, one scan of the histogram (a
+    // groupBy-total + join back would build the histogram twice)
+    val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy("b")
-    val cum = h.withColumn("cum", sum("cnt").over(w))
-    val tot = cum.groupBy("g").agg(max("cum").as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val cum = h.withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
     // exactly one bin per (g, q) satisfies the crossing predicate: cum is
     // strictly increasing over the group's present bins (cnt > 0)
-    cum.join(tot, "g")
+    cum
       .select(col("g"), col("b"), col("cnt"), col("cum"), col("n"),
         explode(array(qs.map(lit(_)): _*)).as("q"))
       .withColumn("_tgt", col("q") * col("n"))

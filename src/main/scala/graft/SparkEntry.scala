@@ -1000,6 +1000,52 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q8 shape: NATION_3's supplier-side share of discounted volume
+    // sold to EUROPE-region customers, by order year. Six-table join —
+    // the fact scan shuffles only for the two big equi-joins; nation /
+    // region / supplier dims are broadcast. Volume stays in exact integer
+    // cents x (100 - disc_pct) until the final share division.
+    "q8_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          revCents.as("volc"), col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volc"))
+            .otherwise(0L)).cast("double") /
+            sum(col("volc")).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // Set operators over derived key sets: customers active in 1996 vs
+    // 1997 — intersect (both), except (one side only). Distinct-key
+    // semantics, one hash shuffle each, counted per bucket.
+    "r7_set_ops" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      val y96 = yr(1996); val y97 = yr(1997)
+      val tagged = y96.intersect(y97).withColumn("bucket", lit("both"))
+        .unionByName(y96.except(y97).withColumn("bucket", lit("only_1996")))
+        .unionByName(y97.except(y96).withColumn("bucket", lit("only_1997")))
+      tagged.groupBy("bucket").agg(count(lit(1)).as("n_cust"))
+        .orderBy("bucket")
+    }),
+
     // TPC-H Q21 shape (adapted: "late" = shipped >60 days after the order
     // date, since this dataset has no receipt/commit dates): suppliers who
     // were the SOLE late supplier on a multi-supplier finished order.
@@ -2087,6 +2133,41 @@ object SparkEntry {
         |SELECT sum(pc)/700.0 AS avg_yearly, count(*) AS n_lines
         |FROM li JOIN av USING(l_partkey)
         |WHERE CAST(qc AS DOUBLE) < 0.2 * avg_qc""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount*100) AS BIGINT)) AS volc,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |    AND o_orderdate BETWEEN '1996-01-01' AND '1997-12-31')
+        |SELECT CAST(o_year AS INT) AS o_year,
+        |  ${roundSql(
+              "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volc ELSE 0 END) AS DOUBLE)" +
+              " / CAST(sum(volc) AS DOUBLE)", 6)} AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r7_set_ops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE year(o_orderdate) = 1997),
+        |tagged AS (
+        |  SELECT o_custkey, 'both' AS bucket
+        |    FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1996'
+        |    FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1997'
+        |    FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_late_supplier" ->
       """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey

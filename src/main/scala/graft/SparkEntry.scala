@@ -768,6 +768,35 @@ object SparkEntry {
         .orderBy("flag", "status")
     }),
 
+    // Full cube over the same two dimensions: all four grouping sets in
+    // one pass (partial-aggregated before the shuffle, like rollup).
+    "a11_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg((sumCents("l_quantity") / 100.0).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    // revenue — a correlated max folded into a one-row broadcast join.
+    // Revenue stays in exact integer cents x (100 - disc_pct).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revCents).as("total_revc"))
+      val mx = rev.agg(max("total_revc").as("mx"))
+      rev.join(broadcast(mx), col("total_revc") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revc"))
+        .orderBy("s_suppkey")
+    }),
+
     // Two-dimension-table star join with two roles for one dim (nation as
     // both supplier and customer side) — TPC-H Q7 shape. All dims
     // broadcast; the only big-big join is lineitem x orders.
@@ -1861,6 +1890,25 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "a11_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |      AS total_revc
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revc
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revc = (SELECT max(total_revc) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,

@@ -378,12 +378,13 @@ object Dedup {
     * document from its surviving segments.
     *
     * Scale shape: the segment stream is narrow (one explode, no shuffle);
-    * the keeper election is ONE hash shuffle on the segment value with a
-    * map-side-combinable min(struct) aggregate; the join back is a second
-    * shuffle on the same key (co-partitioned with the election, so AQE
-    * reuses the exchange); the per-doc rebuild is a third. All linear in
-    * corpus size — at 100 TB you'd key the shuffle on a segment hash and
-    * keep the string only for the final equality check.
+    * the keeper election is ONE hash shuffle on the segment value — a
+    * window min over the seg partition, which keeps the corpus to a
+    * single scan where a groupBy election + join back would scan and
+    * explode it twice; the per-doc rebuild is the second (and last)
+    * shuffle. All linear in corpus size — at 100 TB you'd key the
+    * shuffle on a segment hash and keep the string only for the final
+    * equality check.
     *
     * @return per-document (id, n_segments, n_kept, kept_text), where
     *         kept_text is the surviving segments joined in order ("" if

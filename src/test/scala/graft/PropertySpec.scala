@@ -166,4 +166,47 @@ class PropertySpec extends SparkSpec {
       graft.operators.Sampling.hashSample(ids, "id", f).count())
     assert(sizes == sizes.sorted) // nested samples grow with fraction
   }
+
+  test("segment dedup on random corpora: each distinct segment kept exactly once") {
+    import org.apache.spark.sql.functions.col
+    // random word streams over a tiny vocabulary force heavy duplication
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val k = 2
+    val out = graft.operators.Dedup.segmentDedup(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k).collect()
+    // kept segments across ALL docs partition the distinct segment set
+    def segsOf(text: String): Seq[String] =
+      text.split(" ").grouped(k).map(_.mkString(" ")).toSeq
+    val keptAll = out.flatMap(r =>
+      if (r.getString(3).isEmpty) Nil else segsOf(r.getString(3)))
+    val distinctAll = docs.flatMap(d => segsOf(d._2)).distinct
+    assert(keptAll.sorted.toSeq == distinctAll.sorted.toSeq,
+      "every distinct segment survives exactly once corpus-wide")
+    // per-doc counts are consistent
+    out.foreach { r =>
+      val total = segsOf(docs(r.getLong(0).toInt)._2).size
+      assert(r.getLong(1) == total && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("histogram quantiles bracket the exact quantile within one bin") {
+    import org.apache.spark.sql.functions.col
+    val xs = Seq.fill(300)(rnd.nextDouble() * 1000.0)
+    val w = 1.0 + rnd.nextDouble() * 50.0
+    val df = xs.map(("g", _)).toDF("grp", "v")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = graft.operators.Sketch.histQuantile(df, col("grp"), col("v"), w, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = xs.sorted
+    qs.foreach { q =>
+      // exact (lower) quantile: the ceil(q*n)-th order statistic
+      val exact = sorted(math.ceil(q * xs.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= w + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact width=$w")
+    }
+  }
 }

@@ -228,4 +228,17 @@ object StreamOps {
     bars.groupByKey(_.ticker)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Count-min sketch over an unbounded value stream — literally the
+    * batch [[graft.operators.Sketch.countMin]] plan run as a streaming
+    * aggregation: the bucket table IS mergeable state, so each
+    * micro-batch folds its map-side partial counts into at most
+    * depth·width state rows. Emit with output mode complete/update and
+    * point-query any snapshot with `Sketch.countMinEstimate`
+    * (`CmSketch(snapshot, depth, width)`); the usual CMS bound
+    * (est >= exact) holds at every snapshot.
+    */
+  def streamingCountMin(values: DataFrame, valueCol: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    graft.operators.Sketch.countMin(values, valueCol, depth, width).table
 }

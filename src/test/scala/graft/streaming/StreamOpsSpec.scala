@@ -140,6 +140,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(out(1).ret - (91.0 / 104.0 - 1)) < 1e-12)
   }
 
+  test("streaming count-min accumulates across batches; est >= exact at snapshots") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    import org.apache.spark.sql.functions.col
+    val q = streamingCountMin(input.toDF().select(col("value").as("w")), col("w"))
+      .writeStream.format("memory").queryName("cms").outputMode("complete")
+      .start()
+    input.addData("alpha", "alpha", "beta")
+    q.processAllAvailable()
+    input.addData("alpha", "gamma") // second batch folds into the same buckets
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.table("cms")
+    val est = graft.operators.Sketch.countMinEstimate(
+        Seq("alpha", "beta", "gamma", "delta").toDF("w"), "w",
+        graft.operators.Sketch.CmSketch(snap, 4, 1024))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // roomy sketch: no collisions -> exact; absent item -> 0
+    assert(est == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L, "delta" -> 0L))
+  }
+
   test("hourlyRollup over a stream matches the batch expression") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

@@ -16,9 +16,11 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *   annotate (langid / quality / tokens / fingerprint / unigram-LM score)
   *     → exact dedup → near-dup pairs (MinHash+LSH, exact-verified)
   *     → connected-components canonicalization
-  *     → keep cluster representatives → stratified sample
+  *     → keep cluster representatives
+  *     → C4-style duplicate-segment scrub of the kept text
+  *     → stratified sample
   *     → corpus stats rollup
-  *     → (optional) eval-set decontamination report vs the kept corpus
+  *     → (optional) eval-set decontamination report vs the scrubbed corpus
   *
   * All stages are the already-oracle-verified operators; the pipeline
   * persists through the same Lake create/append/optimize triple as the
@@ -94,8 +96,17 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
         "doc_id")
       .join(lake.table("doc_annotations").filter(!col("repetitive"))
         .select("doc_id", "lang"), "doc_id")
+    // 3b. C4-style segment scrub across the KEPT corpus: duplicate k-word
+    // segments are removed (first occurrence wins), so boilerplate that
+    // survives document-level dedup — shared headers, repeated passages —
+    // is struck from the text itself; docs scrubbed down to nothing drop
+    // out entirely
+    val scrubbed = Dedup.segmentDedup(kept, "doc_id", "text", 10)
+      .filter(col("n_kept") > 0)
+      .select(col("id").as("doc_id"), col("kept_text").as("text"))
+    val kept2 = kept.drop("text").join(scrubbed, "doc_id")
     val sampled = Sampling.stratifiedSample(
-      kept, "doc_id", col("lang"), rates, defaultRate)
+      kept2, "doc_id", col("lang"), rates, defaultRate)
     lake.append("corpus_sample", sampled.select("doc_id", "lang", "text"))
     lake.optimize("corpus_sample")
 
@@ -117,7 +128,8 @@ class CorpusPipeline(spark: SparkSession, lake: Lake) {
     // 5. split hygiene: report each eval doc's 5-gram leakage against the
     // kept training corpus (the set a model would actually train on)
     evalDocs.foreach { ev =>
-      val report = Dedup.contamination(kept, ev, "doc_id", "text", 5)
+      // the scrubbed corpus is what a model would actually train on
+      val report = Dedup.contamination(kept2, ev, "doc_id", "text", 5)
       lake.append("eval_contamination", report)
       lake.optimize("eval_contamination")
     }

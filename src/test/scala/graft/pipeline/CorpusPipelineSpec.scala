@@ -54,6 +54,17 @@ class CorpusPipelineSpec extends SparkSpec {
     // annotations carry a finite LM score for every doc
     assert(ann.filter(col("lm_score").isNull || isnan(col("lm_score"))).count() == 0)
 
+    // segment scrub: no 10-word segment appears twice across the sampled
+    // corpus (the scrub guarantees this for the kept corpus; the sample
+    // is a subset)
+    val dupSegs = sample
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/10.0) as int) - 1)," +
+          " i -> array_join(slice(ws, i*10 + 1, 10), ' '))")))
+      .groupBy("col").count().filter(col("count") > 1).count()
+    assert(dupSegs == 0, "sampled corpus still contains duplicated segments")
+
     // the planted spam doc is flagged repetitive and filtered before
     // sampling; the organic corpus (random-word docs) is not flagged
     assert(ann.filter(col("doc_id") === 800001L).first().getAs[Boolean]("repetitive"))

@@ -122,16 +122,18 @@ object PortfolioOpt {
       factorCov: DataFrame,
       idioVol: DataFrame,
       benchmark: DataFrame): DataFrame = {
-    // two consumers below (factor exposure, per-date rollup) — without
-    // the persist each would re-run the whole upstream QP fan-out
-    // (an eager count() barrier was measured slower: the extra job costs
-    // more than the consumers' partial race-compute saves)
+    // two consumers below (factor exposure, per-date rollup) — a lazily
+    // persisted frame race-computes the whole upstream QP fan-out (~2x),
+    // and an eager count() barrier was measured slower still; the eager
+    // localCheckpoint materializes the QP exactly once and truncates the
+    // lineage both consumers re-plan over (same fix as minHashLsh's
+    // candidate frame)
     val wa = weights
       .join(benchmark.select(col("date"), col("ticker"), col("weight").as("bw")),
         Seq("date", "ticker"), "left")
       .select(col("date"), col("ticker"), col("weight"), col("active_risk"),
         (col("weight") - coalesce(col("bw"), lit(0.0))).as("wa"))
-      .persist()
+      .localCheckpoint(true)
     // x_f = Bᵀwₐ per (date, factor); absent loadings are zeros in B, so the
     // inner join dropping them reproduces Covariance.loadingsMatrix exactly
     val xf = wa.join(loadings, Seq("date", "ticker"))

@@ -603,6 +603,38 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Deterministic 80/10/10 train/val/test split by doc_id hash — a
+    // row's split is a function of its key alone (never migrates when
+    // upstream filters change), summarized per split.
+    "x3_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // Per-source document cap (the per-domain cap of corpus curation):
+    // at most 15 docs per source survive, chosen by a stable hash
+    // lottery so the kept set is engine-portable and rerun-stable.
+    "x4_source_cap" -> ((s, dir) => {
+      Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // Inverted index: posting lists for terms below the 80%-of-corpus
+    // stopword cut — df-filter applied before any list materializes.
+    "t15_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+        .select(col("term"), col("df"),
+          // pipe-joined for the cross-engine hash (the checker can't sort
+          // array cells); numeric order is preserved by sort_array upstream
+          concat_ws("|", col("postings").cast("array<string>")).as("postings"))
+        .orderBy("term")
+    }),
+
     // Per-language exact length percentiles (linear interpolation — the
     // same definition as DuckDB's quantile_cont).
     "t6_length_percentiles" -> ((s, dir) => {
@@ -794,6 +826,63 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revc"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q9 shape: profit by nation and ship year over a part-name
+    // substring filter. The testdata has no partsupp table, so supply
+    // cost is a deterministic 60% of p_retailprice; profit stays in
+    // exact integer 1e-6-dollar units until the final division
+    // (rev6 = cents x (100-disc_pct) x 100; cost6 = p_cents x q_cents x 60).
+    "q9_profit" -> ((s, dir) => {
+      val cost6 = round(col("p_retailprice") * 100).cast("long") *
+        round(col("l_quantity") * 100).cast("long") * 60L
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("bolt"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg((sum(revCents * 100L - cost6) / 1e6).as("profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: (supplier, part) positions whose value exceeds a
+    // fraction (1/10000) of the GLOBAL total — a scalar-subquery
+    // threshold realized as a one-row broadcast cross join. Exact integer
+    // value units throughout; the long x 10000 comparison is overflow-safe
+    // at bench scale and order-independent.
+    "q11_important_stock" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(revCents).as("valc"))
+      val tot = v.agg(sum(col("valc")).as("totc"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("valc") * 10000L > col("totc"))
+        .select(col("l_suppkey"), col("l_partkey"),
+          (col("valc") / 1e4).as("value"))
+        .orderBy(col("value").desc, col("l_suppkey"), col("l_partkey"))
+    }),
+
+    // TPC-H Q20 shape: suppliers that shipped MORE THAN HALF of a part's
+    // total 1995 quantity — a correlated half-sum threshold expressed as
+    // two partial aggregates joined on the part key (no subquery
+    // re-scan). Quantities aggregate in exact integer cents.
+    "q20_half_supply" -> ((s, dir) => {
+      val li95 = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+      val sp = li95.groupBy("l_partkey", "l_suppkey")
+        .agg(sumCents("l_quantity").as("qtyc"))
+      val tp = sp.groupBy("l_partkey").agg(sum(col("qtyc")).as("totqc"))
+      sp.join(tp, "l_partkey")
+        .filter(col("qtyc") * 2 > col("totqc"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_dominated_parts"))
         .orderBy("s_suppkey")
     }),
 
@@ -1771,6 +1860,35 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, wt, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "x3_hash_split" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    CAST(concat('0x', substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      % 1000000 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 800000 THEN 'train'
+        |            WHEN bkt < 900000 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x4_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(concat('cap:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) ASC,
+        |        doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 15
+        |ORDER BY source, doc_id""".stripMargin,
+    "t15_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id, w AS term
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |          FROM documents) u
+        |    WHERE w <> ''),
+        |d AS (SELECT term, count(*) AS df FROM p GROUP BY 1
+        |      HAVING count(*) >= 3 AND count(*) <=
+        |        0.8 * (SELECT count(DISTINCT doc_id) FROM documents))
+        |SELECT term, df,
+        |  string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings
+        |FROM p JOIN d USING (term)
+        |GROUP BY term, df ORDER BY term""".stripMargin,
     "t6_length_percentiles" ->
       s"""WITH lp AS (SELECT * FROM ($langIdSql) t),
          |ln AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
@@ -1909,6 +2027,38 @@ object SparkEntry {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_revc = (SELECT max(total_revc) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount*100) AS BIGINT)) * 100
+        |      - CAST(round(p_retailprice*100) AS BIGINT)
+        |        * CAST(round(l_quantity*100) AS BIGINT) * 60) AS DOUBLE)
+        |    / 1000000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (SELECT l_suppkey, l_partkey,
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS valc
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, l_partkey, CAST(valc AS DOUBLE)/10000.0 AS value
+        |FROM v, (SELECT sum(valc) AS totc FROM v) t
+        |WHERE valc * 10000 > totc
+        |ORDER BY value DESC, l_suppkey, l_partkey""".stripMargin,
+    "q20_half_supply" ->
+      """WITH sp AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(round(l_quantity*100) AS BIGINT)) AS qtyc
+        |  FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+        |tp AS (SELECT l_partkey, sum(qtyc) AS totqc FROM sp GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+        |FROM sp JOIN tp USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qtyc * 2 > totqc
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,

@@ -81,4 +81,47 @@ object Sampling {
     }
     df.filter(bucket(col(keyCol)) < threshold)
   }
+
+  /** Deterministic train/val/test (or any n-way) split assignment: each
+    * row lands in the first split whose cumulative fraction covers its
+    * hash bucket. Fractions must sum to 1. Membership is a pure per-row
+    * expression of the key — no shuffle, stable under reruns and corpus
+    * growth, and the same document NEVER migrates between train and eval
+    * when upstream filters change (the property that matters for
+    * decontamination: a row's split is a function of its key alone).
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
+    val b = bucket(key)
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(b < hi, name).otherwise(acc)
+    }
+  }
+
+  /** Cap the number of rows kept per group (the per-domain / per-source
+    * cap every curation pipeline applies so one crawl domain cannot
+    * dominate the training mix): within each group, rows are ranked by
+    * the md5 hash of their key (stable lottery, key as tie-break) and
+    * only the first `n` survive.
+    *
+    * Scale shape: one hash-shuffle on the group column plus a
+    * per-partition sort — the same cost as any groupBy. A single hot
+    * group (one giant domain) serializes into one task's sort, but the
+    * sort key is 16 bytes/row and spills; for pathological domains,
+    * pre-filter with [[hashSample]] to approximately the cap first, then
+    * apply the exact cap to the survivors.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    require(!df.columns.contains("_caprk"), "input must not contain _caprk")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.hash60("cap", col(keyCol).cast("string")).asc,
+        col(keyCol).asc)
+    df.withColumn("_caprk", row_number().over(w))
+      .filter(col("_caprk") <= n)
+      .drop("_caprk")
+  }
 }

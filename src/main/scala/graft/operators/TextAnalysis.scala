@@ -209,4 +209,39 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("term"), col("tf"), col("score"),
         col("bm25"), col("rank"))
   }
+
+  /** Inverted index over whitespace terms: one row per term with its
+    * document frequency and the sorted posting list of documents
+    * containing it. `maxDfFrac` drops stopword-class terms (ones
+    * appearing in more than that fraction of the corpus — their lists
+    * would be corpus-sized and are useless for retrieval, so real
+    * indexes drop or tier them); `minDf` drops hapax noise. The corpus
+    * size enters as a one-row broadcast, so the cut scales with the
+    * input instead of hard-coding a row count.
+    *
+    * Scale shape: explode + distinct + one groupBy — linear scans and
+    * hash shuffles keyed by term. The df-filter is applied BEFORE
+    * collect_list, so over-cap terms never materialize their lists; a
+    * surviving list is bounded by `maxDfFrac x corpus`, which a retrieval
+    * deployment would further tier/shard per term.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, maxDfFrac: Double): DataFrame = {
+    require(minDf >= 1 && maxDfFrac > 0 && maxDfFrac <= 1,
+      "need minDf >= 1 and maxDfFrac in (0,1]")
+    val posting = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val n = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf && col("df") <= col("n_docs") * maxDfFrac)
+      .select("term", "df")
+    posting.join(dfreq, "term")
+      .groupBy("term", "df")
+      .agg(sort_array(collect_list(col("id"))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
 }

@@ -230,6 +230,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!s3.exists(_.getLong(0) == 7L) && s3.length == 999)
   }
 
+  test("split assignment: total, deterministic, and stable under filtering") {
+    val ids = (0L until 3000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a1 = ids.withColumn("s", Sampling.splitAssign(col("id"), splits))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row gets exactly one split; proportions roughly honored
+    assert(a1.size == 3000)
+    val byS = a1.values.groupBy(identity).view.mapValues(_.size)
+    assert(math.abs(byS("train") / 3000.0 - 0.8) < 0.05)
+    assert(byS.keySet == Set("train", "val", "test"))
+    // a row's split never changes when the corpus shrinks
+    val a2 = ids.filter(col("id") % 3 === 0)
+      .withColumn("s", Sampling.splitAssign(col("id"), splits))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a2.forall { case (k, v) => a1(k) == v })
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("per-group cap keeps at most n rows per group, deterministically") {
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}"))
+    val df = rows.toDF("id", "src")
+    val kept = Sampling.capPerGroup(df, "id", "src", 10)
+    val bySrc = kept.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc.values.forall(_.size == 10) && bySrc.size == 4)
+    // rerun-stable and unaffected by other groups' rows
+    val again = Sampling.capPerGroup(df.filter(col("src") === "g0"), "id", "src", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == bySrc("g0"))
+    // under-cap groups pass through whole
+    assert(Sampling.capPerGroup(df, "id", "src", 1000).count() == 400)
+  }
+
+  test("inverted index: postings sorted, df bounds honored") {
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", 2, 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2))).toList
+    val byTerm = idx.map(t => t._1 -> t).toMap
+    // "quick" appears in docs 0,1,3 (df=3 <= 0.9*5); duplicate occurrences
+    // within a doc count once; hapax words are dropped by minDf=2
+    assert(byTerm("quick")._3 == Seq(0L, 1L, 3L))
+    assert(byTerm("the")._2 == 3L)
+    assert(!byTerm.contains("cat") && !byTerm.contains("spark"))
+    // df always equals the posting length and lists are sorted
+    assert(idx.forall { case (_, df, p) => df == p.length && p == p.sorted })
+  }
+
   test("canonicalize: multi-hop clusters collapse to the min id") {
     // components: {1,2,3,4} via a chain (diameter 3 — forces iteration),
     // {6,7} via one edge, {5, 9} singletons

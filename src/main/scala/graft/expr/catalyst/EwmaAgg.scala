@@ -102,6 +102,15 @@ object GraftExtensions {
     fn("simhash_agg", classOf[SimHashAgg], ch => SimHashAgg(ch(0))),
     fn("minhash_agg", classOf[MinHashAgg], ch => MinHashAgg(ch(0), ch(1))),
     fn("graft_dot", classOf[DotProduct], ch => DotProduct(ch(0), ch(1))),
+    // word n-gram construction (sliding windows / non-overlapping chunks)
+    // as a single native walk over the token array — see WordKGrams
+    fn("word_kgrams", classOf[WordKGrams],
+      ch => WordKGrams(ch(0), ch(1),
+        org.apache.spark.sql.catalyst.expressions.Literal(1),
+        org.apache.spark.sql.catalyst.expressions.Literal(false))),
+    fn("word_chunks", classOf[WordKGrams],
+      ch => WordKGrams(ch(0), ch(1), ch(1),
+        org.apache.spark.sql.catalyst.expressions.Literal(true))),
     // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
     // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
     // probe as a codegen'd predicate on the fact scan.

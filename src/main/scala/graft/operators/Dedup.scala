@@ -394,11 +394,11 @@ object Dedup {
       k: Int = 10): DataFrame = {
     require(k > 0, "segment width must be positive")
     val ws = df.select(col(idCol).as("id"), split(col(textCol), " ").as("_ws"))
-    // ceil(n/k) chunk starts; slice handles the short tail chunk
-    val nSeg = ceil(size(col("_ws")) / lit(k.toDouble)).cast("int")
+    // ceil(n/k) non-overlapping segments incl. the short tail, built by
+    // the native word_chunks walk (see TextAnalysis.gramArray's scaladoc)
     val segs = ws
-      .select(col("id"), posexplode(transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(col("_ws"), i * k + 1, lit(k)), " "))))
+      .select(col("id"),
+        posexplode(call_function("word_chunks", col("_ws"), lit(k))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "seg")
     // keeper election as a window min over the seg partition (same
     // pattern as [[exact]]): ONE scan of the segment stream and one

@@ -15,20 +15,20 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(textCol: Column): Column = split(textCol, " ")
 
-  /** Array of word k-grams over a MATERIALIZED token-array column.
+  /** Array of word k-grams over a token-array column — the native
+    * [[graft.expr.catalyst.WordKGrams]] walk (one pass, direct
+    * `UTF8String` joins). The earlier higher-order-function form
+    * (`transform(sequence(...), j => concat_ws(" ", slice(toks, j+1, k)))`)
+    * is bit-identical but evaluates interpreted per gram — lambda
+    * binding, a sliced intermediate array, and generic concat dispatch
+    * made gram construction the constant-factor floor of the whole
+    * dedup/decontamination/repetition family.
     *
-    * `toks` must be an attribute reference (a column produced by a prior
-    * select), not the `split()` expression itself: higher-order functions
-    * evaluate interpreted, and a lambda body containing `split()` would
-    * re-split the text once per array element — O(tokens²) per document.
-    * This helper is the single home of that trick; [[Dedup.shinglesRaw]]
-    * and [[repetitionMetrics]] both build on it.
+    * Requires [[graft.expr.catalyst.GraftExtensions]] on the session
+    * (as [[Dedup.minHashSignatures]] and [[Dedup.simHash]] already do).
     */
-  private[operators] def gramArray(toks: Column, k: Int): Column = {
-    val idxs = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-      .otherwise(array().cast("array<int>"))
-    transform(idxs, j => concat_ws(" ", slice(toks, j + 1, lit(k))))
-  }
+  private[operators] def gramArray(toks: Column, k: Int): Column =
+    call_function("word_kgrams", toks, lit(k))
 
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")

@@ -408,6 +408,19 @@ object SparkEntry {
         coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"))
     }),
 
+    // JSON path extraction from the semi-structured props column,
+    // aggregated per event type — get_json_object stays a codegen'd
+    // per-row expression on the scan (no UDF, no shuffle beyond the agg).
+    "f_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // F1/F2 date part extraction.
     "f_date_parts" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -1690,6 +1703,12 @@ object SparkEntry {
         |  power(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
         |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
         |FROM part""".stripMargin,
+    "f_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_date_parts" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(year(l_shipdate) AS INTEGER) AS y,

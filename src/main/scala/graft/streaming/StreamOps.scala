@@ -241,4 +241,33 @@ object StreamOps {
   def streamingCountMin(values: DataFrame, valueCol: org.apache.spark.sql.Column,
       depth: Int = 4, width: Int = 1024): DataFrame =
     graft.operators.Sketch.countMin(values, valueCol, depth, width).table
+
+  /** Watermarked stream-stream interval join — the attribution shape:
+    * each left event matches right events with the same key whose
+    * event time falls in `[leftTime, leftTime + upper]` (e.g. purchases
+    * within 30 minutes of a click).
+    *
+    * Both sides carry a watermark and the join condition bounds
+    * right-time against left-time from BOTH directions, which is what
+    * lets Spark expire buffered state: a left row can be dropped once
+    * the right watermark passes `leftTime + upper`, a right row once the
+    * left watermark passes `rightTime`. Without the two-sided bound the
+    * state store grows without limit — the classic stream-join mistake.
+    *
+    * Column names must be disjoint between the two inputs (standard for
+    * stream-stream joins, where output carries both sides' columns).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      upper: String, watermark: String): DataFrame = {
+    require(left.columns.intersect(right.columns).isEmpty,
+      "stream-stream join inputs must have disjoint column names")
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTime >= $leftTime AND
+         |$rightTime <= $leftTime + INTERVAL $upper""".stripMargin))
+  }
 }

@@ -179,4 +179,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(h0)._1 == 2 && math.abs(out(h0)._2 - 3.0) < 1e-12)
     assert(out(h0 + 3600000000L)._1 == 1)
   }
+
+  test("intervalJoin: stream-stream attribution matches the batch join") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.intervalJoin(
+        clicks.toDS().toDF("c_user", "c_ts"),
+        buys.toDS().toDF("b_user", "b_ts", "amount"),
+        "c_user", "b_user", "c_ts", "b_ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    // batch 1: click at t0 for users 1 and 2
+    clicks.addData((1L, ts(0)), (2L, ts(0)))
+    q.processAllAvailable()
+    // batch 2: buys across the horizon boundary + wrong-user buy
+    buys.addData((1L, ts(10), 5.0), (1L, ts(45), 7.0), (3L, ts(10), 9.0))
+    q.processAllAvailable()
+    // batch 3: a second click re-opens attribution for a later buy
+    clicks.addData((1L, ts(40)))
+    buys.addData((2L, ts(29), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr")
+      .select("c_user", "c_ts", "b_ts", "amount").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      .toSet
+    // matches: (1, t0)->buy@10 (within 30m), (1, t40)->buy@45, (2, t0)->buy@29;
+    // NOT (1,t0)->buy@45 (past horizon), NOT user 3 (no click)
+    assert(out == Set(
+      (1L, ts(0), ts(10), 5.0),
+      (1L, ts(40), ts(45), 7.0),
+      (2L, ts(0), ts(29), 3.0)))
+  }
 }

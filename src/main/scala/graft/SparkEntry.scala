@@ -572,6 +572,54 @@ object SparkEntry {
         lead("c_custkey", 1).over(w).as("next_custkey"))
     }),
 
+    // Time-RANGE window frame (vs the row frames everywhere else): each
+    // order's trailing-30-day spend for its customer — the frame is
+    // defined by event-time distance, not row count, so gapped/tied dates
+    // are handled by value. Ordering key is epoch seconds on both
+    // engines; the sum is exact cents, so ties inside the range are
+    // order-independent.
+    "w14_range_window" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ: hop through TIMESTAMP (UTC session)
+      // for the epoch-seconds ordering key
+      val epochS = col("o_orderdate").cast("timestamp").cast("long")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("order_epoch"))
+        .rangeBetween(-29L * 86400L, 0L)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          epochS.as("order_epoch"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("trail30", (sum(col("cents")).over(w) / 100.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_epoch"),
+          col("trail30"))
+    }),
+
+    // TPC-H Q2 shape: groupwise min — for each part shipped out of a
+    // chosen region, the supplier(s) achieving the minimum exact unit
+    // price (cent-sums ratio), kept via a window-min comparison instead
+    // of a correlated subquery re-scan. Dims broadcast; one shuffle per
+    // aggregate + one for the window.
+    "q2_min_cost" -> ((s, dir) => {
+      val unit = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sumCents("l_extendedprice").as("extc"),
+          sumCents("l_quantity").as("qtyc"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("extc").cast("double") / col("qtyc"), 6).as("unit_cost"))
+      val w = Window.partitionBy("l_partkey")
+      unit.withColumn("mn", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("mn"))
+        .select(col("l_partkey"), col("l_suppkey"), col("unit_cost"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // Q10-shape: returned-item revenue per customer, top 20.
     "q10_returned_items" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -1810,6 +1858,30 @@ object SparkEntry {
         |  lead(c_custkey) OVER w AS next_custkey
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "w14_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2505600 PRECEDING AND CURRENT ROW) / 100.0
+        |    AS trail30
+        |FROM orders""".stripMargin,
+    "q2_min_cost" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+        |      / sum(CAST(round(l_quantity*100) AS BIGINT)), 6) AS unit_cost
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |  GROUP BY 1, 2)
+        |SELECT l_partkey, l_suppkey, unit_cost
+        |FROM (SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS mn
+        |      FROM unit) u
+        |WHERE unit_cost = mn
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue,
         |  count(*) AS n_lines

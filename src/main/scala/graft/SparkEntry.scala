@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Bloom, Dedup, KMeans, Multimodal, Pq, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Bloom, Dedup, KMeans, Multimodal, Packing, Pq, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -683,6 +683,28 @@ object SparkEntry {
       Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 15)
         .select(col("doc_id"), col("source"))
         .orderBy("source", "doc_id")
+    }),
+
+    // Temperature-based source rebalance (τ=2): per-source keep
+    // thresholds ∝ p^(1/τ−1) normalized to the rarest source, applied as
+    // a deterministic hash lottery; summarized per source.
+    "x5_temperature_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Sampling.temperatureSample(docs, "doc_id", "source", 2.0)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      Sampling.temperatureThresholds(docs, "source", 2.0)
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // GPT-style sequence packing: concatenate the corpus in doc_id order
+    // and cut into 512-token blocks via a distributed two-phase prefix
+    // sum; one row per block with its document span.
+    "x6_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), 512)
     }),
 
     // Inverted index: posting lists for terms below the 80%-of-corpus
@@ -1968,6 +1990,35 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rk <= 15
         |ORDER BY source, doc_id""".stripMargin,
+    "x5_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_total,
+        |    pow(CAST(n_total AS DOUBLE) / CAST((SELECT sum(n_total) FROM c) AS DOUBLE),
+        |      1.0/2.0 - 1.0) AS raw
+        |  FROM c),
+        |n AS (SELECT source, n_total,
+        |    CAST(round(raw / (SELECT max(raw) FROM r) * 1000000, 0) AS BIGINT) AS thr
+        |  FROM r),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN n USING (source)
+        |  WHERE CAST(concat('0x', substr(md5(concat('temp:', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      % 1000000 < n.thr
+        |  GROUP BY 1)
+        |SELECT n.source, n.n_total, n.thr, COALESCE(k.n_kept, 0) AS n_kept
+        |FROM n LEFT JOIN k USING (source) ORDER BY n.source""".stripMargin,
+    "x6_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |cum AS (SELECT id, n, sum(n) OVER (ORDER BY id) AS c FROM tok),
+        |spans AS (SELECT id, n, c,
+        |    CAST(floor((c - n) / 512.0) AS BIGINT) AS b0,
+        |    CAST(floor((c - 1) / 512.0) AS BIGINT) AS b1
+        |  FROM cum WHERE n > 0),
+        |x AS (SELECT id, n, c, unnest(generate_series(b0, b1)) AS seq_id FROM spans)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(LEAST(c, (seq_id + 1) * 512) - GREATEST(c - n, seq_id * 512)) AS BIGINT) AS n_tokens,
+        |  min(id) AS first_doc, max(id) AS last_doc
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "t15_inverted_index" ->
       """WITH p AS (SELECT DISTINCT doc_id, w AS term
         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

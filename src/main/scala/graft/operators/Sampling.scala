@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data curation.
@@ -123,5 +124,49 @@ object Sampling {
     df.withColumn("_caprk", row_number().over(w))
       .filter(col("_caprk") <= n)
       .drop("_caprk")
+  }
+
+  /** Per-group keep *thresholds* for temperature-based source mixing
+    * (the multilingual-LM rebalance: sample source i with probability
+    * ∝ p_i^(1/τ), so τ>1 flattens the mix toward rare sources). The
+    * per-row keep rate is q_i/p_i ∝ p_i^(1/τ − 1), normalized so the
+    * rarest source keeps everything — a pure DOWN-sampling of the head,
+    * never an upsample (no row duplication).
+    *
+    * Returns one row per group: `(group, n_total, rate, thr)` where
+    * `thr = round(rate·1e6)` is the hash-bucket threshold. Only the
+    * group-count aggregate touches the corpus; the power/normalize math
+    * runs on the tiny per-group frame (single-partition windows over
+    * #groups rows). Thresholds are integral buckets, so an independent
+    * engine reproduces the exact row set despite libm `pow` differing in
+    * the last ulp.
+    */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_total"))
+      .withColumn("_raw",
+        pow(col("n_total").cast("double") / sum("n_total").over(all),
+          1.0 / temperature - 1.0))
+      .withColumn("rate", col("_raw") / max("_raw").over(all))
+      .withColumn("thr", round(col("rate") * Buckets, 0).cast("long"))
+      .drop("_raw")
+  }
+
+  /** Apply [[temperatureThresholds]]: keep a row iff its key's hash
+    * bucket falls under its group's threshold. One corpus-size
+    * broadcast join (the thresholds frame is #groups rows) plus the
+    * narrow filter — membership is a function of (key, group rates)
+    * alone, so reruns and engine ports keep identical rows.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+      temperature: Double): DataFrame = {
+    val thr = temperatureThresholds(df, groupCol, temperature)
+      .select(col(groupCol), col("thr"))
+    df.join(org.apache.spark.sql.functions.broadcast(thr), groupCol)
+      .filter(Dedup.hash60("temp", col(keyCol).cast("string")) % Buckets < col("thr"))
+      .drop("thr")
   }
 }

@@ -628,4 +628,73 @@ class OperatorsSpec extends SparkSpec {
     val factInt = fact.withColumn("fk", col("fk").cast("int"))
     assert(Bloom.prunedJoin(factInt, dim, "fk", "dk", 32L).count() == 20)
   }
+
+  test("pack sequences: blocks are exactly seqLen, conservation, doc spans") {
+    // 10 docs with 100 tokens each = 1000 tokens -> blocks of 512:
+    // block 0 = 512 tokens (docs 0..5), block 1 = 488 tokens (docs 5..9)
+    val docs = (0L until 10L).map(i => (i, Seq.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), 512).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(out.map(r => r.getLong(2)).sum == 1000L)       // token conservation
+    assert(out.head.getLong(2) == 512L)                    // full first block
+    assert(out.head.getLong(3) == 0L && out.head.getLong(4) == 5L)
+    assert(out(1).getLong(3) == 5L && out(1).getLong(4) == 9L) // doc 5 spans
+    // a doc longer than seqLen spans multiple blocks on its own
+    val big = Seq((0L, Seq.fill(1200)("w").mkString(" "))).toDF("doc_id", "text")
+    val spans = Packing.packSequences(big, "doc_id",
+      TextAnalysis.tokenCount(col("text")), 512).collect()
+    assert(spans.length == 3 && spans.forall(_.getLong(1) == 1L))
+    assert(spans.map(_.getLong(2)).toSeq == Seq(512L, 512L, 176L))
+  }
+
+  test("pack sequences: prefix sum matches a single-threaded fold across buckets") {
+    // irregular token counts and sparse non-contiguous ids exercise the
+    // two-phase distributed scan against the obvious sequential answer
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(i =>
+      (i * 7L + (i % 3), Seq.fill(1 + rnd.nextInt(40))("t").mkString(" ")))
+    val df = rows.toDF("doc_id", "text").repartition(8)
+    val out = Packing.packSequences(df, "doc_id",
+        TextAnalysis.tokenCount(col("text")), 97, buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential oracle
+    val toks = rows.sortBy(_._1).map { case (id, t) => (id, t.split(" ").length.toLong) }
+    var cum = 0L
+    val exp = scala.collection.mutable.Map[Long, (Long, Long)]()
+    toks.foreach { case (_, n) =>
+      val lo = cum; cum += n
+      ((lo / 97) to ((cum - 1) / 97)).foreach { b =>
+        val tk = math.min(cum, (b + 1) * 97) - math.max(lo, b * 97)
+        val (d0, t0) = exp.getOrElse(b, (0L, 0L)); exp(b) = (d0 + 1, t0 + tk)
+      }
+    }
+    assert(out.toSeq == exp.toSeq.sortBy(_._1).map { case (b, (d, t)) => (b, d, t) })
+  }
+
+  test("temperature sampling: rarest source keeps all, head downsampled, deterministic") {
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val thr = Sampling.temperatureThresholds(df, "source", 2.0)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(3)))).toMap
+    assert(thr.size == 2)
+    // rarest source: rate 1 -> thr = 1e6; head: (p_s/p_b)^(1/2) = 1/3
+    assert(thr("small")._2 == 1000000L)
+    assert(thr("big")._2 == math.round(math.sqrt(100.0 / 900.0) * 1e6))
+    val kept = Sampling.temperatureSample(df, "doc_id", "source", 2.0)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc("small") == 100L)                 // all of the tail kept
+    val expectedBig = 900.0 / 3.0
+    assert(math.abs(bySrc("big") - expectedBig) < expectedBig * 0.35,
+      s"big kept ${bySrc("big")}, expected ~$expectedBig")
+    // membership is a pure function of the key: rerun identical
+    val again = Sampling.temperatureSample(df, "doc_id", "source", 2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // tau = 1 is a no-op (every threshold is the full bucket space)
+    assert(Sampling.temperatureSample(df, "doc_id", "source", 1.0).count() == 1000L)
+  }
 }

@@ -221,10 +221,15 @@ object SparkEntry {
           round(col("beta_z") / 100.0, 6).as("beta_z"))
     }),
 
-    // W6 again as pure window algebra (the codegen path): integer-exact
-    // window sums + parenthesized Cramer's rule as column expressions —
-    // no flatMapGroups, the whole plan stays in whole-stage codegen.
-    // Same oracle as w6_rolling_ols.
+    // W6 again as pure window algebra: integer-exact window sums +
+    // parenthesized Cramer's rule as column expressions — no
+    // flatMapGroups, the whole plan stays in whole-stage codegen. Same
+    // oracle as w6_rolling_ols. Measured trade-off: Spark re-aggregates
+    // the full 252-row frame per row for bounded frames (sliding sums
+    // are not incremental), so this form is ~1.7x slower than the
+    // O(1)/row streaming fold in RollingOls.fit — kept as the
+    // no-custom-code expression of the same semantics; fit() is the
+    // recommended path.
     "w6_rolling_ols_native" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "y", "x")

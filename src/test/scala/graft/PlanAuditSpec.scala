@@ -1,0 +1,83 @@
+package graft
+
+/** Physical-plan audits of flagship queries: the properties that decide
+  * 100 TB behavior are asserted, not eyeballed — filters reach the
+  * parquet scan, projections prune the read schema, small dimensions
+  * broadcast, aggregations combine map-side, and nothing degenerates
+  * into a cartesian product. A regression in any of these would still
+  * pass every value-level oracle at test scale while multiplying cost
+  * at cluster scale; this spec is the tripwire.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan; projections prune the read schema") {
+    // q6 filters lineitem on shipdate/discount/quantity: all three belong
+    // in PushedFilters, and the 16-column table must read only the
+    // columns the query touches
+    val p = plan("q6_forecast_revenue")
+    val scan = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("PushedFilters: [") && !scan.contains("PushedFilters: []"),
+      "q6's predicates must reach the scan: " + scan)
+    val read = scan.substring(scan.indexOf("ReadSchema"))
+    assert(read.count(_ == ',') <= 4,
+      "q6 must prune lineitem to the touched columns: " + read)
+    // s1 is a pure scan+project: pruning alone (3 of 16 columns)
+    val s1 = plan("s1_scan_project").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(s1.substring(s1.indexOf("ReadSchema")).count(_ == ',') <= 2,
+      "s1 must read a 3-column subset: " + s1)
+  }
+
+  test("dimension joins broadcast; no shuffle of the small side") {
+    assert(plan("j1_broadcast_join").contains("BroadcastHashJoin"))
+    val star = plan("q5_star_join")
+    assert(star.contains("BroadcastHashJoin"),
+      "q5's region/nation dims must broadcast:\n" + star)
+  }
+
+  test("grouped aggregation combines map-side (partial before the exchange)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), "no map-side partial aggregation:\n" + p)
+  }
+
+  test("no flagship query plans a cartesian product") {
+    // n1 is the documented exception: brute-force top-k is an explicit
+    // crossJoin(broadcast(queries)) against a bounded query set
+    val audited = Seq("q1_agg", "q3_shipping_priority", "q5_star_join",
+      "q9_profit", "d3_dedup_minhash", "d5_dedup_embcos", "j12_asof_join",
+      "x6_pack_sequences", "t7_tfidf")
+    audited.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("flagship queries keep their hot path inside whole-stage codegen") {
+    // AQE hides codegen spans until the plan is finalized, so run the
+    // query (sf0.001) and audit the executed plan
+    Seq("q1_agg", "q6_forecast_revenue", "s1_scan_project").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      // codegen stages render as "*(n) Operator" in the executed plan
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$name fell out of codegen")
+    }
+  }
+
+  test("pack sequences never windows the corpus on a single partition") {
+    val p = plan("x6_pack_sequences")
+    // every Window over the document stream must carry a partition spec
+    // (_b buckets); the only global-order window allowed is the one over
+    // the per-bucket totals (its input is an Aggregate of #buckets rows)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("_b"))
+    assert(unpartitioned.isEmpty || p.contains("_bt"),
+      "corpus-wide unpartitioned window:\n" + windows.mkString("\n"))
+  }
+}

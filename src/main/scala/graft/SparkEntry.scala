@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{PortfolioOpt, RollingOls, Universe}
 import graft.catalog.Tables
 import graft.expr.{Ewma, Windows}
-import graft.operators.{Bloom, Dedup, KMeans, Multimodal, Packing, Pq, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.operators.{Bloom, Dedup, Fuzzy, KMeans, Multimodal, Packing, Pq, RangeJoin, Sampling, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -413,6 +413,48 @@ object SparkEntry {
         coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"))
     }),
 
+    // Fuzzy (edit-distance <= 1) self-match on supplier names:
+    // length-band blocking + banded levenshtein verification — the
+    // entity-resolution shape, never an all-pairs scan.
+    "f2_fuzzy_pairs" -> ((s, dir) => {
+      Fuzzy.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("a", "b")
+    }),
+
+    // Statistical aggregate suite (corr / covariance / variance) from
+    // exact integer-cents moments — the a6 recipe: decimal partial sums
+    // are bit-exact under any partitioning, the double math happens once
+    // per group with fixed parenthesization, so an independent engine
+    // reproduces every digit (built-in corr/covar_samp stream doubles in
+    // partition order and drift in the last ulps at this row count).
+    "a12_stats_suite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("decimal(38,0)").as("q"),
+        round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("p"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("q").cast("double").as("sq"),
+        sum("p").cast("double").as("sp"),
+        sum(col("q") * col("q")).cast("double").as("sqq"),
+        sum(col("p") * col("p")).cast("double").as("spp"),
+        sum(col("q") * col("p")).cast("double").as("sqp"))
+      m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          round((col("n") * col("sqp") - col("sq") * col("sp")) /
+            (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+             sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 6).as("corr_qp"),
+          round((col("sqp") - col("sq") * col("sp") / col("n")) /
+            (col("n") - 1) / 100.0, 6).as("covar_samp"),
+          round((col("sqp") - col("sq") * col("sp") / col("n")) /
+            col("n") / 100.0, 6).as("covar_pop"),
+          round((col("sqq") - col("sq") * col("sq") / col("n")) /
+            (col("n") - 1), 6).as("var_qty"),
+          round(sqrt((col("spp") - col("sp") * col("sp") / col("n")) /
+            (col("n") - 1)) / 100.0, 6).as("stddev_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // JSON path extraction from the semi-structured props column,
     // aggregated per event type — get_json_object stays a codegen'd
     // per-row expression on the scan (no UDF, no shuffle beyond the agg).
@@ -574,7 +616,12 @@ object SparkEntry {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
-        lead("c_custkey", 1).over(w).as("next_custkey"))
+        lead("c_custkey", 1).over(w).as("next_custkey"),
+        lag("c_custkey", 1).over(w).as("prev_custkey"),
+        // exact rationals of (rank-1)/(n-1) and rank/n: identical
+        // doubles on any engine, rounded only as belt-and-braces
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
     }),
 
     // Time-RANGE window frame (vs the row frames everywhere else): each
@@ -1778,6 +1825,33 @@ object SparkEntry {
         |  power(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
         |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
         |FROM part""".stripMargin,
+    "f2_fuzzy_pairs" ->
+      """SELECT CAST(x.s_suppkey AS BIGINT) AS a, CAST(y.s_suppkey AS BIGINT) AS b,
+        |  CAST(levenshtein(x.s_name, y.s_name) AS BIGINT) AS dist
+        |FROM supplier x JOIN supplier y ON x.s_suppkey < y.s_suppkey
+        |WHERE levenshtein(x.s_name, y.s_name) <= 1
+        |ORDER BY a, b""".stripMargin,
+    "a12_stats_suite" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(round(l_quantity) AS HUGEINT)
+        |           * CAST(round(l_quantity) AS HUGEINT)) AS DOUBLE) AS sqq,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS HUGEINT)
+        |           * CAST(round(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(round(l_quantity) AS HUGEINT)
+        |           * CAST(round(l_extendedprice*100) AS HUGEINT)) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sqp - sq * sp) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr_qp,
+        |  round((sqp - sq * sp / n) / (n - 1) / 100.0, 6) AS covar_samp,
+        |  round((sqp - sq * sp / n) / n / 100.0, 6) AS covar_pop,
+        |  round((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((spp - sp * sp / n) / (n - 1)) / 100.0, 6) AS stddev_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "f_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1882,7 +1956,10 @@ object SparkEntry {
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  lead(c_custkey) OVER w AS next_custkey
+        |  lead(c_custkey) OVER w AS next_custkey,
+        |  lag(c_custkey) OVER w AS prev_custkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "w14_range_window" ->

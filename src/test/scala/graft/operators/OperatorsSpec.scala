@@ -673,6 +673,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == exp.toSeq.sortBy(_._1).map { case (b, (d, t)) => (b, d, t) })
   }
 
+  test("edit-distance pairs: length blocking finds exactly the close pairs") {
+    val rows = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "abc"), (5L, "abcd"), (6L, "xyz"), (7L, "completely unrelated"))
+      .toDF("id", "name")
+    def pairs(d: Int) = Fuzzy.editDistancePairs(rows, "id", "name", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // d=1: kitten~sitten, sitten~sittin, abc~abcd — and nothing else
+    assert(pairs(1) == Set((1L, 2L, 1), (2L, 3L, 1), (4L, 5L, 1)))
+    // d=2 additionally reaches kitten~sittin (two substitutions)
+    assert(pairs(2).map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)))
+    // exact duplicates surface at distance 0
+    val dups = Fuzzy.editDistancePairs(
+      Seq((1L, "same"), (2L, "same")).toDF("id", "name"), "id", "name", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dups.toSeq == Seq((1L, 2L, 0)))
+    // extra block columns tighten the key: cross-source pairs vanish
+    val sourced = Seq((1L, "kitten", "web"), (2L, "sitten", "books"))
+      .toDF("id", "name", "src")
+    assert(Fuzzy.editDistancePairs(sourced, "id", "name", 1, Seq("src")).count() == 0)
+  }
+
   test("temperature sampling: rarest source keeps all, head downsampled, deterministic") {
     val df = ((0 until 900).map(i => (i.toLong, "big")) ++
       (900 until 1000).map(i => (i.toLong, "small")))

@@ -1375,6 +1375,21 @@ object SparkEntry {
       Multimodal.frameSamples(withText, "text", Seq(1, 101), 16)
         .select(col("asset_id"), col("modality"), col("n_bytes"), col("sha"),
           col("n_chunks"), col("frame_1"), col("frame_101"))
+    }),
+
+    // Multimodal decode path end-to-end: payload -> mapPartitions feature
+    // head (deterministic byte histogram standing in for the codec) ->
+    // per-bin corpus means. The oracle recomputes the histogram from
+    // characters, so the whole binary/batch/encoder plumbing is
+    // cross-engine-verified, not just spec'd.
+    "m2_decode_features" -> ((s, dir) => {
+      val assets = Multimodal.asAssets(t(s, dir, "documents"), "doc_id",
+        encode(col("text"), "UTF-8"), "text")
+      Multimodal.decodeFeatures(assets, 16)
+        .select(col("asset_id"), posexplode(col("features")).as(Seq("bin", "v")))
+        .groupBy("bin")
+        .agg(round(avg("v"), 6).as("mean_share"), count(lit(1)).as("n_assets"))
+        .orderBy("bin")
     })
   )
 
@@ -2208,6 +2223,23 @@ object SparkEntry {
         |  lower(hex(encode(substr(text, 1, 16)))) AS frame_1,
         |  lower(hex(encode(substr(text, 101, 16)))) AS frame_101
         |FROM documents""".stripMargin,
+    // the corpus is verified ASCII (octet_length(encode()) = length()
+    // for every row), so per-character codepoints equal the UTF-8 bytes
+    // the Spark decoder bins
+    "m2_decode_features" ->
+      """WITH bins AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin),
+        |ch AS (SELECT doc_id, text,
+        |    CAST(unnest(range(1, length(text) + 1)) AS INT) AS i FROM documents),
+        |cnt AS (SELECT doc_id,
+        |    CAST(floor(ascii(substring(text, i, 1)) / 16) AS INT) AS bin,
+        |    count(*) AS k
+        |  FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, b.bin,
+        |    CAST(coalesce(c.k, 0) AS DOUBLE) / greatest(length(d.text), 1) AS v
+        |  FROM documents d CROSS JOIN bins b
+        |  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bin = b.bin)
+        |SELECT bin, round(avg(v), 6) AS mean_share, count(*) AS n_assets
+        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
     // The QP *solve* has no SQL form; its solution certificate does. DuckDB
     // independently rebuilds the per-date asset universe from the source
     // tables and pins the feasibility/consistency constants that a correct

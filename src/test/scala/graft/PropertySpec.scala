@@ -148,6 +148,13 @@ class PropertySpec extends SparkSpec {
       pairs.collect().foreach { r =>
         assert(out(r.getLong(0)) == out(r.getLong(1)))
       }
+      // both execution strategies agree: the driver union-find fast path
+      // (default) and the distributed propagation loop (forced by a zero
+      // edge budget) compute the same unique min-label fixpoint
+      val viaLoop = graft.operators.Dedup
+        .canonicalize(ids, "doc_id", pairs, localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLoop == out)
       // idempotence: feeding the canonical mapping back as pairs changes nothing
       val again = graft.operators.Dedup.canonicalize(ids, "doc_id",
           (ids.sparkSession.createDataFrame(

@@ -455,6 +455,32 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Rank-based trimmed (winsorized-by-count) group stats: drop the
+    // bottom and top 5% of rows BY RANK — integer logic, bit-exact across
+    // engines, unlike value-interpolated percentile clipping — then
+    // aggregate the surviving cents exactly. One shuffle (the window
+    // partition); the rank tie-break on (orderkey, linenumber) makes the
+    // kept set deterministic under duplicate prices.
+    "a13_trimmed_stats" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("l_returnflag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("l_returnflag")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .select(col("l_returnflag"), col("cents"),
+          row_number().over(wOrd).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") > col("n") * 5 / 100 &&
+          col("rn") <= col("n") - col("n") * 5 / 100)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+          (min("cents") / 100.0).as("lo"),
+          (max("cents") / 100.0).as("hi"),
+          round(sum("cents") / 100.0 / count(lit(1)), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     // JSON path extraction from the semi-structured props column,
     // aggregated per event type — get_json_object stays a codegen'd
     // per-row expression on the scan (no UDF, no shuffle beyond the agg).
@@ -855,6 +881,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_segments"), col("n_kept"),
           col("kept_text"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: sources src0-src9 arrive as a new batch and are
+    // checked against the digest store of the accepted corpus (src10-19)
+    // and against themselves — the rolling-ingestion pattern where the
+    // accepted corpus is never rescanned, only its digest store.
+    "d8_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inStore = col("source").rlike("^src1[0-9]$")
+      Dedup.incrementalExact(docs.filter(!inStore), "doc_id", "text",
+        docs.filter(inStore).select(md5(col("text")).as("digest")))
     }),
 
     // SimHash near-dups via banded Hamming blocking.
@@ -1867,6 +1904,20 @@ object SparkEntry {
         |  round((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
         |  round(sqrt((spp - sp * sp / n) / (n - 1)) / 100.0, 6) AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "a13_trimmed_stats" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |        l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_kept,
+        |  min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi,
+        |  round(sum(cents) / 100.0 / count(*), 6) AS trimmed_mean
+        |FROM b WHERE rn > n * 5 / 100 AND rn <= n - n * 5 / 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -2155,6 +2206,21 @@ object SparkEntry {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
         |  FROM documents)
         |SELECT doc_id, canon_id, doc_id <> canon_id AS is_dup FROM c""".stripMargin,
+    "d8_dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents
+        |  WHERE regexp_matches(source, '^src1[0-9]$')),
+        |inc AS (
+        |  SELECT doc_id, md5(text) AS digest FROM documents
+        |  WHERE NOT regexp_matches(source, '^src1[0-9]$')),
+        |el AS (
+        |  SELECT doc_id, digest,
+        |    min(doc_id) OVER (PARTITION BY digest) AS first_id FROM inc)
+        |SELECT el.doc_id, el.digest,
+        |  CASE WHEN seen.digest IS NOT NULL THEN 'dup_of_store'
+        |       WHEN el.doc_id <> el.first_id THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM el LEFT JOIN seen ON el.digest = seen.digest""".stripMargin,
     "d2_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
         |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),

@@ -265,6 +265,36 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_grams"), 6).as("ratio"))
   }
 
+  /** Incremental exact dedup — the production shape for rolling corpus
+    * ingestion: an incoming batch is checked against the digest store of
+    * everything already accepted AND against itself (first occurrence in
+    * the batch wins — min id, deterministic). Unlike [[exact]], the
+    * accepted corpus is never rescanned: only its digests are, and at
+    * 100 TB the store lives as a digest-bucketed table
+    * ([[graft.catalog.Bucketed]]) so this join is exchange-free on the
+    * store side while the batch — orders of magnitude smaller than the
+    * corpus — pays the only shuffle. Digests of rows labeled `kept` are
+    * the caller's append back to the store.
+    *
+    * @param seenDigests one column `digest` (md5 hex of accepted text)
+    * @return (id, digest, status): status ∈ kept | dup_of_store |
+    *         dup_in_batch — store membership wins over batch order, so a
+    *         re-ingested batch is all `dup_of_store` (idempotent)
+    */
+  def incrementalExact(incoming: DataFrame, idCol: String, textCol: String,
+      seenDigests: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    incoming
+      .select(col(idCol), md5(col(textCol)).as("digest"))
+      .withColumn("first_id", min(col(idCol)).over(w))
+      .join(seenDigests.select(col("digest")).distinct()
+        .withColumn("_seen", lit(true)), Seq("digest"), "left")
+      .select(col(idCol), col("digest"),
+        when(col("_seen"), lit("dup_of_store"))
+          .when(col(idCol) =!= col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Connected-components canonicalization — the keep-one-per-cluster
     * step that turns near-dup PAIRS (from [[minHashLsh]], [[simHashPairs]]
     * or [[embCosinePairs]]) into a dedup decision: every document gets

@@ -296,6 +296,26 @@ class OperatorsSpec extends SparkSpec {
     assert(solo.forall(r => r.getLong(0) == r.getLong(1) && !r.getBoolean(2)))
   }
 
+  test("incrementalExact: store wins over batch order; re-ingest is idempotent") {
+    val incoming = Seq(
+      (10L, "alpha"), (11L, "alpha"), // in-batch dup pair, min id wins
+      (12L, "beta"),                  // already in the store
+      (13L, "gamma")                  // genuinely new
+    ).toDF("doc_id", "text")
+    val seen = Seq("beta").toDF("t").select(md5($"t").as("digest"))
+    val out = Dedup.incrementalExact(incoming, "doc_id", "text", seen)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "kept", 11L -> "dup_in_batch",
+      12L -> "dup_of_store", 13L -> "kept"))
+    // append the kept digests and re-ingest the same batch: everything is
+    // now a store hit (idempotence of the rolling-ingestion loop)
+    val store2 = seen.union(
+      incoming.filter($"doc_id".isin(10L, 13L)).select(md5($"text").as("digest")))
+    val again = Dedup.incrementalExact(incoming, "doc_id", "text", store2)
+      .collect().map(r => r.getString(2))
+    assert(again.forall(_ == "dup_of_store"))
+  }
+
   test("hot LSH band: salting preserves the pair set and spreads the key") {
     // adversarial corpus: 40 identical docs share EVERY band key, so one
     // band bucket holds the whole corpus — the case where an unguarded

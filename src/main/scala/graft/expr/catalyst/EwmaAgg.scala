@@ -111,6 +111,10 @@ object GraftExtensions {
     fn("word_chunks", classOf[WordKGrams],
       ch => WordKGrams(ch(0), ch(1), ch(1),
         org.apache.spark.sql.catalyst.expressions.Literal(true))),
+    // all per-doc repetition counters in one pass over the token array —
+    // replaces an exploded 3x-corpus gram stream and two shuffles
+    fn("repetition_stats", classOf[RepetitionStats],
+      ch => RepetitionStats(ch(0))),
     // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
     // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
     // probe as a codegen'd predicate on the fact scan.

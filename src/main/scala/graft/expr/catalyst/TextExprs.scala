@@ -3,9 +3,10 @@ package graft.expr.catalyst
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `word_kgrams(tokens, k)` / `word_chunks(tokens, k)` — word n-gram /
@@ -103,4 +104,118 @@ case class WordKGrams(tokens: Expression, k: Expression,
       newChildren: IndexedSeq[Expression]): WordKGrams =
     copy(tokens = newChildren(0), k = newChildren(1),
       step = newChildren(2), tail = newChildren(3))
+}
+
+/** `repetition_stats(tokens)` — every per-document repetition counter of
+  * [[graft.operators.TextAnalysis.repetitionMetrics]] in ONE pass over
+  * the token array, per row:
+  *
+  *   struct(nw, ndw, nbg, maxbg, ntg, duptg)
+  *   = (1-gram total & distinct, 2-gram total & max multiplicity,
+  *      3-gram total & Σ count where count > 1)
+  *
+  * The earlier relational form exploded the 1+2+3-gram stream (3× the
+  * corpus token count) and shuffled it twice (count per (doc, gram),
+  * then roll up per doc). Every metric is per-document, so the shuffles
+  * bought nothing — this expression keeps the whole computation inside
+  * the scan projection: embarrassingly parallel, zero movement, and the
+  * corpus is read exactly once.
+  *
+  * Grams are counted under the same 60-bit md5 family as the relational
+  * form (`Dedup.hash60("rep", gram)` = first 15 hex chars of
+  * md5("rep:" + gram), i.e. the first 8 big-endian digest bytes >>> 4),
+  * so hash collisions — and therefore results — are bit-identical to the
+  * exploded pipeline and to the DuckDB oracle that mirrors it.
+  *
+  * A null/empty token array yields all-zero counters (the relational
+  * form emitted no rows for such docs; callers filter `nw > 0` to keep
+  * that contract). CodegenFallback: one eval per ROW (not per gram), the
+  * interpreted-dispatch cost is amortized over the internal loop.
+  */
+case class RepetitionStats(tokens: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens)
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("ndw", LongType, nullable = false),
+    StructField("nbg", LongType, nullable = false),
+    StructField("maxbg", LongType, nullable = false),
+    StructField("ntg", LongType, nullable = false),
+    StructField("duptg", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "repetition_stats"
+
+  private val sep = UTF8String.fromString(" ")
+  private val tag = "rep:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  // MessageDigest is stateful; expression instances can be shared across
+  // partition threads under interpreted eval. @transient: ThreadLocal is
+  // not serializable — rebuilt lazily after task deserialization.
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Dedup.hash60("rep", gram): first 15 hex chars of the md5 = the
+    * first 8 digest bytes read big-endian, logically shifted right 4.
+    */
+  private def hash60(gram: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(tag)
+    d.update(gram.getBytes)
+    val h = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val zero = () => new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L, 0L, 0L))
+    val t = tokens.eval(input)
+    if (t == null) return zero()
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return zero()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i) // concat_ws semantics: null joins as ""
+      toks(i) = if (s == null) UTF8String.EMPTY_UTF8 else s
+      i += 1
+    }
+    val counts = new java.util.HashMap[Long, Long]()
+    def countGrams(k: Int): Long = {
+      counts.clear()
+      val m = n - k + 1
+      var j = 0
+      while (j < m) {
+        val g = if (k == 1) toks(j)
+          else UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, j, j + k): _*)
+        counts.merge(hash60(g), 1L, (a, b) => a + b)
+        j += 1
+      }
+      math.max(m, 0).toLong
+    }
+    val nw = countGrams(1)
+    val ndw = counts.size().toLong
+    val nbg = countGrams(2)
+    var maxbg = 0L
+    counts.forEach((_, c) => maxbg = math.max(maxbg, c))
+    val ntg = countGrams(3)
+    var duptg = 0L
+    counts.forEach((_, c) => if (c > 1) duptg += c)
+    new GenericInternalRow(Array[Any](nw, ndw, nbg, maxbg, ntg, duptg))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RepetitionStats =
+    copy(tokens = newChildren(0))
 }

@@ -126,46 +126,34 @@ object TextAnalysis {
     *    occurs more than once;
     *  - `repetitive`: the filter verdict at Gopher-ish thresholds.
     *
-    * Scale shape: ONE narrow explode emits all three gram streams tagged
-    * by n (no per-n passes over the text), one map-side-combinable count
-    * per (doc, n, gram), one per-doc fold — linear, shuffles bounded by
-    * the gram stream, never corpus x corpus.
+    * Scale shape: every metric is per-document, so the whole computation
+    * lives inside the scan projection — ONE native expression
+    * ([[graft.expr.catalyst.RepetitionStats]]: all 1/2/3-gram counters in
+    * a single pass over the token array) per row. Zero shuffles, zero
+    * data movement, corpus read exactly once; the earlier relational form
+    * (exploded 3x-corpus gram stream, count per (doc, n, gram), per-doc
+    * roll-up) shuffled the gram stream twice for no cross-document
+    * information. Grams are counted under the same 60-bit md5 family
+    * ([[Dedup.hash60]]), so collisions — and results — are bit-identical
+    * to that form and to the DuckDB oracle mirroring it.
     */
-  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // token array materialized first — see gramArray's contract
-    val base = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("_ts"))
-    def grams(k: Int): Column =
-      transform(gramArray(col("_ts"), k),
-        g => struct(lit(k).as("n"), g.as("g")))
-    // grams are hashed to 60-bit longs BEFORE the count shuffle (mirrored
-    // md5 family, same as Dedup.contamination): the shuffle carries
-    // fixed-width keys instead of up-to-3-word strings, and any hash
-    // collision affects both engines identically so the oracle still
-    // matches bit-for-bit
-    val counts = base
-      .select(col("id"),
-        explode(concat(grams(1), grams(2), grams(3))).as("e"))
-      .select(col("id"), col("e.n").as("n"),
-        Dedup.hash60("rep", col("e.g")).as("g"))
-      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
-    val one = (n: Int, c: Column) => when(col("n") === n, c)
-    counts.groupBy("id").agg(
-        sum(one(1, col("c"))).as("nw"),
-        count(one(1, lit(1))).as("ndw"),
-        sum(one(2, col("c"))).as("nbg"),
-        max(one(2, col("c"))).as("maxbg"),
-        sum(one(3, col("c"))).as("ntg"),
-        coalesce(sum(when(col("n") === 3 && col("c") > 1, col("c"))), lit(0L)).as("duptg"))
-      .select(col("id").as(idCol),
-        col("nw").as("n_words"),
-        round((col("nw") - col("ndw")).cast("double") / col("nw"), 6).as("dup_word_frac"),
-        round(coalesce(col("maxbg").cast("double") / col("nbg"), lit(0.0)), 6).as("top_bigram_frac"),
-        round(coalesce(col("duptg").cast("double") / col("ntg"), lit(0.0)), 6).as("dup_trigram_frac"))
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        call_function("repetition_stats", tokens(col(textCol))).as("_r"))
+      // docs with no tokens emitted no gram rows in the relational form;
+      // keep that contract (they carry no signal for the gate either way)
+      .filter(col("_r.nw") > 0)
+      .select(col(idCol),
+        col("_r.nw").as("n_words"),
+        round((col("_r.nw") - col("_r.ndw")).cast("double") / col("_r.nw"), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("_r.maxbg").cast("double") / col("_r.nbg"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("_r.duptg").cast("double") / col("_r.ntg"), lit(0.0)), 6)
+          .as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18 ||
           col("dup_trigram_frac") > 0.3)
-  }
 
   /** Top-k salient terms per document by TF-IDF, with BM25 alongside —
     * the relevance/keyword-extraction primitive of corpus curation.

@@ -134,23 +134,30 @@ object Dedup {
     // the lineage consumers (e.g. canonicalize's iterations) re-plan over.
     val cand = bandedPairs(long, Seq("band", "bkey"), hotBandWidth)
       .localCheckpoint(true)
-    // exact verification restricted to candidates: re-derive the DISTINCT
-    // shingle sets only for docs appearing in some candidate pair (a
-    // semi-join, then the narrow shingle explode + one small distinct
-    // shuffle over that subset) and count shared shingles. The second
-    // join keys on (b, s) — shingle equality is part of the equi-join,
-    // not a post-filter, so the intersection never materializes the
-    // per-pair |sh_a|x|sh_b| cross product
-    val candIds = cand
-      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
-    val sh = shingles(df.join(candIds, Seq(idCol), "semi"),
-      idCol, textCol, k).cache()
-    val interCnt = cand
-      .join(sh.withColumnRenamed("id", "a"), "a")
-      .join(sh.withColumnRenamed("id", "b"), Seq("b", "s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    jaccardOf(interCnt, sizes, threshold)
+    // exact verification PER PAIR: candidates are already identified, so
+    // the intersection needs no relational re-shingle (semi-join +
+    // distinct shuffle + two joins + two aggregations in the earlier
+    // form) — join each side's distinct gram set in and compute
+    // |∩|/|∪| with codegen'd array kernels in the projection. The
+    // candidate frame is small by LSH design, so both joins broadcast it
+    // and verification adds ZERO shuffles; each side's gram set is built
+    // narrowly from the doc it came from. (Exact-string sets — no
+    // hashing — bit-identical to the relational form.)
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.gramArray(split(col(textCol), " "), k)).as("gs"))
+    cand
+      .join(grams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
+      .join(grams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("c"),
+        size(col("ga")).cast("long").as("na"),
+        size(col("gb")).cast("long").as("nb"))
+      // the relational form only ever emitted pairs sharing a shingle
+      .filter(col("c") > 0)
+      .select(col("a"), col("b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 60-bit SimHash over the document's distinct words.

@@ -93,6 +93,91 @@ case class SimHashAgg(
     copy(child = c)
 }
 
+/** `simhash_row(tokens)` — the whole 60-bit SimHash signature per ROW.
+  *
+  * Same math as [[SimHashAgg]] fed by the relational pipeline (distinct
+  * words by STRING, so hash collisions contribute twice exactly as two
+  * distinct (id, word) rows did; word hash = first 15 md5 hex chars of
+  * "w:" + word, i.e. `Dedup.hash60("w", ...)`; bit j set iff strictly
+  * more than half the distinct words have bit j set) — results are
+  * bit-identical to the exploded `distinct → simhash_agg` form and to
+  * the DuckDB oracle mirroring it.
+  *
+  * The signature is per-document, so the explode + distinct shuffle +
+  * groupBy shuffle of the relational form bought no cross-document
+  * information; this keeps signature construction inside the scan
+  * projection (see README "per-document metrics never shuffle"). It is
+  * also what a STREAMING dedup needs: signatures computable on unbounded
+  * rows without a blocking aggregation before the keyed state.
+  */
+case class SimHashRow(tokens: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    tokens.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null tokens -> null (the
+  // relational form emitted no signature row for such docs)
+  override def prettyName: String = "simhash_row"
+
+  private val tag = "w:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) return null
+    val arr = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val ones = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val s0 = arr.getUTF8String(i)
+      val s = if (s0 == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s0
+      if (seen.add(s)) {
+        val d = md5.get()
+        d.reset()
+        d.update(tag)
+        d.update(s.getBytes)
+        val h = d.digest()
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+        val wh = v >>> 4 // first 15 hex chars = 60 bits
+        var j = 0
+        while (j < 60) { ones(j) += (wh >>> j) & 1L; j += 1 }
+        total += 1L
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (2L * ones(j) > total) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashRow =
+    copy(tokens = newChildren(0))
+}
+
 /** `minhash_agg(base, numHashes)` — MinHash signature as one
   * `array<long>` of `numHashes` minima of the universal-hash family
   * `h_i(x) = (a_i·x + b_i) mod P` over the shared 31-bit base hash

@@ -115,6 +115,9 @@ object GraftExtensions {
     // replaces an exploded 3x-corpus gram stream and two shuffles
     fn("repetition_stats", classOf[RepetitionStats],
       ch => RepetitionStats(ch(0))),
+    // whole 60-bit SimHash signature per row (same math as simhash_agg) —
+    // no explode/distinct/groupBy, and computable on unbounded streams
+    fn("simhash_row", classOf[SimHashRow], ch => SimHashRow(ch(0))),
     // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
     // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
     // probe as a codegen'd predicate on the fact scan.

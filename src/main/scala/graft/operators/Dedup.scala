@@ -172,14 +172,17 @@ object Dedup {
     * groupBy shuffle carries one 61-long buffer per doc, not the word
     * stream.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-      .distinct()
-      .withColumn("wh", hash60("w", col("w")))
-    words.groupBy("id")
-      .agg(call_function("simhash_agg", col("wh")).as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the signature is per-document: one native walk in the projection
+    // (graft.expr.catalyst.SimHashRow) replaces explode + distinct
+    // shuffle + simhash_agg groupBy — bit-identical output, zero
+    // shuffles, and the same expression serves the streaming dedup
+    // (where a blocking aggregation could not precede keyed state).
+    // Null-text docs emitted no signature in the relational form; the
+    // filter keeps that contract.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("simhash_row", split(col(textCol), " ")).as("simhash"))
 
   /** Embedding-cosine near-dup pairs: SRP-LSH banded candidate generation
     * (`bands` chunks of `bitsPerBand` hyperplane sign bits; pairs sharing

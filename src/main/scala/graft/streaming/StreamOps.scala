@@ -195,6 +195,94 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class SigEntry(id: Long, sig: Long, tsMs: Long)
+  final case class BucketSigs(entries: Seq[SigEntry])
+  final case class DocSigChunk(
+      doc_id: Long, ts: Timestamp, simhash: Long, chunk: Int, ckey: Long)
+  final case class NearPair(a: Long, b: Long, hamming: Long)
+
+  /** Streaming NEAR-dup detection — the online form of the batch
+    * [[graft.operators.Dedup.simHashPairs]]: each arriving document's
+    * 60-bit SimHash (the per-row `simhash_row` expression; an
+    * aggregation could not precede keyed state in one streaming query)
+    * is banded into the same 4×15-bit chunks, and per (chunk, ckey)
+    * bucket the keyed state holds the signatures seen inside the
+    * watermark horizon. A new document compares against exactly its
+    * buckets' state — the banding bounds comparisons the same way the
+    * batch band self-join bounds join width.
+    *
+    * Emission is exactly-once per pair: of a pair's shared chunks, only
+    * the FIRST reports it (both signatures are in hand, so each bucket
+    * decides locally and deterministically). Pair orientation is
+    * (min id, max id); `hamming <= maxDist` matches the batch threshold
+    * exactly, so on any bounded replay the emitted pair set equals the
+    * batch operator's (asserted by spec).
+    *
+    * State is bounded two ways: entries older than the horizon are
+    * evicted (and idle buckets time out entirely), and a bucket holds at
+    * most `maxPerBucket` signatures (FIFO) — the streaming analogue of
+    * the batch hot-band treatment; overflow of a degenerate bucket
+    * trades recall for bounded state, never unbounded memory. A pair
+    * whose first shared chunk was evicted is missed, not re-routed —
+    * document-level recall under eviction is the operator's honest
+    * contract, as in every windowed streaming dedup.
+    */
+  def streamingNearDedup(docs: Dataset[Doc], maxDist: Int = 3,
+      watermark: String = "1 hour", maxPerBucket: Int = 1024): Dataset[NearPair] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = parseDurationMs(watermark)
+
+    def chunkKey(sig: Long, c: Int): Long = (sig >> (15 * c)) & 32767L
+    def firstSharedChunk(sa: Long, sb: Long): Int = {
+      var c = 0
+      while (c < 4) {
+        if (chunkKey(sa, c) == chunkKey(sb, c)) return c
+        c += 1
+      }
+      -1
+    }
+
+    def update(key: (Int, Long), rows: Iterator[DocSigChunk],
+        state: GroupState[BucketSigs]): Iterator[NearPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // deterministic intra-batch order; the emitted pair SET is order-
+      // independent, the tie-break just pins which side was "stored"
+      val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      if (batch.isEmpty) return Iterator.empty
+      val newestMs = batch.map(_.ts.getTime).max
+      var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+        .filter(_.tsMs >= newestMs - horizonMs)
+      val out = scala.collection.mutable.ListBuffer[NearPair]()
+      batch.foreach { r =>
+        entries.foreach { e =>
+          if (e.id != r.doc_id) {
+            val d = java.lang.Long.bitCount(e.sig ^ r.simhash)
+            if (d <= maxDist && firstSharedChunk(e.sig, r.simhash) == r.chunk)
+              out += NearPair(math.min(e.id, r.doc_id),
+                math.max(e.id, r.doc_id), d.toLong)
+          }
+        }
+        entries = (entries :+ SigEntry(r.doc_id, r.simhash, r.ts.getTime))
+          .takeRight(maxPerBucket)
+      }
+      state.update(BucketSigs(entries))
+      state.setTimeoutTimestamp(newestMs + horizonMs)
+      out.iterator
+    }
+
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        call_function("simhash_row", split(col("text"), " ")).as("simhash"))
+      .selectExpr("doc_id", "ts", "simhash",
+        s"stack(4, ${(0 until 4).map(c => s"$c, (simhash >> ${15 * c}) & 32767").mkString(", ")}) as (chunk, ckey)")
+      .as[DocSigChunk]
+      .withWatermark("ts", watermark)
+      .groupByKey(r => (r.chunk, r.ckey))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Parses the `"N unit"` duration strings used by watermarks. */
   private def parseDurationMs(s: String): Long = {
     val Array(n, unit) = s.trim.split("\\s+")

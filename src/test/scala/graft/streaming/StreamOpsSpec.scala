@@ -212,4 +212,43 @@ class StreamOpsSpec extends SparkSpec {
       (1L, ts(40), ts(45), 7.0),
       (2L, ts(0), ts(29), 3.0)))
   }
+
+  test("streamingNearDedup emits exactly the batch simHashPairs set") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "pi")
+    // clusters of near-identical docs (exact copies + one-word edits)
+    // among unrelated noise docs
+    val docs = (0L until 60L).map { i =>
+      val base = (i % 12).toInt
+      val words = Vector.tabulate(10)(j => vocab((base * 3 + j * 2) % vocab.size))
+      val text = (i / 12) match {
+        case 0 | 1 => words.mkString(" ") // two exact copies per cluster
+        case 2     => words.updated(4, "edited").mkString(" ")
+        case _     => Vector.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      Doc(i, ts(i % 7), text)
+    }
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingNearDedup(input.toDS(), maxDist = 3)
+      .writeStream.format("memory").queryName("neardup").outputMode("append")
+      .start()
+    val (b1, b2) = docs.splitAt(30) // cluster members straddle the batches
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup").as[NearPair].collect()
+      .map(p => (p.a, p.b, p.hamming)).toSet
+    val batch = graft.operators.Dedup.simHashPairs(
+        docs.toDF("doc_id", "ts", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty) // the clusters must actually collide
+    assert(streamed == batch)
+    // exactly-once: no pair appeared twice across its shared chunks
+    val all = spark.table("neardup").as[NearPair].collect()
+    assert(all.length == all.toSet.size)
+  }
 }

@@ -178,6 +178,102 @@ case class SimHashRow(tokens: Expression)
     copy(tokens = newChildren(0))
 }
 
+/** `minhash_row(tokens, k, numHashes)` — the whole MinHash signature per
+  * ROW: word k-grams built in place (same construction as
+  * [[WordKGrams]]), each hashed to the 31-bit base
+  * (`Dedup.baseHash` = first 15 md5 hex chars of "mh:" + gram, mod P),
+  * then `numHashes` universal-hash minima ([[graft.operators.Dedup.hashParams]]
+  * constants — identical to [[MinHashAgg]] fed by the exploded raw
+  * shingle stream, since minima are multiset-invariant). Bit-identical
+  * signatures, but the corpus-wide explode + groupBy shuffle disappears:
+  * signature construction stays inside the scan projection, and the
+  * expression is usable on unbounded streams.
+  *
+  * Docs with fewer than `k` words have no k-grams and produced no
+  * signature row in the aggregated form — this returns null there;
+  * callers filter it.
+  */
+case class MinHashRow(tokens: Expression, k: Expression, num: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens, k, num)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (tokens.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && k.dataType == IntegerType && num.dataType == IntegerType &&
+      k.foldable && num.foldable
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, int literal, int literal), " +
+        s"got ${children.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_row"
+
+  private lazy val kV: Int = k.eval().asInstanceOf[Int]
+  private lazy val numV: Int = num.eval().asInstanceOf[Int]
+  private lazy val params: Array[(Long, Long)] =
+    (0 until numV).map(graft.operators.Dedup.hashParams).toArray
+  private val P = graft.operators.Dedup.P
+  private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val tag = "mh:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  override def eval(input: InternalRow): Any = {
+    require(kV >= 1 && numV >= 1, s"$prettyName needs k >= 1 and numHashes >= 1")
+    val t = tokens.eval(input)
+    if (t == null) return null
+    val arr = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val m = n - kV + 1
+    if (m <= 0) return null
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
+      i += 1
+    }
+    val sig = Array.fill(numV)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val gram =
+        if (kV == 1) toks(j)
+        else org.apache.spark.unsafe.types.UTF8String.concatWs(
+          sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
+      val d = md5.get()
+      d.reset()
+      d.update(tag)
+      d.update(gram.getBytes)
+      val h = d.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      val base = (v >>> 4) % P // first 15 hex chars, then the 31-bit fold
+      var x = 0
+      while (x < numV) {
+        val hv = (base * params(x)._1 + params(x)._2) % P
+        if (hv < sig(x)) sig(x) = hv
+        x += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashRow =
+    copy(tokens = newChildren(0), k = newChildren(1), num = newChildren(2))
+}
+
 /** `minhash_agg(base, numHashes)` — MinHash signature as one
   * `array<long>` of `numHashes` minima of the universal-hash family
   * `h_i(x) = (a_i·x + b_i) mod P` over the shared 31-bit base hash

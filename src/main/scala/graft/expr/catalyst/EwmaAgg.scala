@@ -118,6 +118,9 @@ object GraftExtensions {
     // whole 60-bit SimHash signature per row (same math as simhash_agg) —
     // no explode/distinct/groupBy, and computable on unbounded streams
     fn("simhash_row", classOf[SimHashRow], ch => SimHashRow(ch(0))),
+    // whole MinHash signature per row (same family as minhash_agg)
+    fn("minhash_row", classOf[MinHashRow],
+      ch => MinHashRow(ch(0), ch(1), ch(2))),
     // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
     // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
     // probe as a codegen'd predicate on the fact scan.

@@ -83,14 +83,13 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** MinHash signature as one `array<long>` column `sig`: per-doc minima
-    * over shingles of the universal-hash family applied to one shared base
-    * hash. One md5 per shingle, one shuffle (groupBy id), ONE aggregate —
-    * [[graft.expr.catalyst.MinHashAgg]] packs all `numHashes` minima into
-    * a single mergeable buffer, so partial aggregation still combines
-    * map-side and the codegen surface stays constant in `numHashes`
-    * (64 separate `min` aggregate columns made first-run compile cost
-    * dominate the driver bench, BENCH_r02).
+  /** MinHash signature from an exploded (id, shingle-base-hash) stream —
+    * the mergeable AGGREGATION form ([[graft.expr.catalyst.MinHashAgg]]:
+    * all `numHashes` minima in one buffer, map-side combinable). The
+    * engine's own pipelines now build signatures per row instead
+    * ([[graft.expr.catalyst.MinHashRow]] in [[minHashLsh]] — zero
+    * shuffles); this form remains for inputs that already arrive one
+    * gram per row, where partial aggregation is the right shape.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.withColumn("base", baseHash(col("s")))
@@ -111,13 +110,18 @@ object Dedup {
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // the signature path consumes the RAW shingle stream: per-doc minima
-    // are multiset-invariant, so the narrow explode feeds minhash_agg's
-    // map-side partial aggregation directly and the corpus never pays a
-    // distinct shuffle or a corpus-sized cache here — the distinct set is
-    // derived below for CANDIDATE docs only (the population verification
-    // actually touches, a small fraction of the corpus by LSH design)
-    val sig = minHashSignatures(shinglesRaw(df, idCol, textCol, k), numHashes)
+    // the signature is per-document: one native walk in the projection
+    // (graft.expr.catalyst.MinHashRow) — per-doc minima are multiset-
+    // invariant, so it consumes the raw gram stream in place and the
+    // corpus never pays the explode + groupBy shuffle of the aggregated
+    // form (bit-identical signatures). Docs with < k words have no
+    // shingles and produced no signature row before; the null filter
+    // keeps that contract.
+    val sig = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("minhash_row",
+          split(col(textCol), " "), lit(k), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandKeys = sig.select(col("id") +:
       (0 until bands).map { b =>
         md5(concat_ws(",",

@@ -69,6 +69,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-document signatures and metrics plan zero exchanges") {
+    // the no-shuffle-per-row rule (README "100 TB design notes"): SimHash
+    // and MinHash signature construction and the repetition counters all
+    // live inside the scan projection — any Exchange here means a
+    // corpus-wide shuffle crept back into a per-document computation
+    val docs = catalog.Tables.load(spark, sf, "documents")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    assert(exchanges(operators.Dedup.simHash(docs, "doc_id", "text")) == 0,
+      "simHash must not shuffle")
+    assert(exchanges(docs.selectExpr(
+        "minhash_row(split(text, ' '), 3, 64) as sig")) == 0,
+      "minhash_row must not shuffle")
+    assert(exchanges(operators.TextAnalysis.repetitionMetrics(
+        docs, "doc_id", "text")) == 0,
+      "repetitionMetrics must not shuffle")
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -894,6 +894,19 @@ object SparkEntry {
         docs.filter(inStore).select(md5(col("text")).as("digest")))
     }),
 
+    // Incremental NEAR-dup: the new batch (src0-9) is probed against the
+    // accepted corpus's persisted MinHash band-key artifact (src10-19) and
+    // against itself — the store is never re-signatured, and its text is
+    // read only to verify actual candidates.
+    "d9_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inStore = col("source").rlike("^src1[0-9]$")
+      val store = docs.filter(inStore)
+      val incoming = docs.filter(!inStore)
+      Dedup.incrementalNearDup(incoming, "doc_id", "text", 3, 64, 16, 0.5,
+        Dedup.bandKeys(store, "doc_id", "text", 3, 64, 16), store)
+    }),
+
     // SimHash near-dups via banded Hamming blocking.
     "d4_dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
@@ -1519,6 +1532,50 @@ object SparkEntry {
        |          JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
        |          GROUP BY 1, 2)
        |SELECT a, b, round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+       |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin
+  }
+
+  /** SQL mirror of [[Dedup.incrementalNearDup]] on the d8/d9 source
+    * split: both sides' signatures from the same universal-hash family,
+    * banded; in-batch pairs via the self-join (a < b), store matches via
+    * the cross join; exact-Jaccard verification on all candidates.
+    */
+  private def incNearDupSql: String = {
+    val sigCols = (0 until 64).map { i =>
+      val (a, b) = Dedup.hashParams(i)
+      s"min(($a*base + $b) % ${Dedup.P}) AS mh$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 16).map { bnd =>
+      val cols = (0 until 4).map(j => s"CAST(mh${bnd * 4 + j} AS VARCHAR)").mkString(", ")
+      s"SELECT id, in_store, $bnd AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id AS id,
+       |         regexp_matches(source, '^src1[0-9]$$') AS in_store,
+       |         string_split(text, ' ') AS ts FROM documents),
+       |idx AS (SELECT id, in_store, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),
+       |sh AS (SELECT DISTINCT id, in_store, array_to_string(ts[i+1:i+3], ' ') AS s FROM idx),
+       |bs AS (SELECT id, in_store, s,
+       |         CAST(concat('0x', substr(md5(concat('mh:', s)), 1, 15)) AS BIGINT) % ${Dedup.P} AS base
+       |       FROM sh),
+       |sig AS (SELECT id, in_store,
+       |  $sigCols
+       |  FROM bs GROUP BY 1, 2),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b, 'batch' AS vs FROM bands x
+       |    JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+       |  WHERE NOT x.in_store AND NOT y.in_store
+       |  UNION
+       |  SELECT DISTINCT x.id, y.id, 'store' FROM bands x
+       |    JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE NOT x.in_store AND y.in_store),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.a, c.b, c.vs, count(*) AS cnt FROM cand c
+       |          JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.s = sa.s
+       |          GROUP BY 1, 2, 3)
+       |SELECT a, b, vs, round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
        |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
        |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin
   }
@@ -2221,6 +2278,7 @@ object SparkEntry {
         |       WHEN el.doc_id <> el.first_id THEN 'dup_in_batch'
         |       ELSE 'kept' END AS status
         |FROM el LEFT JOIN seen ON el.digest = seen.digest""".stripMargin,
+    "d9_incremental_neardup" -> incNearDupSql,
     "d2_dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ts FROM documents),
         |idx AS (SELECT id, ts, unnest(range(0, greatest(len(ts)-2, 0))) AS i FROM tok),

@@ -141,27 +141,104 @@ object Dedup {
     // exact verification PER PAIR: candidates are already identified, so
     // the intersection needs no relational re-shingle (semi-join +
     // distinct shuffle + two joins + two aggregations in the earlier
-    // form) — join each side's distinct gram set in and compute
-    // |∩|/|∪| with codegen'd array kernels in the projection. The
-    // candidate frame is small by LSH design, so both joins broadcast it
-    // and verification adds ZERO shuffles; each side's gram set is built
-    // narrowly from the doc it came from. (Exact-string sets — no
-    // hashing — bit-identical to the relational form.)
-    val grams = df.select(col(idCol).as("id"),
+    // form) — see verifyJaccard
+    val grams = gramSets(df, idCol, textCol, k)
+    verifyJaccard(cand, grams, grams, threshold)
+  }
+
+  /** Distinct word k-gram set per doc as ONE array column: (id, gs). */
+  private def gramSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.gramArray(split(col(textCol), " "), k)).as("gs"))
+
+  /** Exact-Jaccard verification of candidate pairs (a, b): join each
+    * side's distinct gram set in and compute |∩|/|∪| with codegen'd
+    * array kernels in the projection. The candidate frame is small by
+    * LSH design, so both joins broadcast it and verification adds ZERO
+    * shuffles; gram sets are exact strings (no hashing), bit-identical
+    * to a relational shingle-join intersection. Extra candidate columns
+    * (tags) pass through.
+    */
+  private def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
+      rightGrams: DataFrame, threshold: Double): DataFrame = {
+    val extra = cand.columns.filterNot(Set("a", "b")).toSeq
     cand
-      .join(grams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
-      .join(grams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("c"),
-        size(col("ga")).cast("long").as("na"),
-        size(col("gb")).cast("long").as("nb"))
-      // the relational form only ever emitted pairs sharing a shingle
+      .join(leftGrams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
+      .join(rightGrams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
+      .select(col("a") +: col("b") +: extra.map(col) :+
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("c") :+
+        size(col("ga")).cast("long").as("na") :+
+        size(col("gb")).cast("long").as("nb"): _*)
+      // a shingle-join intersection only ever emitted pairs sharing a gram
       .filter(col("c") > 0)
-      .select(col("a"), col("b"),
+      .select(col("a") +: col("b") +: extra.map(col) :+
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
-          .as("jaccard"))
+          .as("jaccard"): _*)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash band-key artifact for a corpus: (id, band, bkey) — the
+    * compact thing an incremental pipeline PERSISTS about its accepted
+    * corpus (a few dozen bytes per doc, vs re-signaturing petabytes on
+    * every ingest). Built per row ([[graft.expr.catalyst.MinHashRow]] +
+    * the band digests), zero shuffles; write it bucketed by (band, bkey)
+    * ([[graft.catalog.Bucketed]]) and the incremental probe join below
+    * is exchange-free on the store side.
+    */
+  def bandKeys(df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("minhash_row",
+          split(col(textCol), " "), lit(k), lit(numHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +:
+        (0 until bands).map { b =>
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * r + 1, r), _.cast("string"))))
+            .as(s"band$b")
+        }: _*)
+      .selectExpr("id",
+        s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
+  }
+
+  /** Incremental NEAR-dup dedup — the rolling-ingestion form of
+    * [[minHashLsh]], completing [[incrementalExact]]'s story for
+    * near-duplicates: an incoming batch is checked against the accepted
+    * corpus through its persisted [[bandKeys]] artifact (the store text
+    * is touched only for verification of actual candidates, via a
+    * candidate-bounded join — never rescanned or re-signatured), and
+    * against itself with the usual banded self-join.
+    *
+    * @return (a, b, vs, jaccard): `a` an incoming doc; `vs` = "batch"
+    *         (b is a later incoming doc, a < b) or "store" (b is an
+    *         accepted doc). Exact-verified at `threshold` either way.
+    */
+  def incrementalNearDup(incoming: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double,
+      storeBands: DataFrame, storeDocs: DataFrame,
+      hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
+    // the batch's band keys feed two probes — materialize once
+    val incBands = bandKeys(incoming, idCol, textCol, k, numHashes, bands)
+      .localCheckpoint(true)
+    val inBatch = bandedPairs(incBands, Seq("band", "bkey"), hotBandWidth)
+      .withColumn("vs", lit("batch"))
+    // store probe: the batch side is small next to the store, so the
+    // join shuffles (or broadcasts) the BATCH's keys; a degenerate hot
+    // band on the store side is split by AQE skew handling at runtime
+    val crossCand = incBands
+      .join(storeBands.select(col("band"), col("bkey"), col("id").as("b")),
+        Seq("band", "bkey"))
+      .select(col("id").as("a"), col("b")).distinct()
+      .withColumn("vs", lit("store"))
+    val incGrams = gramSets(incoming, idCol, textCol, k)
+    val storeGrams = gramSets(storeDocs, idCol, textCol, k)
+    verifyJaccard(inBatch, incGrams, incGrams, threshold)
+      .unionByName(verifyJaccard(crossCand, incGrams, storeGrams, threshold))
+      .select(col("a"), col("b"), col("vs"), col("jaccard"))
   }
 
   /** 60-bit SimHash over the document's distinct words.

@@ -316,6 +316,30 @@ class OperatorsSpec extends SparkSpec {
     assert(again.forall(_ == "dup_of_store"))
   }
 
+  test("incrementalNearDup: finds store near-dups without rescanning text of non-candidates") {
+    val mk = (i: Long, t: String) => (i, t)
+    // store: two docs; batch: a near-copy of store doc 100, an exact
+    // in-batch dup pair, and an unrelated doc
+    val store = Seq(
+      mk(100L, "the quick brown fox jumps over the lazy dog today"),
+      mk(101L, "completely different content about spark physical plans")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      mk(2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(4L, "nothing like anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(store, "doc_id", "text", 3, 64, 16)
+    val out = Dedup.incrementalNearDup(batch, "doc_id", "text", 3, 64, 16,
+        0.5, bands, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out.contains((2L, 3L, "batch"))) // exact in-batch dup
+    assert(out.contains((1L, 100L, "store"))) // near-copy of the store doc
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated stays clean
+    assert(!out.exists(p => p._2 == 101L)) // no spurious store match
+  }
+
   test("hot LSH band: salting preserves the pair set and spreads the key") {
     // adversarial corpus: 40 identical docs share EVERY band key, so one
     // band bucket holds the whole corpus — the case where an unguarded

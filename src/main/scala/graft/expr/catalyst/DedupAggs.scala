@@ -274,6 +274,92 @@ case class MinHashRow(tokens: Expression, k: Expression, num: Expression)
     copy(tokens = newChildren(0), k = newChildren(1), num = newChildren(2))
 }
 
+/** `gram_hashes(tokens, k, tag)` — the 60-bit md5 hashes of a document's
+  * word k-grams as one `array<long>` per row (same family as
+  * `Dedup.hash60(tag, gram)`; gram construction as in [[WordKGrams]]).
+  * Pairs with `array_distinct` to get each doc's distinct gram-hash set
+  * without any explode or shuffle — the per-row front half of
+  * gram-membership operators like `Dedup.contamination`, whose relational
+  * form paid a corpus-wide (id, hash) distinct shuffle per side.
+  * Duplicate handling matches the exploded form exactly: dedupe happens
+  * on the HASH value, so a within-doc collision counts once either way.
+  * Docs with fewer than `k` words yield an empty array.
+  */
+case class GramHashes(tokens: Expression, k: Expression, tag: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(tokens, k, tag)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (tokens.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }) && k.dataType == IntegerType &&
+      k.foldable && tag.foldable &&
+      tag.dataType == org.apache.spark.sql.types.StringType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, int literal, string literal), " +
+        s"got ${children.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "gram_hashes"
+
+  private lazy val kV: Int = k.eval().asInstanceOf[Int]
+  private lazy val tagBytes: Array[Byte] =
+    (tag.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val empty = new GenericArrayData(Array.empty[Any])
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  override def eval(input: InternalRow): Any = {
+    require(kV >= 1, s"$prettyName needs k >= 1")
+    val t = tokens.eval(input)
+    if (t == null) return empty
+    val arr = t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val m = n - kV + 1
+    if (m <= 0) return empty
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val gram =
+        if (kV == 1) toks(j)
+        else org.apache.spark.unsafe.types.UTF8String.concatWs(
+          sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
+      val d = md5.get()
+      d.reset()
+      d.update(tagBytes)
+      d.update(gram.getBytes)
+      val h = d.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(j) = v >>> 4
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramHashes =
+    copy(tokens = newChildren(0), k = newChildren(1), tag = newChildren(2))
+}
+
 /** `minhash_agg(base, numHashes)` — MinHash signature as one
   * `array<long>` of `numHashes` minima of the universal-hash family
   * `h_i(x) = (a_i·x + b_i) mod P` over the shared 31-bit base hash

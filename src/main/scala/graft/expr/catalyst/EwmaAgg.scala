@@ -121,6 +121,9 @@ object GraftExtensions {
     // whole MinHash signature per row (same family as minhash_agg)
     fn("minhash_row", classOf[MinHashRow],
       ch => MinHashRow(ch(0), ch(1), ch(2))),
+    // per-row word k-gram hash array (Dedup.hash60 family)
+    fn("gram_hashes", classOf[GramHashes],
+      ch => GramHashes(ch(0), ch(1), ch(2))),
     // Spark's own (non-SQL-registered) bloom expressions, surfaced for the
     // Bloom.prunedJoin semi-join reduction: build over xxhash64'd dim keys,
     // probe as a codegen'd predicate on the fact scan.

@@ -324,11 +324,13 @@ object Dedup {
     * training pipeline runs before publishing an eval set: an eval
     * document whose k-grams appear in the training corpus is leaking.
     *
-    * Shape at scale: both sides reduce to distinct (id, 60-bit shingle
-    * hash) streams — narrow explode + one distinct shuffle each — and the
-    * overlap is a hash equi-join on the shingle hash (compact fixed-width
-    * keys, never the raw n-gram strings) followed by one map-side-
-    * combinable count per eval doc. Nothing quadratic, nothing collected.
+    * Shape at scale: each side's distinct gram-hash set is built in the
+    * row (no explode-then-distinct shuffle); the train side pays the one
+    * genuinely corpus-wide shuffle (global distinct of its gram hashes),
+    * and the overlap is a hash equi-join on the 60-bit hash (compact
+    * fixed-width keys, never the raw n-gram strings) followed by one
+    * map-side-combinable count per eval doc. Nothing quadratic, nothing
+    * collected.
     *
     * @return one row per eval doc: (idCol, n_grams, n_hits, ratio) with
     *         ratio = round(n_hits / n_grams, 6); docs shorter than k
@@ -336,13 +338,17 @@ object Dedup {
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    // hash BEFORE the distinct: the dedup shuffle then carries fixed-width
-    // longs instead of raw k-gram strings (~k x the corpus text), and each
-    // side pays exactly one shuffle
-    val trGrams = shinglesRaw(train, idCol, textCol, k)
-      .select(hash60("ng", col("s")).as("g")).distinct()
-    val evGrams = shinglesRaw(eval, idCol, textCol, k)
-      .select(col("id"), hash60("ng", col("s")).as("g")).distinct()
+    // per-doc distinct gram-hash sets are built IN THE ROW
+    // (gram_hashes + array_distinct — fixed-width longs, no explode, no
+    // (id, gram) distinct shuffle on either side); the train side then
+    // pays the one shuffle that is genuinely corpus-wide (global distinct
+    // of its gram-hash set), the eval side none before the overlap join
+    def rowGrams(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(call_function("gram_hashes",
+          split(col(textCol), " "), lit(k), lit("ng")))).as("g"))
+    val trGrams = rowGrams(train).select("g").distinct()
+    val evGrams = rowGrams(eval)
     val ids = eval.select(col(idCol).cast("long").as("id")).distinct()
     val hits = evGrams
       .join(trGrams.withColumn("hit", lit(1L)), Seq("g"), "left")

@@ -455,12 +455,13 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // Rank-based trimmed (winsorized-by-count) group stats: drop the
-    // bottom and top 5% of rows BY RANK — integer logic, bit-exact across
-    // engines, unlike value-interpolated percentile clipping — then
-    // aggregate the surviving cents exactly. One shuffle (the window
-    // partition); the rank tie-break on (orderkey, linenumber) makes the
-    // kept set deterministic under duplicate prices.
+    // Rank-based trimmed (winsorized-by-count) group stats: drop exactly
+    // floor(0.05·n) rows from EACH tail by rank — whole-row logic, so
+    // both engines agree bit-for-bit, unlike value-interpolated
+    // percentile clipping — then aggregate the surviving cents exactly.
+    // One shuffle (the window partition); the rank tie-break on
+    // (orderkey, linenumber) makes the kept set deterministic under
+    // duplicate prices.
     "a13_trimmed_stats" -> ((s, dir) => {
       val wOrd = Window.partitionBy("l_returnflag")
         .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
@@ -471,8 +472,8 @@ object SparkEntry {
         .select(col("l_returnflag"), col("cents"),
           row_number().over(wOrd).as("rn"),
           count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") > col("n") * 5 / 100 &&
-          col("rn") <= col("n") - col("n") * 5 / 100)
+        .filter(col("rn") > floor(col("n") * 5 / 100) &&
+          col("rn") <= col("n") - floor(col("n") * 5 / 100))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_kept"),
           (min("cents") / 100.0).as("lo"),
@@ -1973,7 +1974,7 @@ object SparkEntry {
         |SELECT l_returnflag, count(*) AS n_kept,
         |  min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi,
         |  round(sum(cents) / 100.0 / count(*), 6) AS trimmed_mean
-        |FROM b WHERE rn > n * 5 / 100 AND rn <= n - n * 5 / 100
+        |FROM b WHERE rn > floor(n * 5 / 100) AND rn <= n - floor(n * 5 / 100)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -93,6 +93,33 @@ case class SimHashAgg(
     copy(child = c)
 }
 
+/** The `Dedup.hash60` family for native expressions: first 15 hex chars
+  * of md5(tag ++ utf8), i.e. the first 8 digest bytes big-endian >>> 4.
+  * ONE shared implementation — [[SimHashRow]], [[MinHashRow]],
+  * [[GramHashes]] and [[RepetitionStats]] all hash through here, so the
+  * bit-compatibility contract with `Dedup.hash60` (and every DuckDB
+  * oracle mirror) lives in one place.
+  */
+private[catalyst] object Hash60 {
+  // MessageDigest is stateful; expressions evaluate concurrently across
+  // partition threads
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def apply(tagBytes: Array[Byte],
+      s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(tagBytes)
+    d.update(s.getBytes)
+    val h = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
 /** `simhash_row(tokens)` — the whole 60-bit SimHash signature per ROW.
   *
   * Same math as [[SimHashAgg]] fed by the relational pipeline (distinct
@@ -132,9 +159,6 @@ case class SimHashRow(tokens: Expression)
   override def prettyName: String = "simhash_row"
 
   private val tag = "w:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](
-      () => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     val t = tokens.eval(input)
@@ -149,15 +173,7 @@ case class SimHashRow(tokens: Expression)
       val s0 = arr.getUTF8String(i)
       val s = if (s0 == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s0
       if (seen.add(s)) {
-        val d = md5.get()
-        d.reset()
-        d.update(tag)
-        d.update(s.getBytes)
-        val h = d.digest()
-        var v = 0L
-        var k = 0
-        while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-        val wh = v >>> 4 // first 15 hex chars = 60 bits
+        val wh = Hash60(tag, s)
         var j = 0
         while (j < 60) { ones(j) += (wh >>> j) & 1L; j += 1 }
         total += 1L
@@ -223,9 +239,6 @@ case class MinHashRow(tokens: Expression, k: Expression, num: Expression)
   private val P = graft.operators.Dedup.P
   private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
   private val tag = "mh:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](
-      () => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     require(kV >= 1 && numV >= 1, s"$prettyName needs k >= 1 and numHashes >= 1")
@@ -249,15 +262,7 @@ case class MinHashRow(tokens: Expression, k: Expression, num: Expression)
         if (kV == 1) toks(j)
         else org.apache.spark.unsafe.types.UTF8String.concatWs(
           sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
-      val d = md5.get()
-      d.reset()
-      d.update(tag)
-      d.update(gram.getBytes)
-      val h = d.digest()
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
-      val base = (v >>> 4) % P // first 15 hex chars, then the 31-bit fold
+      val base = Hash60(tag, gram) % P // 60-bit hash, then the 31-bit fold
       var x = 0
       while (x < numV) {
         val hv = (base * params(x)._1 + params(x)._2) % P
@@ -315,9 +320,6 @@ case class GramHashes(tokens: Expression, k: Expression, tag: Expression)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   private val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
   private val empty = new GenericArrayData(Array.empty[Any])
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](
-      () => java.security.MessageDigest.getInstance("MD5"))
 
   override def eval(input: InternalRow): Any = {
     require(kV >= 1, s"$prettyName needs k >= 1")
@@ -341,15 +343,7 @@ case class GramHashes(tokens: Expression, k: Expression, tag: Expression)
         if (kV == 1) toks(j)
         else org.apache.spark.unsafe.types.UTF8String.concatWs(
           sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
-      val d = md5.get()
-      d.reset()
-      d.update(tagBytes)
-      d.update(gram.getBytes)
-      val h = d.digest()
-      var v = 0L
-      var b = 0
-      while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
-      out(j) = v >>> 4
+      out(j) = Hash60(tagBytes, gram)
       j += 1
     }
     new GenericArrayData(out)

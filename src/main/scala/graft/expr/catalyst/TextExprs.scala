@@ -155,27 +155,6 @@ case class RepetitionStats(tokens: Expression)
 
   private val sep = UTF8String.fromString(" ")
   private val tag = "rep:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-  // MessageDigest is stateful; expression instances can be shared across
-  // partition threads under interpreted eval. @transient: ThreadLocal is
-  // not serializable — rebuilt lazily after task deserialization.
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](
-      () => java.security.MessageDigest.getInstance("MD5"))
-
-  /** Dedup.hash60("rep", gram): first 15 hex chars of the md5 = the
-    * first 8 digest bytes read big-endian, logically shifted right 4.
-    */
-  private def hash60(gram: UTF8String): Long = {
-    val d = md5.get()
-    d.reset()
-    d.update(tag)
-    d.update(gram.getBytes)
-    val h = d.digest()
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
 
   override def eval(input: InternalRow): Any = {
     val zero = () => new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L, 0L, 0L))
@@ -199,7 +178,7 @@ case class RepetitionStats(tokens: Expression)
       while (j < m) {
         val g = if (k == 1) toks(j)
           else UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(toks, j, j + k): _*)
-        counts.merge(hash60(g), 1L, (a, b) => a + b)
+        counts.merge(Hash60(tag, g), 1L, (a, b) => a + b)
         j += 1
       }
       math.max(m, 0).toLong

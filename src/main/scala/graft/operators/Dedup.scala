@@ -108,28 +108,10 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, k: Int,
       numHashes: Int, bands: Int, threshold: Double,
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // the signature is per-document: one native walk in the projection
-    // (graft.expr.catalyst.MinHashRow) — per-doc minima are multiset-
-    // invariant, so it consumes the raw gram stream in place and the
-    // corpus never pays the explode + groupBy shuffle of the aggregated
-    // form (bit-identical signatures). Docs with < k words have no
-    // shingles and produced no signature row before; the null filter
-    // keeps that contract.
-    val sig = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        call_function("minhash_row",
-          split(col(textCol), " "), lit(k), lit(numHashes)).as("sig"))
-      .filter(col("sig").isNotNull)
-    val bandKeys = sig.select(col("id") +:
-      (0 until bands).map { b =>
-        md5(concat_ws(",",
-          transform(slice(col("sig"), b * r + 1, r), _.cast("string"))))
-          .as(s"band$b")
-      }: _*)
-    val long = bandKeys.selectExpr("id",
-      s"stack(${bands}, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) as (band, bkey)")
+    // signature + banding per document (bandKeys: one native MinHashRow
+    // walk in the projection, zero shuffles — bit-identical to the old
+    // exploded distinct → minhash_agg form)
+    val long = bandKeys(df, idCol, textCol, k, numHashes, bands)
     // the candidate pair set is SMALL (LSH's whole point) but referenced
     // twice below — once to pick the docs verification must re-shingle,
     // once as the join spine — and a lazily-cached frame with two
@@ -139,18 +121,24 @@ object Dedup {
     val cand = bandedPairs(long, Seq("band", "bkey"), hotBandWidth)
       .localCheckpoint(true)
     // exact verification PER PAIR: candidates are already identified, so
-    // the intersection needs no relational re-shingle (semi-join +
-    // distinct shuffle + two joins + two aggregations in the earlier
-    // form) — see verifyJaccard
-    val grams = gramSets(df, idCol, textCol, k)
+    // the intersection needs no relational re-shingle — see verifyJaccard
+    val grams = gramSets(df, idCol, textCol, k,
+      cand.select(explode(array(col("a"), col("b"))).as("id")).distinct())
     verifyJaccard(cand, grams, grams, threshold)
   }
 
-  /** Distinct word k-gram set per doc as ONE array column: (id, gs). */
+  /** Distinct word k-gram set per doc as ONE array column: (id, gs) —
+    * restricted by a broadcast semi-join to `candIds`, so only docs that
+    * actually appear in some candidate pair pay gram-set construction
+    * (a small fraction of the corpus by LSH design; gram sets for
+    * everyone else would be O(corpus text) of wasted CPU at scale).
+    */
   private def gramSets(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.gramArray(split(col(textCol), " "), k)).as("gs"))
+      k: Int, candIds: DataFrame): DataFrame =
+    df.join(broadcast(candIds.select(col("id").cast(df.schema(idCol).dataType)
+        .as(idCol))), Seq(idCol), "semi")
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.gramArray(split(col(textCol), " "), k)).as("gs"))
 
   /** Exact-Jaccard verification of candidate pairs (a, b): join each
     * side's distinct gram set in and compute |∩|/|∪| with codegen'd
@@ -221,11 +209,15 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int, threshold: Double,
       storeBands: DataFrame, storeDocs: DataFrame,
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
-    // the batch's band keys feed two probes — materialize once
+    // the batch's band keys feed two probes — materialize once; the two
+    // candidate frames each feed an id pick plus a verify spine, so they
+    // materialize once too (same lazy-cache race-compute reasoning as
+    // minHashLsh)
     val incBands = bandKeys(incoming, idCol, textCol, k, numHashes, bands)
       .localCheckpoint(true)
     val inBatch = bandedPairs(incBands, Seq("band", "bkey"), hotBandWidth)
       .withColumn("vs", lit("batch"))
+      .localCheckpoint(true)
     // store probe: the batch side is small next to the store, so the
     // join shuffles (or broadcasts) the BATCH's keys; a degenerate hot
     // band on the store side is split by AQE skew handling at runtime
@@ -234,8 +226,15 @@ object Dedup {
         Seq("band", "bkey"))
       .select(col("id").as("a"), col("b")).distinct()
       .withColumn("vs", lit("store"))
-    val incGrams = gramSets(incoming, idCol, textCol, k)
-    val storeGrams = gramSets(storeDocs, idCol, textCol, k)
+      .localCheckpoint(true)
+    // gram sets ONLY for docs some candidate pair touches — in
+    // particular the store corpus is scanned but never gram-ified beyond
+    // its (few) candidate docs
+    val incGrams = gramSets(incoming, idCol, textCol, k,
+      inBatch.select(explode(array(col("a"), col("b"))).as("id"))
+        .unionByName(crossCand.select(col("a").as("id"))).distinct())
+    val storeGrams = gramSets(storeDocs, idCol, textCol, k,
+      crossCand.select(col("b").as("id")).distinct())
     verifyJaccard(inBatch, incGrams, incGrams, threshold)
       .unionByName(verifyJaccard(crossCand, incGrams, storeGrams, threshold))
       .select(col("a"), col("b"), col("vs"), col("jaccard"))

@@ -147,9 +147,14 @@ object TextAnalysis {
         col("_r.nw").as("n_words"),
         round((col("_r.nw") - col("_r.ndw")).cast("double") / col("_r.nw"), 6)
           .as("dup_word_frac"),
-        round(coalesce(col("_r.maxbg").cast("double") / col("_r.nbg"), lit(0.0)), 6)
+        // guard, don't coalesce: the counters are 0 (not null) for docs
+        // too short to have bi/trigrams, and 0.0/0 THROWS under Spark's
+        // default ANSI mode where the relational form's null/null was null
+        round(when(col("_r.nbg") > 0,
+          col("_r.maxbg").cast("double") / col("_r.nbg")).otherwise(0.0), 6)
           .as("top_bigram_frac"),
-        round(coalesce(col("_r.duptg").cast("double") / col("_r.ntg"), lit(0.0)), 6)
+        round(when(col("_r.ntg") > 0,
+          col("_r.duptg").cast("double") / col("_r.ntg")).otherwise(0.0), 6)
           .as("dup_trigram_frac"))
       .withColumn("repetitive",
         col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18 ||

@@ -250,8 +250,12 @@ object StreamOps {
       val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
       if (batch.isEmpty) return Iterator.empty
       val newestMs = batch.map(_.ts.getTime).max
-      var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-        .filter(_.tsMs >= newestMs - horizonMs)
+      // deque for the batch loop: an immutable Seq would copy all
+      // maxPerBucket entries on every append in a hot bucket; ArrayDeque
+      // appends and FIFO-evicts in O(1)
+      val entries = scala.collection.mutable.ArrayDeque.from(
+        state.getOption.map(_.entries).getOrElse(Seq.empty)
+          .filter(_.tsMs >= newestMs - horizonMs))
       val out = scala.collection.mutable.ListBuffer[NearPair]()
       batch.foreach { r =>
         entries.foreach { e =>
@@ -262,10 +266,10 @@ object StreamOps {
                 math.max(e.id, r.doc_id), d.toLong)
           }
         }
-        entries = (entries :+ SigEntry(r.doc_id, r.simhash, r.ts.getTime))
-          .takeRight(maxPerBucket)
+        entries.append(SigEntry(r.doc_id, r.simhash, r.ts.getTime))
+        if (entries.length > maxPerBucket) entries.removeHead() // FIFO cap
       }
-      state.update(BucketSigs(entries))
+      state.update(BucketSigs(entries.toSeq))
       state.setTimeoutTimestamp(newestMs + horizonMs)
       out.iterator
     }

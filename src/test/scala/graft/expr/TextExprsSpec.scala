@@ -48,6 +48,19 @@ class TextExprsSpec extends SparkSpec {
     assert(stats("你好 世界 你好 世界") == ((4L, 2L, 3L, 2L, 2L, 0L)))
   }
 
+  test("repetitionMetrics survives 1-2 word docs under ANSI mode") {
+    // regression: nbg/ntg are 0 (not null) for docs too short to have
+    // bi/trigrams, and an unguarded 0.0/0 division throws DIVIDE_BY_ZERO
+    // under Spark's default ANSI mode
+    val out = graft.operators.TextAnalysis.repetitionMetrics(
+        Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    // "solo": no bigrams or trigrams at all -> guarded 0.0s;
+    // "two words": its single bigram is trivially the top one (1.0)
+    assert(out(1L) == ((0.0, 0.0)) && out(2L) == ((1.0, 0.0)))
+  }
+
   test("repetitionMetrics flags constant spam and passes normal text") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),

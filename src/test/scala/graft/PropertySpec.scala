@@ -130,6 +130,87 @@ class PropertySpec extends SparkSpec {
     assert(once.toSeq == Seq(("a", 3), ("b", 30)))
   }
 
+  test("per-row signature expressions are bit-identical to the relational forms") {
+    import org.apache.spark.sql.functions._
+    // random corpora, including short docs (0-2 words), duplicate words,
+    // and multi-byte tokens — the per-row walks must reproduce the
+    // exploded/aggregated pipelines EXACTLY or every dedup oracle is void
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "ggg", "hh", "你好", "héllo")
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 40L).map { i =>
+        val n = rnd.nextInt(12) // 0..11 words
+        (i, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+
+      // simhash_row vs explode-distinct + simhash_agg
+      val viaRow = graft.operators.Dedup.simHash(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaAgg = docs
+        .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .withColumn("wh", graft.operators.Dedup.hash60("w", col("w")))
+        .groupBy("id").agg(call_function("simhash_agg", col("wh")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRow == viaAgg)
+
+      // minhash_row vs raw-shingle explode + minhash_agg
+      val rowSig = docs
+        .select(col("doc_id"), call_function("minhash_row",
+          split(col("text"), " "), lit(3), lit(16)).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val aggSig = graft.operators.Dedup.minHashSignatures(
+          graft.operators.Dedup.shinglesRaw(docs, "doc_id", "text", 3), 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(rowSig == aggSig)
+
+      // gram_hashes vs exploded hash60 over word_kgrams
+      val rowGrams = docs
+        .select(col("doc_id"), explode(array_distinct(call_function(
+          "gram_hashes", split(col("text"), " "), lit(2), lit("ng")))).as("g"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val explGrams = graft.operators.Dedup.shinglesRaw(docs, "doc_id", "text", 2)
+        .select(col("id"), graft.operators.Dedup.hash60("ng", col("s")).as("g"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rowGrams == explGrams)
+    }
+  }
+
+  test("streamingNearDedup equals batch simHashPairs for any batch split") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    (1 to 2).foreach { round =>
+      val docs = (0L until 40L).map { i =>
+        // heavy near-dup structure: few templates, light perturbation
+        val tmpl = (i % 5).toInt
+        val words = Vector.tabulate(8)(j => vocab((tmpl + j) % vocab.size))
+        val text =
+          if (rnd.nextBoolean()) words.mkString(" ")
+          else words.updated(rnd.nextInt(8), vocab(rnd.nextInt(8))).mkString(" ")
+        graft.streaming.StreamOps.Doc(
+          i, new java.sql.Timestamp(1704067200000L + i * 60000L), text)
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.StreamOps.Doc]
+      val qname = s"neardup_prop_$round"
+      val q = graft.streaming.StreamOps.streamingNearDedup(input.toDS(), maxDist = 3)
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      // random split into 1-4 micro-batches
+      val cuts = (Seq(0, docs.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(docs.size))).distinct.sorted
+      cuts.sliding(2).foreach { case Seq(from, to) =>
+        if (to > from) { input.addData(docs.slice(from, to): _*); q.processAllAvailable() }
+      }
+      q.stop()
+      val streamed = spark.table(qname).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Dedup.simHashPairs(
+          docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"round $round, cuts $cuts")
+    }
+  }
+
   test("canonicalize on random pair graphs: valid partition into components") {
     (1 to 3).foreach { _ =>
       val n = 20 + rnd.nextInt(30)

@@ -170,9 +170,13 @@ case class SimHashRow(tokens: Expression)
     var total = 0L
     var i = 0
     while (i < n) {
-      val s0 = arr.getUTF8String(i)
-      val s = if (s0 == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s0
-      if (seen.add(s)) {
+      val s = arr.getUTF8String(i)
+      // a NULL word is skipped, matching the relational form this must be
+      // bit-identical to (hash60(null) is null and simhash_agg drops null
+      // inputs); split() never produces null tokens, so this only matters
+      // for hand-built arrays. The GRAM expressions (MinHashRow etc.)
+      // instead map null -> "" like their WordKGrams-based forms did.
+      if (s != null && seen.add(s)) {
         val wh = Hash60(tag, s)
         var j = 0
         while (j < 60) { ones(j) += (wh >>> j) & 1L; j += 1 }

@@ -224,6 +224,9 @@ object Dedup {
     val crossCand = incBands
       .join(storeBands.select(col("band"), col("bkey"), col("id").as("b")),
         Seq("band", "bkey"))
+      // an id living in BOTH frames (re-ingesting an already-accepted
+      // batch) would otherwise match its own store entry as a self-pair
+      .filter(col("id") =!= col("b"))
       .select(col("id").as("a"), col("b")).distinct()
       .withColumn("vs", lit("store"))
       .localCheckpoint(true)
@@ -337,6 +340,11 @@ object Dedup {
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
+    require(Seq("long", "int", "bigint", "integer", "smallint", "short")
+      .contains(eval.schema(idCol).dataType.typeName),
+      s"contamination needs an integral eval id column; " +
+        s"${eval.schema(idCol).dataType.sql} ids would cast to null and " +
+        "collapse every eval doc onto one row")
     // per-doc distinct gram-hash sets are built IN THE ROW
     // (gram_hashes + array_distinct — fixed-width longs, no explode, no
     // (id, gram) distinct shuffle on either side); the train side then

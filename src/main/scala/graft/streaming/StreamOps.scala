@@ -55,26 +55,42 @@ object StreamOps {
     def emit(userId: Long, s: SessionState): Session =
       Session(userId, s.sessionId, s.n, s.start, s.end, s.sumCents / 100.0)
 
+    // batch-parity conversions: unix_micros keeps the microsecond part
+    // (Timestamp.getTime drops sub-millis — they live in getNanos), and
+    // Spark's round() is BigDecimal HALF_UP (away from zero), which
+    // math.round (floor(x+0.5)) gets wrong for negative .5 boundaries
+    def eventUs(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    def eventCents(e: Event): Long =
+      java.math.BigDecimal.valueOf(e.value * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
       var closed = List.empty[Session]
       var cur = state.getOption.orNull
       if (state.hasTimedOut) {
-        val out = if (cur != null) List(emit(userId, cur)) else Nil
-        state.remove()
+        // flush the open session but KEEP the counter as a dormant
+        // (n = 0) marker: removing state would restart session_id at 1
+        // and emit duplicate (user_id, session_id) keys. The marker is
+        // O(1) per user — the same state bound streamingReturns carries.
+        val out = if (cur != null && cur.n > 0) List(emit(userId, cur)) else Nil
+        if (cur != null) state.update(SessionState(cur.sessionId, 0L, 0L, 0L, 0L))
         return out.iterator
       }
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val us = e.ts.getTime * 1000L
-        val cents = math.round(e.value * 100)
+      rows.toSeq.sortBy(e => (eventUs(e), e.event_id)).foreach { e =>
+        val us = eventUs(e)
+        val cents = eventCents(e)
         if (cur == null) cur = SessionState(1, us, us, 1, cents)
+        else if (cur.n == 0) // dormant marker left by a timeout flush
+          cur = SessionState(cur.sessionId + 1, us, us, 1, cents)
         else if (us - cur.end > gapUs) {
           closed ::= emit(userId, cur)
           cur = SessionState(cur.sessionId + 1, us, us, 1, cents)
         } else cur = cur.copy(end = us, n = cur.n + 1, sumCents = cur.sumCents + cents)
       }
-      state.update(cur)
-      idleTimeout.foreach(state.setTimeoutDuration)
+      if (cur != null) state.update(cur)
+      if (cur != null && cur.n > 0) idleTimeout.foreach(state.setTimeoutDuration)
       closed.reverse.iterator
     }
 
@@ -102,6 +118,8 @@ object StreamOps {
     */
   def streamingReversalSignal(returns: Dataset[KeyedValue],
       lookback: Int): Dataset[SignalOut] = {
+    require(lookback >= 1,
+      s"lookback must be >= 1, got $lookback (0 would emit a -0.0 signal per row)")
     import returns.sparkSession.implicits._
     def update(key: String, rows: Iterator[KeyedValue],
         state: GroupState[WindowState]): Iterator[SignalOut] = {
@@ -176,8 +194,10 @@ object StreamOps {
         state: GroupState[Boolean]): Iterator[DedupedDoc] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val batch = rows.toSeq
+      if (batch.isEmpty) return Iterator.empty // nothing to emit, no state
+      // to create, and batch.max below would throw
       val out =
-        if (state.exists || batch.isEmpty) Iterator.empty
+        if (state.exists) Iterator.empty
         else {
           val first = batch.minBy(r => (r.ts.getTime, r.doc_id))
           Iterator.single(DedupedDoc(first.doc_id, first.ts, first.text, digest))
@@ -258,16 +278,19 @@ object StreamOps {
           .filter(_.tsMs >= newestMs - horizonMs))
       val out = scala.collection.mutable.ListBuffer[NearPair]()
       batch.foreach { r =>
-        entries.foreach { e =>
-          if (e.id != r.doc_id) {
+        // an id already in state is a re-delivery (at-least-once source)
+        // — comparing or re-appending it would duplicate emissions and
+        // burn bucket capacity, so it is dropped entirely
+        if (!entries.exists(_.id == r.doc_id)) {
+          entries.foreach { e =>
             val d = java.lang.Long.bitCount(e.sig ^ r.simhash)
             if (d <= maxDist && firstSharedChunk(e.sig, r.simhash) == r.chunk)
               out += NearPair(math.min(e.id, r.doc_id),
                 math.max(e.id, r.doc_id), d.toLong)
           }
+          entries.append(SigEntry(r.doc_id, r.simhash, r.ts.getTime))
+          if (entries.length > maxPerBucket) entries.removeHead() // FIFO cap
         }
-        entries.append(SigEntry(r.doc_id, r.simhash, r.ts.getTime))
-        if (entries.length > maxPerBucket) entries.removeHead() // FIFO cap
       }
       state.update(BucketSigs(entries.toSeq))
       state.setTimeoutTimestamp(newestMs + horizonMs)
@@ -289,7 +312,12 @@ object StreamOps {
 
   /** Parses the `"N unit"` duration strings used by watermarks. */
   private def parseDurationMs(s: String): Long = {
-    val Array(n, unit) = s.trim.split("\\s+")
+    val parts = s.trim.split("\\s+")
+    require(parts.length == 2,
+      s"duration must be a single '<n> <unit>' pair, got '$s' " +
+        "(multi-unit interval strings are not supported here even though " +
+        "withWatermark itself would accept them)")
+    val Array(n, unit) = parts
     val base = unit.toLowerCase.stripSuffix("s") match {
       case "millisecond" => 1L
       case "second" => 1000L

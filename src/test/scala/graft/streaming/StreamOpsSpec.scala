@@ -213,6 +213,25 @@ class StreamOpsSpec extends SparkSpec {
       (2L, ts(0), ts(29), 3.0)))
   }
 
+  test("streamingNearDedup drops re-delivered doc ids (at-least-once source)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingNearDedup(input.toDS(), maxDist = 3)
+      .writeStream.format("memory").queryName("redeliver").outputMode("append")
+      .start()
+    val a = Doc(1L, ts(0), "alpha beta gamma delta epsilon zeta")
+    val b = Doc(2L, ts(1), "alpha beta gamma delta epsilon zeta")
+    input.addData(a)
+    q.processAllAvailable()
+    input.addData(a, b) // a re-delivered alongside the new near-dup b
+    q.processAllAvailable()
+    input.addData(b) // and b re-delivered later
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("redeliver").as[NearPair].collect()
+    assert(out.toSeq == Seq(NearPair(1L, 2L, 0L))) // once, not thrice
+  }
+
   test("streamingNearDedup emits exactly the batch simHashPairs set") {
     implicit val sc = spark.sqlContext
     val rnd = new scala.util.Random(11)

@@ -1447,10 +1447,15 @@ object SparkEntry {
   private final case class QpInputs(alphas: DataFrame, loadings: DataFrame,
       fcov: DataFrame, ivol: DataFrame, bench: DataFrame)
 
-  /** The five QP-chain inputs, all derived from one persisted
-    * orders x customer segment aggregate (without the persist the join +
-    * aggregation would run five times). The equal-weight benchmark reads
-    * the per-date segment count off the `tot` rollup rather than a window
+  /** The five QP-chain inputs, all derived from one eagerly-materialized
+    * orders x customer segment aggregate. Five union branches consume
+    * `base` inside a single job, so a lazy persist race-computes the
+    * join + aggregation up to five times (two consumers racing one cache
+    * fill never share the first fill); the eager localCheckpoint
+    * materializes it exactly once and truncates the lineage every branch
+    * re-plans over — same fix as minHashLsh's candidate frame and
+    * PortfolioOpt.certificate. The equal-weight benchmark reads the
+    * per-date segment count off the `tot` rollup rather than a window
     * — one shuffle fewer in an already stage-latency-bound query.
     */
   private def qpInputs(s: SparkSession, dir: String): QpInputs = {
@@ -1464,7 +1469,7 @@ object SparkEntry {
     val tot = seg.groupBy("date").agg(
       sum(col("alpha")).as("tot_alpha"), sum(col("n")).as("tot_n"),
       count(lit(1)).as("n_seg"))
-    val base = seg.join(tot, "date").persist()
+    val base = seg.join(tot, "date").localCheckpoint(true)
     val alphas = base.select(col("date"), col("ticker"), col("alpha"))
     val loadings = base.select(col("date"), col("ticker"),
         (col("alpha") / col("tot_alpha")).as("F1"),

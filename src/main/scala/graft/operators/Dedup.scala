@@ -38,12 +38,26 @@ object Dedup {
   def baseHash(c: Column): Column = hash60("mh", c) % P
 
   /** Exact dedup: canonical id = min id among identical texts.
-    * One hash-shuffle on the text digest; last/first-wins is deterministic.
+    *
+    * Keeper election is a partial-agg-able groupBy on the text digest:
+    * map-side combine means the reducer for even a corpus-dominant
+    * duplicate text receives one (digest, local-min) row per map task,
+    * not the full occurrence stream. (The earlier window-min form had no
+    * partial aggregation, so the hottest digest serialized onto ONE task
+    * — the same hot-key math [[bandedPairs]] salts against.) The join
+    * back is null-safe on the digest (null texts keep deduping as one
+    * group) and its residual probe-side skew is a JOIN, which AQE's
+    * skew split can divide at runtime — a window partition cannot be
+    * split. Costs one extra scan of (id, text); buys removal of the
+    * single-task bottleneck at scale.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col(textCol)))
-    df.select(col(idCol), min(col(idCol)).over(w).as("canon_id"))
-      .withColumn("is_dup", (col(idCol) =!= col("canon_id")).cast("boolean"))
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("_digest"))
+    val keepers = keyed.groupBy("_digest").agg(min(col(idCol)).as("canon_id"))
+      .withColumnRenamed("_digest", "_kd")
+    keyed.join(keepers, col("_digest") <=> col("_kd"))
+      .select(col(idCol), col("canon_id"),
+        (col(idCol) =!= col("canon_id")).cast("boolean").as("is_dup"))
   }
 
   /** Word k-gram shingle stream per document, duplicates included —
@@ -66,7 +80,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    // three consumers (sizes, x side, y side): eager localCheckpoint
+    // materializes the shingle stream once and — unlike the earlier
+    // .cache(), which parked an entry in the session cacheManager until
+    // someone called clearCache — holds no session-lifetime registration;
+    // the blocks are released by the ContextCleaner once the result frame
+    // is unreferenced.
+    val sh = shingles(df, idCol, textCol, k).localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -143,15 +163,20 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs (a, b): join each
     * side's distinct gram set in and compute |∩|/|∪| with codegen'd
     * array kernels in the projection. The candidate frame is small by
-    * LSH design, so both joins broadcast it and verification adds ZERO
-    * shuffles; gram sets are exact strings (no hashing), bit-identical
-    * to a relational shingle-join intersection. Extra candidate columns
+    * LSH design — the first join carries an explicit broadcast hint on
+    * it, and the second join's left input stays candidate-row-count
+    * sized (AQE broadcasts it when its gram payload allows). Worst case
+    * — a candidate set past the broadcast threshold — the exchanges are
+    * still CANDIDATE-bounded, never corpus-wide, because both gram
+    * inputs were semi-joined down to candidate docs in [[gramSets]].
+    * Gram sets are exact strings (no hashing), bit-identical to a
+    * relational shingle-join intersection. Extra candidate columns
     * (tags) pass through.
     */
   private def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
       rightGrams: DataFrame, threshold: Double): DataFrame = {
     val extra = cand.columns.filterNot(Set("a", "b")).toSeq
-    cand
+    broadcast(cand)
       .join(leftGrams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
       .join(rightGrams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
       .select(col("a") +: col("b") +: extra.map(col) :+
@@ -387,10 +412,13 @@ object Dedup {
     */
   def incrementalExact(incoming: DataFrame, idCol: String, textCol: String,
       seenDigests: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
-    incoming
-      .select(col(idCol), md5(col(textCol)).as("digest"))
-      .withColumn("first_id", min(col(idCol)).over(w))
+    // first-in-batch election: partial-agg-able groupBy + null-safe join
+    // back, same de-skew reasoning as [[exact]] — a batch full of one
+    // boilerplate text must not serialize its election onto one task
+    val keyed = incoming.select(col(idCol), md5(col(textCol)).as("digest"))
+    val firsts = keyed.groupBy("digest").agg(min(col(idCol)).as("first_id"))
+      .withColumnRenamed("digest", "_fd")
+    keyed.join(firsts, col("digest") <=> col("_fd"))
       .join(seenDigests.select(col("digest")).distinct()
         .withColumn("_seen", lit(true)), Seq("digest"), "left")
       .select(col(idCol), col("digest"),
@@ -562,14 +590,20 @@ object Dedup {
     * lexicographic min of (doc id, segment index) — and rebuild each
     * document from its surviving segments.
     *
-    * Scale shape: the segment stream is narrow (one explode, no shuffle);
-    * the keeper election is ONE hash shuffle on the segment value — a
-    * window min over the seg partition, which keeps the corpus to a
-    * single scan where a groupBy election + join back would scan and
-    * explode it twice; the per-doc rebuild is the second (and last)
-    * shuffle. All linear in corpus size — at 100 TB you'd key the
-    * shuffle on a segment hash and keep the string only for the final
-    * equality check.
+    * Scale shape: the segment stream is narrow (one explode, no
+    * shuffle); the keeper election is ONE hash shuffle on the segment
+    * value — a partial-agg-able groupBy min, so a corpus-dominant
+    * boilerplate segment reaches its reducer as one partial row per map
+    * task instead of serializing the whole occurrence stream onto one
+    * task (the earlier window-min form did exactly that — window
+    * functions have no map-side combine and a window partition cannot
+    * be split). The rebuild then aggregates the KEEPER rows — one row
+    * per distinct segment corpus-wide — by doc id and joins them onto a
+    * narrow per-doc spine; the full segment stream is never shuffled
+    * again and the hot segment never travels as more than its partial
+    * minima. All linear in corpus size — at 100 TB you'd key the
+    * election shuffle on a segment hash and keep the string only for
+    * the final equality check.
     *
     * @return per-document (id, n_segments, n_kept, kept_text), where
     *         kept_text is the surviving segments joined in order ("" if
@@ -585,21 +619,29 @@ object Dedup {
       .select(col("id"),
         posexplode(call_function("word_chunks", col("_ws"), lit(k))))
       .withColumnRenamed("pos", "ci").withColumnRenamed("col", "seg")
-    // keeper election as a window min over the seg partition (same
-    // pattern as [[exact]]): ONE scan of the segment stream and one
-    // shuffle, where a groupBy + join back would scan and explode the
-    // corpus twice
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg")
-    segs
-      .withColumn("_kept",
-        struct(col("id"), col("ci")) === min(struct(col("id"), col("ci"))).over(w))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_segments"),
-        sum(col("_kept").cast("long")).as("n_kept"),
+    // keeper election: corpus-wide first occurrence = min (id, ci) per
+    // distinct segment, partial-agg-able (cf. [[exact]]'s de-skew note)
+    val keepers = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("ci"))).as("_m"))
+      .select(col("_m.id").as("id"), col("_m.ci").as("ci"), col("seg"))
+    // per-doc rebuild from keeper rows ONLY (collect_list sorts by the
+    // doc-unique ci, so segment order is restored deterministically)
+    val kept = keepers.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(when(col("_kept"),
-            struct(col("ci"), col("seg"))))),
+          array_sort(collect_list(struct(col("ci"), col("seg")))),
           s => s.getField("seg")), " ").as("kept_text"))
+    // narrow per-doc spine: segment count needs no explode, and the
+    // size() filter reproduces the exploded form's row set (null text
+    // produced no exploded rows, so it stays absent here too)
+    ws.select(col("id"),
+        size(call_function("word_chunks", col("_ws"), lit(k)))
+          .cast("long").as("n_segments"))
+      .filter(col("n_segments") > 0)
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   /** Candidate (a, b) id pairs (a < b) sharing any blocking key — the LSH

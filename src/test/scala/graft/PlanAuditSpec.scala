@@ -88,6 +88,23 @@ class PlanAuditSpec extends SparkSpec {
       "repetitionMetrics must not shuffle")
   }
 
+  test("dedup keeper elections partial-aggregate; no corpus-wide window") {
+    // exact/segment/incremental dedup elect keepers via groupBy-min +
+    // join-back: the min MUST partial-aggregate (a window min has no
+    // map-side combine, so one corpus-dominant duplicate text or
+    // boilerplate segment would serialize its whole occurrence stream
+    // onto a single task — and a window partition, unlike a skewed join
+    // partition, cannot be split by AQE)
+    Seq("d1_dedup_exact", "d7_dedup_segments", "d8_dedup_incremental")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("Window"),
+          s"$name elects keepers through a window (hot key serializes):\n$p")
+        assert(p.contains("partial_min"),
+          s"$name's keeper election must partial-aggregate:\n$p")
+      }
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -21,6 +21,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 2L)
   }
 
+  test("exact dedup: hot key (corpus-dominant duplicate) and null texts") {
+    // 4000 copies of one text — the shape whose keeper election used to
+    // serialize onto one window task; the groupBy election partial-aggs it
+    val n = 5000L
+    val hot = spark.range(n).select(col("id"),
+      when(col("id") % 5 =!= 0, lit("the corpus dominant boiler plate"))
+        .otherwise(concat(lit("unique "), col("id").cast("string"))).as("text"))
+    val rows = Dedup.exact(hot, "id", "text").collect()
+    assert(rows.length == n)
+    val hotRows = rows.filter(_.getLong(1) == 1L) // min id with id%5 != 0
+    assert(hotRows.length == (n - n / 5).toInt)
+    assert(hotRows.count(!_.getBoolean(2)) == 1) // exactly one keeper
+    // null texts dedupe as ONE group (the null-safe join back), exactly
+    // like the old null window partition did
+    val withNull = Seq((1L, null), (2L, null), (3L, "x"))
+      .toDF("doc_id", "text")
+    val nout = Dedup.exact(withNull, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(nout(1L) == ((1L, false)) && nout(2L) == ((1L, true)))
+    assert(nout(3L) == ((3L, false)))
+  }
+
+  test("segment dedup: hot segment elects without a corpus window") {
+    // every doc shares segment "a b"; doc 0 wins it, everyone keeps only
+    // their unique tail
+    val corpus = spark.range(2000).select(col("id"),
+      concat(lit("a b u"), col("id").cast("string")).as("text"))
+    val out = Dedup.segmentDedup(corpus, "id", "text", 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((2L, 2L, "a b u0")))
+    assert(out(7L) == ((2L, 1L, "u7")))
+    assert(out.size == 2000 && out.count(_._2._2 == 1L) == 1999)
+  }
+
   test("jaccard pairs find near-dups above threshold only") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -969,7 +969,8 @@ object SparkEntry {
       val in = qpInputs(s, dir)
       val w = PortfolioOpt
         .optimalWeights(in.alphas, in.loadings, in.fcov, in.ivol, in.bench)
-      PortfolioOpt.certificate(w, in.loadings, in.fcov, in.ivol, in.bench)
+      PortfolioOpt.certificate(w, in.alphas, in.loadings, in.fcov, in.ivol,
+        in.bench)
     }),
 
     // Hierarchical aggregation: ROLLUP grouping sets — subtotals and a
@@ -2372,10 +2373,13 @@ object SparkEntry {
         |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin,
     // The QP *solve* has no SQL form; its solution certificate does. DuckDB
     // independently rebuilds the per-date asset universe from the source
-    // tables and pins the feasibility/consistency constants that a correct
-    // solver must produce: Σw = 1 (simplex), w >= 0, and zero residual
+    // tables and pins the feasibility/consistency/OPTIMALITY constants that
+    // a correct solver must produce: Σw = 1 (simplex), w >= 0, zero residual
     // between the reported active risk and the risk recomputed Spark-side
-    // from the raw factor inputs via an independent algebraic path.
+    // from the raw factor inputs via an independent algebraic path, zero
+    // KKT stationarity gap on held assets (g = α − λΣw constant where
+    // w > 0), and non-violated complementary slackness where w = 0 — a
+    // feasible-but-suboptimal weight vector now hash-mismatches.
     "l5_qp_certificate" ->
       """WITH seg AS (
         |  SELECT CAST(o_orderdate AS DATE) AS date, c_mktsegment AS ticker
@@ -2385,7 +2389,9 @@ object SparkEntry {
         |  string_agg(ticker, ',' ORDER BY ticker) AS tickers,
         |  CAST(1.0 AS DOUBLE) AS sum_w,
         |  TRUE AS min_w_nonneg,
-        |  CAST(0.0 AS DOUBLE) AS risk_resid
+        |  CAST(0.0 AS DOUBLE) AS risk_resid,
+        |  CAST(0.0 AS DOUBLE) AS stat_resid,
+        |  TRUE AS comp_ok
         |FROM seg GROUP BY 1""".stripMargin,
     "a10_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

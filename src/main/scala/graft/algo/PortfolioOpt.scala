@@ -107,17 +107,32 @@ object PortfolioOpt {
     *                    long-form inputs via pure join/sum algebra
     *                    (never touching [[Qp]] / Breeze): the quadratic
     *                    form factorizes as (Bᵀwₐ)ᵀF(Bᵀwₐ) + Σᵢ wₐᵢ²Dᵢ²
+    *   - `stat_resid`   KKT STATIONARITY: with g = α − λΣw (Σw assembled
+    *                    relationally as B·(F·(Bᵀw)) + D²w) and μ = wᵀg
+    *                    (exact multiplier estimate, since Σw = 1), the
+    *                    optimum has g_i = μ on every HELD asset — so
+    *                    max over w_i>0 of |g_i − μ|, rounded to 6 d.p.,
+    *                    is 0. A merely FEASIBLE solution (e.g. returning
+    *                    the benchmark or equal weights) fails this: its
+    *                    held-asset gradient is not constant.
+    *   - `comp_ok`      complementary slackness for the w_i = 0 bound:
+    *                    g_i ≤ μ + 1e−6 on every zero-weight asset
+    *                    (vacuously true on dates with all-positive w)
     *   - `n_assets`, `tickers` — the per-date universe, independently
     *     derivable by the oracle from the source tables
     *
     * A DuckDB oracle reproduces `date/n_assets/tickers` from the inputs
-    * and pins the constants (1.0, true, 0.0); a hash match certifies the
-    * solver emitted feasible simplex weights whose reported risk is
-    * consistent with an independent Σ assembly on every date.
-    * Reference semantics: `pipelines/utils/portfolio.py:65-121`.
+    * and pins the constants (1.0, true, 0.0, 0.0, true); a hash match
+    * certifies the solver emitted feasible simplex weights that are
+    * KKT-STATIONARY for their reported λ and whose reported risk is
+    * consistent with an independent Σ assembly on every date — a
+    * feasible-but-suboptimal solver now fails the hash, not just the
+    * JVM-side [[Qp]] specs.
+    * Reference semantics: `pipelines/utils/portfolio.py:6-44,65-121`.
     */
   def certificate(
       weights: DataFrame,
+      alphas: DataFrame,
       loadings: DataFrame,
       factorCov: DataFrame,
       idioVol: DataFrame,
@@ -131,20 +146,37 @@ object PortfolioOpt {
     val wa = weights
       .join(benchmark.select(col("date"), col("ticker"), col("weight").as("bw")),
         Seq("date", "ticker"), "left")
-      .select(col("date"), col("ticker"), col("weight"), col("active_risk"),
+      .select(col("date"), col("ticker"), col("weight"), col("lambda"),
+        col("active_risk"),
         (col("weight") - coalesce(col("bw"), lit(0.0))).as("wa"))
       .localCheckpoint(true)
     // x_f = Bᵀwₐ per (date, factor); absent loadings are zeros in B, so the
     // inner join dropping them reproduces Covariance.loadingsMatrix exactly
     val xf = wa.join(loadings, Seq("date", "ticker"))
       .groupBy("date", "factor")
-      .agg(sum(col("wa") * col("loading")).as("x"))
+      .agg(sum(col("wa") * col("loading")).as("x"),
+        // the FULL-weight exposure Bᵀw rides the same aggregate — the
+        // stationarity check needs Σw (not Σwₐ) and this costs no extra
+        // shuffle
+        sum(col("weight") * col("loading")).as("xw"))
     val q1 = factorCov
       .join(xf.select(col("date"), col("factor").as("factor_1"), col("x").as("x1")),
         Seq("date", "factor_1"))
       .join(xf.select(col("date"), col("factor").as("factor_2"), col("x").as("x2")),
         Seq("date", "factor_2"))
       .groupBy("date").agg(sum(col("x1") * col("covariance") * col("x2")).as("q1"))
+    // systematic half of Σw per (date, ticker): (B·(F·(Bᵀw)))_i — two
+    // joins and two bounded aggregations, all keyed by date (+factor /
+    // +ticker); every intermediate is at most universe- or factor-sized
+    // per date
+    val yf = factorCov
+      .join(xf.select(col("date"), col("factor").as("factor_2"), col("xw")),
+        Seq("date", "factor_2"))
+      .groupBy(col("date"), col("factor_1").as("factor"))
+      .agg(sum(col("covariance") * col("xw")).as("y"))
+    val sysw = loadings.join(yf, Seq("date", "factor"))
+      .groupBy("date", "ticker")
+      .agg(sum(col("loading") * col("y")).as("sw_sys"))
     // the idio quadratic Σ wₐᵢ²Dᵢ² folds into the same per-date rollup as
     // the feasibility stats (left join: a ticker without idio vol is a
     // zero diagonal entry, matching the loadings-matrix assembly), so wa
@@ -154,9 +186,24 @@ object PortfolioOpt {
     // contract, but a violating input must not inflate the FEASIBILITY
     // stats (n_assets/tickers/sum_w) through join duplication — with the
     // pre-aggregation only risk_resid can flag such input, as it should
-    val rollup = wa
+    // per-row reduced gradient g = α − λ(Σw)_i; left joins + coalesce keep
+    // the row set exactly the weights frame's (a ticker absent from
+    // loadings/idioVol contributes zeros to Σ, matching the matrix
+    // assembly; alphas cover the universe by construction). μ = wᵀg is a
+    // per-date window — bounded by universe size (~503), never corpus-wide
+    val wDate = org.apache.spark.sql.expressions.Window.partitionBy("date")
+    val graded = wa
       .join(idioVol.groupBy("date", "ticker").agg(max(col("idio_vol")).as("idio_vol")),
         Seq("date", "ticker"), "left")
+      .join(sysw, Seq("date", "ticker"), "left")
+      .join(alphas.select(col("date"), col("ticker"),
+        col("alpha").cast("double").as("_alpha")), Seq("date", "ticker"), "left")
+      .withColumn("g", coalesce(col("_alpha"), lit(0.0)) - col("lambda") *
+        (coalesce(col("sw_sys"), lit(0.0)) +
+          coalesce(col("idio_vol"), lit(0.0)) * coalesce(col("idio_vol"), lit(0.0))
+            * col("weight")))
+      .withColumn("mu", sum(col("weight") * col("g")).over(wDate))
+    val rollup = graded
       .groupBy("date").agg(
         count(lit(1)).as("n_assets"),
         concat_ws(",", sort_array(collect_list(col("ticker")))).as("tickers"),
@@ -164,7 +211,9 @@ object PortfolioOpt {
         min(col("weight")).as("min_w"),
         max(col("active_risk")).as("risk_reported"),
         sum(col("wa") * col("wa")
-          * coalesce(col("idio_vol"), lit(0.0)) * coalesce(col("idio_vol"), lit(0.0))).as("q2"))
+          * coalesce(col("idio_vol"), lit(0.0)) * coalesce(col("idio_vol"), lit(0.0))).as("q2"),
+        max(when(col("weight") > 0.0, abs(col("g") - col("mu")))).as("stat_gap"),
+        min(when(col("weight") === 0.0, col("mu") - col("g"))).as("slack_min"))
     rollup
       .join(broadcast(q1), Seq("date"), "left")
       .select(col("date"), col("n_assets"), col("tickers"),
@@ -172,6 +221,8 @@ object PortfolioOpt {
         (col("min_w") >= 0.0).as("min_w_nonneg"),
         round(abs(
           sqrt(coalesce(col("q1"), lit(0.0)) + coalesce(col("q2"), lit(0.0)))
-            * math.sqrt(252.0) - col("risk_reported")), 6).as("risk_resid"))
+            * math.sqrt(252.0) - col("risk_reported")), 6).as("risk_resid"),
+        round(coalesce(col("stat_gap"), lit(0.0)), 6).as("stat_resid"),
+        coalesce(col("slack_min") >= -1e-6, lit(true)).as("comp_ok"))
   }
 }

@@ -108,7 +108,7 @@ class QpSpec extends SparkSpec {
       ivol.toDF("date", "ticker", "idio_vol"),
       bench.toDF("date", "ticker", "weight"))
     val w = PortfolioOpt.optimalWeights(aDf, lDf, fDf, iDf, bDf)
-    val cert = PortfolioOpt.certificate(w, lDf, fDf, iDf, bDf).collect()
+    val cert = PortfolioOpt.certificate(w, aDf, lDf, fDf, iDf, bDf).collect()
     assert(cert.length == dates.length)
     cert.foreach { r =>
       assert(r.getAs[Long]("n_assets") == 3)
@@ -116,6 +116,23 @@ class QpSpec extends SparkSpec {
       assert(r.getAs[Double]("sum_w") == 1.0)
       assert(r.getAs[Boolean]("min_w_nonneg"))
       assert(r.getAs[Double]("risk_resid") == 0.0)
+      assert(r.getAs[Double]("stat_resid") == 0.0)
+      assert(r.getAs[Boolean]("comp_ok"))
+    }
+    // adversarial: a FEASIBLE but suboptimal solution (the benchmark
+    // itself, reported with a plausible lambda and its true active risk
+    // of 0) passes every feasibility pin but must FAIL stationarity —
+    // its held-asset reduced gradient g = α − λΣw is not constant when
+    // the alphas differ. This is what makes the certificate an
+    // optimality check, not just a feasibility check.
+    val fake = bench.map { case (d, t, bw) => (d, t, bw, 50.0, 0.0) }
+      .toDF("date", "ticker", "weight", "lambda", "active_risk")
+    val cheat = PortfolioOpt.certificate(fake, aDf, lDf, fDf, iDf, bDf).collect()
+    cheat.foreach { r =>
+      assert(r.getAs[Double]("sum_w") == 1.0 && r.getAs[Boolean]("min_w_nonneg"))
+      assert(r.getAs[Double]("risk_resid") == 0.0)
+      assert(r.getAs[Double]("stat_resid") > 0.0,
+        "a suboptimal feasible point must not certify as stationary")
     }
   }
 

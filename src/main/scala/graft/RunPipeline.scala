@@ -91,7 +91,14 @@ object RunPipeline {
       graft.connect.Slack.dailySummary(end.toString, equity,
         weights.take(3).toSeq, weights.takeRight(3).toSeq),
       p => payload = p)
-    println(s"[pipeline] slack payload bytes=${payload.length}")
+    // full-fidelity daily trading summary from the broker frames
+    // (positions/orders/top-3 movers — reference slack_daily_summary.py)
+    var trading: String = null
+    graft.connect.Slack.notify(
+      graft.connect.Slack.dailyTradingSummaryFrames(
+        broker.filledOrders(spark, end), broker.positions(spark), equity),
+      p => trading = p)
+    println(s"[pipeline] slack payload bytes=${payload.length} trading=${trading.length}")
 
     val counts = pipe.tables.map(t => s"${t.name}=${lake.table(t.name).count()}")
     println(s"[pipeline] backfill=${f"$tBackfill%.1f"}s daily=${f"$tDaily%.1f"}s")

@@ -51,9 +51,12 @@ class FixtureBarSource(seed: Long = 42L) extends BarSource {
   override def minuteBars(spark: SparkSession, tickers: Seq[String],
       date: LocalDate): DataFrame = {
     import spark.implicits._
-    // 04:00–20:00 ET == 09:00–01:00 UTC (EST); fixture uses a fixed -5h
-    // offset for determinism (the reference delegates tz math to the API)
-    val sessionStartUtc = java.time.LocalDateTime.of(date, java.time.LocalTime.of(9, 0))
+    // 04:00 ET wall clock resolved through America/New_York — EST dates
+    // start at 09:00 UTC, EDT dates at 08:00 UTC, exactly like the
+    // reference's zone-aware session window (history_flow.py:29-30); the
+    // earlier fixed -5h offset shifted every EDT date by one hour
+    val sessionStart = date
+      .atTime(4, 0).atZone(java.time.ZoneId.of("America/New_York")).toInstant
     val rows = tickers.flatMap { t =>
       val rnd = new scala.util.Random(seed ^ t.hashCode.toLong ^ date.toEpochDay)
       var price = 50.0 + rnd.nextDouble() * 100
@@ -62,7 +65,8 @@ class FixtureBarSource(seed: Long = 42L) extends BarSource {
         val close = math.rint(price * 100) / 100
         val open = math.rint(close * (1 + rnd.nextGaussian() * 0.0002) * 100) / 100
         val vol = 100.0 + rnd.nextInt(1000)
-        (t, java.sql.Timestamp.valueOf(sessionStartUtc.plusMinutes(m)), open,
+        (t, java.sql.Timestamp.from(
+            sessionStart.plus(java.time.Duration.ofMinutes(m))), open,
           math.max(open, close), math.min(open, close), close,
           vol, math.rint(vol / 10), (open + close) / 2)
       }

@@ -19,9 +19,25 @@ object Slack {
   def section(markdown: String): String =
     s"""{"type":"section","text":{"type":"mrkdwn","text":"${esc(markdown)}"}}"""
 
+  /** Two-column field grid section (the reference's summary stats row). */
+  def fieldsSection(fields: Seq[String]): String =
+    fields.map(f => s"""{"type":"mrkdwn","text":"${esc(f)}"}""")
+      .mkString("""{"type":"section","fields":[""", ",", "]}")
+
   def divider: String = """{"type":"divider"}"""
 
   def blocks(bs: Seq[String]): String = bs.mkString("""{"blocks":[""", ",", "]}")
+
+  /** Python-format-compatible money/number renderers (`{:,.2f}` etc.) —
+    * the golden fixtures depend on grouping commas, so the locale is
+    * pinned rather than inherited from the JVM.
+    */
+  private def money(v: Double): String =
+    String.format(java.util.Locale.US, "%,.2f", Double.box(v))
+  private def plain2(v: Double): String =
+    String.format(java.util.Locale.US, "%.2f", Double.box(v))
+  private def signed2(v: Double): String =
+    String.format(java.util.Locale.US, "%+.2f", Double.box(v))
 
   /** Daily trade summary: top weight increases/decreases, equity line —
     * the shape of the reference's daily summary message.
@@ -39,6 +55,107 @@ object Slack {
       divider,
       section(s"*Top buys*\n${fmt(topBuys)}"),
       section(s"*Top sells*\n${fmt(topSells)}")))
+  }
+
+  /** A filled order as the daily summary consumes it (the reference's
+    * order dicts carry `filled_qty`/`filled_avg_price`/`notional`;
+    * notional = qty x avg price).
+    */
+  final case class Order(ticker: String, side: String, filledQty: Double,
+      filledAvgPrice: Double) {
+    def notional: Double = filledQty * filledAvgPrice
+  }
+
+  /** Full-fidelity daily trading summary — section-for-section parity
+    * with the reference renderer (`slack_daily_summary.py:47-203`):
+    * header; a four-field stats grid (portfolio value, day P&L when the
+    * previous value is known else trade count, total volume, open
+    * positions); buy/sell totals; top-3 buys and sells by notional
+    * (rank. qty `TICKER` @ price = notional); top-5 positions by value.
+    * Empty order list renders the reference's "No trades executed
+    * today" message instead. Pure string building at the pipeline edge;
+    * inputs are driver-side lists because every section is a bounded
+    * top-k (A9), never corpus data.
+    *
+    * @param positions (ticker, market value), any order — sorted here,
+    *                  descending by value, like `get_current_positions`
+    */
+  def dailyTradingSummary(
+      filledOrders: Seq[Order],
+      positions: Seq[(String, Double)],
+      accountValue: Double,
+      previousAccountValue: Option[Double] = None): String = {
+    if (filledOrders.isEmpty)
+      return blocks(Seq(section(
+        s"✅ *No trades executed today*\n\nPortfolio value: $$${money(accountValue)}")))
+
+    val sortedPos = positions.sortBy(-_._2)
+    val top5 = sortedPos.take(5)
+    val buys = filledOrders.filter(_.side == "buy")
+    val sells = filledOrders.filter(_.side == "sell")
+    val topBuys = buys.sortBy(-_.notional).take(3)
+    val topSells = sells.sortBy(-_.notional).take(3)
+    val totalNotional = filledOrders.map(_.notional).sum
+
+    val dayPnl = accountValue - previousAccountValue.getOrElse(accountValue)
+    val pnlField = previousAccountValue match {
+      case Some(prev) =>
+        s"*Day P&L*\n$$${money(dayPnl)} (${signed2(dayPnl / prev * 100)}%)"
+      case None => s"*Trades Executed*\n${filledOrders.length}"
+    }
+    val stats = fieldsSection(Seq(
+      s"*Portfolio Value*\n$$${money(accountValue)}",
+      pnlField,
+      s"*Total Volume*\n$$${money(totalNotional)}",
+      s"*Positions*\n${positions.length} open"))
+
+    val tradeLines =
+      (if (buys.nonEmpty)
+         Seq(s"*Buys:* ${buys.length} · $$${money(buys.map(_.notional).sum)}")
+       else Nil) ++
+      (if (sells.nonEmpty)
+         Seq(s"*Sells:* ${sells.length} · $$${money(sells.map(_.notional).sum)}")
+       else Nil)
+
+    def tradeSection(title: String, rows: Seq[Order]): Seq[String] =
+      if (rows.isEmpty) Nil
+      else Seq(section((title +: rows.zipWithIndex.map { case (o, i) =>
+        s"${i + 1}. ${plain2(o.filledQty)} `${o.ticker}` @ " +
+          s"$$${plain2(o.filledAvgPrice)} = $$${money(o.notional)}"
+      }).mkString("\n")))
+
+    val positionBlocks =
+      if (top5.isEmpty) Nil
+      else Seq(divider, section(
+        (s"*Top ${math.min(5, sortedPos.length)} Positions*" +:
+          top5.zipWithIndex.map { case ((t, v), i) =>
+            s"${i + 1}. `$t`: $$${money(v)}"
+          }).mkString("\n")))
+
+    blocks(Seq(header("📊 Daily Trading Summary"), stats, divider) ++
+      (if (tradeLines.nonEmpty) Seq(section(tradeLines.mkString("\n")), divider)
+       else Nil) ++
+      tradeSection("*Top 3 Buys*", topBuys) ++
+      tradeSection("*Top 3 Sells*", topSells) ++
+      positionBlocks)
+  }
+
+  /** [[dailyTradingSummary]] over [[BrokerSource]] frames — collects the
+    * (bounded: universe-sized positions, one day of fills) edge inputs
+    * and renders; notional = qty x price as in the broker's fill records.
+    */
+  def dailyTradingSummaryFrames(
+      filledOrders: org.apache.spark.sql.DataFrame,
+      positions: org.apache.spark.sql.DataFrame,
+      accountValue: Double,
+      previousAccountValue: Option[Double] = None): String = {
+    val orders = filledOrders.select("ticker", "side", "qty", "price")
+      .collect()
+      .map(r => Order(r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    val pos = positions.select("ticker", "market_value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    dailyTradingSummary(orders, pos, accountValue, previousAccountValue)
   }
 
   /** Failure notification (reference `slack_failure_handler.py`). */

@@ -53,19 +53,78 @@ class ConnectSpec extends SparkSpec {
     assert(math.abs(again - first) < 1e-9)
   }
 
+  test("minute bars respect DST: an EDT date starts at 08:00 UTC, not 09:00") {
+    // 2024-07-01 is EDT (UTC-4): 04:00 ET = 08:00 UTC, session end
+    // 19:59 ET = 23:59 UTC the SAME day (reference history_flow.py:29-30
+    // resolves the window through America/New_York wall clock)
+    val jul = new FixtureBarSource(42).minuteBars(spark, Seq("AAA"),
+      LocalDate.of(2024, 7, 1))
+    val span = jul.agg(min("timestamp"), max("timestamp")).collect().head
+    assert(span.getTimestamp(0).toString.startsWith("2024-07-01 08:00"),
+      s"EDT session must start 08:00 UTC: ${span.getTimestamp(0)}")
+    assert(span.getTimestamp(1).toString.startsWith("2024-07-01 23:59"),
+      s"EDT session must end 23:59 UTC: ${span.getTimestamp(1)}")
+  }
+
+  test("daily trading summary renders the reference's Block Kit, golden-exact") {
+    import Slack.Order
+    // 4 buys (top-3 cut applies), 1 sell, 6 positions (top-5 cut),
+    // previous value known (P&L field, not trade count)
+    val orders = Seq(
+      Order("AAA", "buy", 10.0, 150.25), Order("BBB", "buy", 5.0, 80.10),
+      Order("CCC", "buy", 2.0, 30.0), Order("DDD", "buy", 1.0, 10.0),
+      Order("EEE", "sell", 3.0, 200.0))
+    val positions = Seq(("CCC", 345.5), ("AAA", 12345.67), ("BBB", 2345.0),
+      ("DDD", 45.0), ("EEE", 5.0), ("FFF", 1.0))
+    val golden =
+      """{"blocks":[{"type":"header","text":{"type":"plain_text","text":"📊 Daily Trading Summary"}},""" +
+      """{"type":"section","fields":[{"type":"mrkdwn","text":"*Portfolio Value*\n$1,234,567.89"},""" +
+      """{"type":"mrkdwn","text":"*Day P&L*\n$34,567.89 (+2.88%)"},""" +
+      """{"type":"mrkdwn","text":"*Total Volume*\n$2,573.00"},""" +
+      """{"type":"mrkdwn","text":"*Positions*\n6 open"}]},{"type":"divider"},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Buys:* 4 · $1,973.00\n*Sells:* 1 · $600.00"}},""" +
+      """{"type":"divider"},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Top 3 Buys*\n1. 10.00 `AAA` @ $150.25 = $1,502.50\n2. 5.00 `BBB` @ $80.10 = $400.50\n3. 2.00 `CCC` @ $30.00 = $60.00"}},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Top 3 Sells*\n1. 3.00 `EEE` @ $200.00 = $600.00"}},""" +
+      """{"type":"divider"},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Top 5 Positions*\n1. `AAA`: $12,345.67\n2. `BBB`: $2,345.00\n3. `CCC`: $345.50\n4. `DDD`: $45.00\n5. `EEE`: $5.00"}}]}"""
+    assert(Slack.dailyTradingSummary(orders, positions, 1234567.89,
+      Some(1200000.0)) == golden)
+    // empty order list -> the reference's "no trades" message
+    assert(Slack.dailyTradingSummary(Nil, positions, 1234567.89) ==
+      """{"blocks":[{"type":"section","text":{"type":"mrkdwn","text":"✅ *No trades executed today*\n\nPortfolio value: $1,234,567.89"}}]}""")
+    // without a previous value the P&L field becomes the trade count
+    assert(Slack.dailyTradingSummary(orders.take(1), positions, 100.0)
+      .contains("""*Trades Executed*\n1"""))
+    // frame-level wrapper renders from BrokerSource-shaped frames
+    import spark.implicits._
+    val payload = Slack.dailyTradingSummaryFrames(
+      Seq(("AAA", "buy", 10.0, 150.25), ("EEE", "sell", 3.0, 200.0))
+        .toDF("ticker", "side", "qty", "price"),
+      Seq(("AAA", 2.0, 12345.67)).toDF("ticker", "qty", "market_value"),
+      1234567.89, Some(1200000.0))
+    assert(payload.contains("""*Top 3 Buys*\n1. 10.00 `AAA` @ $150.25 = $1,502.50"""))
+    assert(payload.contains("""*Top 1 Positions*\n1. `AAA`: $12,345.67"""))
+  }
+
   test("Slack payloads are well-formed JSON blocks") {
     val summary = Slack.dailySummary("2024-03-04", 1234567.89,
       Seq("AAA" -> 0.031, "BBB" -> 0.012), Seq("CCC" -> -0.02))
     val failure = Slack.failure("daily_flow", "boom\n\"quoted\"\tend")
+    val trading = Slack.dailyTradingSummary(
+      Seq(Slack.Order("A\"A", "buy", 1.0, 2.0)), Seq(("A\"A", 2.0)), 3.0,
+      Some(2.5))
     // must survive a strict JSON parse (use Spark's parser as the oracle)
     import spark.implicits._
-    val parsed = Seq(summary, failure).toDF("j")
+    val parsed = Seq(summary, failure, trading).toDF("j")
       .select(from_json(col("j"),
         org.apache.spark.sql.types.StructType.fromDDL("blocks ARRAY<STRUCT<type: STRING>>")).as("p"))
       .collect()
     assert(parsed(0).getStruct(0).getSeq[org.apache.spark.sql.Row](0).nonEmpty)
     assert(parsed(1).getStruct(0).getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
       .contains("header"))
+    assert(parsed(2).getStruct(0).getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      .count(_ == "section") >= 4, "quote-bearing tickers must stay valid JSON")
     var sent: String = null
     Slack.notify(summary, p => sent = p)
     assert(sent == summary)

@@ -174,8 +174,10 @@ case class SimHashRow(tokens: Expression)
       // a NULL word is skipped, matching the relational form this must be
       // bit-identical to (hash60(null) is null and simhash_agg drops null
       // inputs); split() never produces null tokens, so this only matters
-      // for hand-built arrays. The GRAM expressions (MinHashRow etc.)
-      // instead map null -> "" like their WordKGrams-based forms did.
+      // for hand-built arrays. The GRAM expressions (MinHashRow,
+      // GramHashes) follow WordKGrams' concatWs semantics for the same
+      // reason: null tokens are skipped inside a multi-token join, and a
+      // lone null token joins as "".
       if (s != null && seen.add(s)) {
         val wh = Hash60(tag, s)
         var j = 0
@@ -252,19 +254,21 @@ case class MinHashRow(tokens: Expression, k: Expression, num: Expression)
     val n = arr.numElements()
     val m = n - kV + 1
     if (m <= 0) return null
+    // nulls stay null here: concatWs SKIPS them (no separator), exactly
+    // like WordKGrams' multi-token branch — so hand-built arrays with
+    // null tokens produce the same grams as the relational form. A
+    // 1-gram of a null token joins as "" (WordKGrams' len == 1 branch).
     val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
-      i += 1
-    }
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
     val sig = Array.fill(numV)(Long.MaxValue)
     var j = 0
     while (j < m) {
       val gram =
-        if (kV == 1) toks(j)
-        else org.apache.spark.unsafe.types.UTF8String.concatWs(
+        if (kV == 1) {
+          val s = toks(j)
+          if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
+        } else org.apache.spark.unsafe.types.UTF8String.concatWs(
           sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
       val base = Hash60(tag, gram) % P // 60-bit hash, then the 31-bit fold
       var x = 0
@@ -333,19 +337,19 @@ case class GramHashes(tokens: Expression, k: Expression, tag: Expression)
     val n = arr.numElements()
     val m = n - kV + 1
     if (m <= 0) return empty
+    // null tokens: see MinHashRow — concatWs skips them like WordKGrams;
+    // a 1-gram of a null token joins as ""
     val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
-      i += 1
-    }
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
     val out = new Array[Any](m)
     var j = 0
     while (j < m) {
       val gram =
-        if (kV == 1) toks(j)
-        else org.apache.spark.unsafe.types.UTF8String.concatWs(
+        if (kV == 1) {
+          val s = toks(j)
+          if (s == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else s
+        } else org.apache.spark.unsafe.types.UTF8String.concatWs(
           sep, java.util.Arrays.copyOfRange(toks, j, j + kV): _*)
       out(j) = Hash60(tagBytes, gram)
       j += 1

@@ -44,6 +44,16 @@ object StreamOps {
     * that stay quiet get their open session flushed on a processing-time
     * timeout (production mode); without it, open sessions flush only when
     * a later event closes them (deterministic test mode).
+    *
+    * State-size contract: a timeout flush leaves a dormant (n = 0)
+    * marker holding the session counter — removing it would restart
+    * session_id at 1 and emit duplicate (user_id, session_id) keys — so
+    * total state grows with the number of DISTINCT users ever seen
+    * (one small fixed-size record each), not with event volume, and is
+    * never evicted. That is the deliberate trade for monotonic session
+    * ids; deployments with unbounded key churn (e.g. anonymous visitor
+    * ids) should either accept the linear-in-cardinality state, restart
+    * the query on a schedule, or key by a coarser stable id.
     */
   def sessionize(
       events: Dataset[Event],
@@ -231,21 +241,28 @@ object StreamOps {
     * buckets' state — the banding bounds comparisons the same way the
     * batch band self-join bounds join width.
     *
-    * Emission is exactly-once per pair: of a pair's shared chunks, only
-    * the FIRST reports it (both signatures are in hand, so each bucket
-    * decides locally and deterministically). Pair orientation is
-    * (min id, max id); `hamming <= maxDist` matches the batch threshold
-    * exactly, so on any bounded replay the emitted pair set equals the
-    * batch operator's (asserted by spec).
+    * Emission is exactly-once per pair WITHIN the state horizon: of a
+    * pair's shared chunks, only the FIRST reports it (both signatures
+    * are in hand, so each bucket decides locally and deterministically),
+    * and a re-delivered id still present in bucket state is dropped.
+    * Pair orientation is (min id, max id); `hamming <= maxDist` matches
+    * the batch threshold exactly, so on any bounded replay the emitted
+    * pair set equals the batch operator's (asserted by spec).
     *
     * State is bounded two ways: entries older than the horizon are
     * evicted (and idle buckets time out entirely), and a bucket holds at
     * most `maxPerBucket` signatures (FIFO) — the streaming analogue of
     * the batch hot-band treatment; overflow of a degenerate bucket
-    * trades recall for bounded state, never unbounded memory. A pair
-    * whose first shared chunk was evicted is missed, not re-routed —
-    * document-level recall under eviction is the operator's honest
-    * contract, as in every windowed streaming dedup.
+    * trades recall for bounded state, never unbounded memory. Eviction
+    * weakens BOTH directions of the guarantee, deliberately: a pair
+    * whose first shared chunk was evicted is missed, not re-routed; and
+    * a document re-delivered AFTER its entry was horizon- or
+    * FIFO-evicted looks new again, so pairs it formed earlier can be
+    * re-emitted. Under an at-least-once source the pair stream is
+    * therefore itself at-least-once past the horizon — consumers that
+    * need set semantics dedupe on (a, b) downstream (the batch
+    * `canonicalize` step does this inherently; its edge set is
+    * insensitive to duplicate pairs).
     */
   def streamingNearDedup(docs: Dataset[Doc], maxDist: Int = 3,
       watermark: String = "1 hour", maxPerBucket: Int = 1024): Dataset[NearPair] = {

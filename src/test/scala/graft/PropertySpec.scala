@@ -177,6 +177,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gram expressions match WordKGrams concatWs semantics on null tokens") {
+    import org.apache.spark.sql.functions._
+    // split() never yields null tokens, but hand-built arrays can; the
+    // per-row gram walks must agree with the relational word_kgrams form
+    // there too (nulls skipped inside a join, lone null joins as "")
+    val docs = Seq(
+      (1L, Seq("a", null, "b", "c")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq("x", null)),
+      (4L, Seq(null, "y", "z"))
+    ).toDF("doc_id", "toks")
+    val viaRow = docs.select(col("doc_id"),
+        explode(call_function("gram_hashes", col("toks"), lit(2), lit("ng"))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExpl = docs.select(col("doc_id"),
+        explode(call_function("word_kgrams", col("toks"), lit(2))).as("s"))
+      .select(col("doc_id"), graft.operators.Dedup.hash60("ng", col("s")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRow == viaExpl)
+    val rowSig = docs.select(col("doc_id"),
+        call_function("minhash_row", col("toks"), lit(2), lit(8)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggSig = docs.select(col("doc_id").as("id"),
+        explode(call_function("word_kgrams", col("toks"), lit(2))).as("s"))
+      .withColumn("base", graft.operators.Dedup.baseHash(col("s")))
+      .groupBy("id").agg(call_function("minhash_agg", col("base"), lit(8)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowSig == aggSig)
+  }
+
   test("streamingNearDedup equals batch simHashPairs for any batch split") {
     import org.apache.spark.sql.functions._
     implicit val sc = spark.sqlContext

@@ -101,14 +101,67 @@ object Bench {
       val succ = times.filter(_ >= 0)
       name -> (if (succ.nonEmpty) succ.min else -1.0)
     }
+    // Streaming wall-clock entries — StreamOps is batch-parity
+    // spec-verified for correctness; these time it end-to-end. The sf
+    // events table is replayed as a bounded MemoryStream in ~20
+    // micro-batches through keyed-state sessionization and the
+    // watermarked hourly rollup, writing to the noop sink. Input collect
+    // happens once, outside the timed region.
+    val streamDefs: Seq[(String, org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event] => org.apache.spark.sql.Dataset[_])] = Seq(
+      "e3_stream_sessionize" ->
+        ((ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event]) =>
+          graft.streaming.StreamOps.sessionize(ds)),
+      "e4_stream_rollup" ->
+        ((ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event]) =>
+          graft.streaming.StreamOps.hourlyRollup(ds.toDF()))
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
+    lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
+      graft.catalog.Tables.load(spark, sfDir, "events")
+        .select("user_id", "event_id", "ts", "value").collect().map { r =>
+          graft.streaming.StreamOps.Event(
+            r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))
+        }.toIndexedSeq
+    val streamResults = streamDefs.map { case (name, mk) =>
+      val rows = eventRows // force the collect before the clock starts
+      val chunk = math.max(1, rows.length / 20)
+      def runOnce(): Unit = {
+        import spark.implicits._
+        implicit val sc = spark.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.StreamOps.Event]
+        rows.grouped(chunk).foreach(b => in.addData(b))
+        val q = mk(in.toDS()).writeStream.format("noop")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft_bench_ckpt").toString)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      val times = (1 to reps).map { _ =>
+        try timeIt(runOnce())
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
+            -1.0
+        }
+      }
+      if (reps > 1) System.err.println(
+        s"[bench] $name reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      val succ = times.filter(_ >= 0)
+      name -> (if (succ.nonEmpty) succ.min else -1.0)
+    }
+
     val calibEnd =
       try timeIt(materialize(calibName, sfDir)) catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = (results ++ streamResults)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = (results ++ streamResults).map(_._2).filter(_ >= 0).sum
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
     val midJson = midCalib.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calib = s""","calibration":{"query":"$calibName","start_sec":${f"$calibStart%.3f"},"mid_sec":$midJson,"end_sec":${f"$calibEnd%.3f"}}"""

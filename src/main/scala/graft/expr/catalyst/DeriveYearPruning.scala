@@ -34,6 +34,21 @@ object DeriveYearPruning extends Rule[LogicalPlan] with PredicateHelper {
   private def yearOf(days: Any): Int =
     LocalDate.ofEpochDay(days.asInstanceOf[Int].toLong).getYear
 
+  /** Strict-bound sharpening: `date < Jan 1 of Y` implies `year <= Y-1`
+    * (the conservative `year <= Y` would keep the whole Y partition for
+    * the classic `>= Y-1-01-01 AND < Y-01-01` year-slice shape).
+    */
+  private def yearBelow(days: Any): Int = {
+    val d = LocalDate.ofEpochDay(days.asInstanceOf[Int].toLong)
+    if (d.getDayOfYear == 1) d.getYear - 1 else d.getYear
+  }
+
+  /** `date > Dec 31 of Y` implies `year >= Y+1`. */
+  private def yearAbove(days: Any): Int = {
+    val d = LocalDate.ofEpochDay(days.asInstanceOf[Int].toLong)
+    if (d.getMonthValue == 12 && d.getDayOfMonth == 31) d.getYear + 1 else d.getYear
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // Leaf child only: above a join/union the output can contain an
     // unrelated integer column that happens to be named like the tag's
@@ -57,13 +72,13 @@ object DeriveYearPruning extends Rule[LogicalPlan] with PredicateHelper {
                   Some(GreaterThanOrEqual(y, Literal(yearOf(v))))
                 case GreaterThan(a: AttributeReference, Literal(v, DateType))
                     if a.semanticEquals(d) && v != null =>
-                  Some(GreaterThanOrEqual(y, Literal(yearOf(v))))
+                  Some(GreaterThanOrEqual(y, Literal(yearAbove(v))))
                 case LessThanOrEqual(a: AttributeReference, Literal(v, DateType))
                     if a.semanticEquals(d) && v != null =>
                   Some(LessThanOrEqual(y, Literal(yearOf(v))))
                 case LessThan(a: AttributeReference, Literal(v, DateType))
                     if a.semanticEquals(d) && v != null =>
-                  Some(LessThanOrEqual(y, Literal(yearOf(v))))
+                  Some(LessThanOrEqual(y, Literal(yearBelow(v))))
                 case EqualTo(a: AttributeReference, Literal(v, DateType))
                     if a.semanticEquals(d) && v != null =>
                   Some(EqualTo(y, Literal(yearOf(v))))

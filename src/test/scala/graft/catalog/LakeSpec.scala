@@ -22,6 +22,42 @@ class LakeSpec extends SparkSpec {
     Seq(("AAPL", "2024-01-02", y, v, seq), ("MSFT", "2024-01-02", y, v + 1, seq))
       .toDF("ticker", "date", "year", "v", "seq")
 
+  test("date-range filters prune year partitions (DeriveYearPruning fires)") {
+    // a filter on DATE alone must still read only the matching year=
+    // directories: Lake.table tags the date column, the optimizer rule
+    // derives the integer year bounds, and Spark's partition pruning
+    // drops the other directories — asserted on selectedPartitions, not
+    // just the plan text
+    val lake = newLake()
+    val sch = StructType(Seq(
+      StructField("ticker", StringType), StructField("date", DateType),
+      StructField("year", IntegerType), StructField("v", DoubleType)))
+    lake.create(TableMeta("bars", sch, Seq("year"), Seq("ticker", "date")), "replace")
+    lake.append("bars", Seq(
+      ("A", java.sql.Date.valueOf("2022-06-01"), 2022, 1.0),
+      ("A", java.sql.Date.valueOf("2023-06-01"), 2023, 2.0),
+      ("A", java.sql.Date.valueOf("2024-06-01"), 2024, 3.0)
+    ).toDF("ticker", "date", "year", "v"))
+    def partitionsRead(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.partitionCount
+      }.sum
+    }
+    assert(partitionsRead(lake.table("bars")) == 3) // baseline: all years
+    val pruned = lake.table("bars")
+      .filter(col("date") >= java.sql.Date.valueOf("2024-01-01"))
+    assert(pruned.collect().map(_.getAs[Double]("v")).toSeq == Seq(3.0))
+    assert(partitionsRead(pruned) == 1,
+      "a date-range filter must prune to the single matching year partition")
+    val mid = lake.table("bars")
+      .filter(col("date") >= java.sql.Date.valueOf("2023-01-01") &&
+        col("date") < java.sql.Date.valueOf("2024-01-01"))
+    assert(mid.collect().map(_.getAs[Double]("v")).toSeq == Seq(2.0))
+    assert(partitionsRead(mid) == 1)
+  }
+
   test("create skip vs replace semantics") {
     val lake = newLake()
     lake.create(meta, "replace")

@@ -196,8 +196,12 @@ object PortfolioOpt {
       .join(idioVol.groupBy("date", "ticker").agg(max(col("idio_vol")).as("idio_vol")),
         Seq("date", "ticker"), "left")
       .join(sysw, Seq("date", "ticker"), "left")
-      .join(alphas.select(col("date"), col("ticker"),
-        col("alpha").cast("double").as("_alpha")), Seq("date", "ticker"), "left")
+      // alphas pre-aggregated for the same reason as idioVol above: a
+      // duplicate (date, ticker) alpha row must not inflate the
+      // feasibility stats through join duplication
+      .join(alphas.groupBy("date", "ticker")
+        .agg(max(col("alpha").cast("double")).as("_alpha")),
+        Seq("date", "ticker"), "left")
       .withColumn("g", coalesce(col("_alpha"), lit(0.0)) - col("lambda") *
         (coalesce(col("sw_sys"), lit(0.0)) +
           coalesce(col("idio_vol"), lit(0.0)) * coalesce(col("idio_vol"), lit(0.0))

@@ -160,23 +160,35 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextAnalysis.gramArray(split(col(textCol), " "), k)).as("gs"))
 
+  /** How many candidate pairs may take the explicit broadcast hint in
+    * [[verifyJaccard]]; above it the joins fall back to AQE's own
+    * runtime build-side choice. Pairs are two longs plus tags — 1M is
+    * tens of MB broadcast, far under executor memory but far above the
+    * default auto-broadcast threshold that would otherwise shuffle a
+    * clearly-small frame.
+    */
+  private val broadcastCandLimit = 1000000L
+
   /** Exact-Jaccard verification of candidate pairs (a, b): join each
     * side's distinct gram set in and compute |∩|/|∪| with codegen'd
     * array kernels in the projection. The candidate frame is small by
-    * LSH design — the first join carries an explicit broadcast hint on
-    * it, and the second join's left input stays candidate-row-count
-    * sized (AQE broadcasts it when its gram payload allows). Worst case
-    * — a candidate set past the broadcast threshold — the exchanges are
-    * still CANDIDATE-bounded, never corpus-wide, because both gram
-    * inputs were semi-joined down to candidate docs in [[gramSets]].
-    * Gram sets are exact strings (no hashing), bit-identical to a
-    * relational shingle-join intersection. Extra candidate columns
-    * (tags) pass through.
+    * LSH design — a size probe (cheap: both callers pass an eagerly
+    * checkpointed frame) applies an explicit broadcast hint up to
+    * [[broadcastCandLimit]] pairs, the same probe-then-strategy shape
+    * as [[canonicalize]]; a degenerate larger candidate set keeps the
+    * unhinted plan so AQE can pick a shuffle join instead of forcing a
+    * driver-OOM broadcast. Either way the exchanges are CANDIDATE-
+    * bounded, never corpus-wide, because both gram inputs were
+    * semi-joined down to candidate docs in [[gramSets]]. Gram sets are
+    * exact strings (no hashing), bit-identical to a relational
+    * shingle-join intersection. Extra candidate columns (tags) pass
+    * through.
     */
   private def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
       rightGrams: DataFrame, threshold: Double): DataFrame = {
     val extra = cand.columns.filterNot(Set("a", "b")).toSeq
-    broadcast(cand)
+    val candSide = if (cand.count() <= broadcastCandLimit) broadcast(cand) else cand
+    candSide
       .join(leftGrams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
       .join(rightGrams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
       .select(col("a") +: col("b") +: extra.map(col) :+

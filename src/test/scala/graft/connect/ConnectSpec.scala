@@ -42,9 +42,14 @@ class ConnectSpec extends SparkSpec {
     val bars = new FixtureBarSource(42).minuteBars(spark, Seq("AAA", "BBB"),
       LocalDate.of(2024, 3, 4))
     assert(bars.count() == 2 * 16 * 60)
+    // compare instants, not Timestamp.toString (which renders in the JVM
+    // default zone and would make the assertion host-TZ-dependent);
+    // 2024-03-04 is EST: 04:00 ET = 09:00 UTC
     val span = bars.agg(min("timestamp"), max("timestamp")).collect().head
-    assert(span.getTimestamp(0).toString.startsWith("2024-03-04 09:00"))
-    assert(span.getTimestamp(1).toString.startsWith("2024-03-05 00:59"))
+    assert(span.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-03-04T09:00:00Z"))
+    assert(span.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-03-05T00:59:00Z"))
     // deterministic: same seed, same bars
     val again = new FixtureBarSource(42).minuteBars(spark, Seq("AAA"),
       LocalDate.of(2024, 3, 4)).agg(sum("close")).collect().head.getDouble(0)
@@ -60,9 +65,11 @@ class ConnectSpec extends SparkSpec {
     val jul = new FixtureBarSource(42).minuteBars(spark, Seq("AAA"),
       LocalDate.of(2024, 7, 1))
     val span = jul.agg(min("timestamp"), max("timestamp")).collect().head
-    assert(span.getTimestamp(0).toString.startsWith("2024-07-01 08:00"),
+    assert(span.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-07-01T08:00:00Z"),
       s"EDT session must start 08:00 UTC: ${span.getTimestamp(0)}")
-    assert(span.getTimestamp(1).toString.startsWith("2024-07-01 23:59"),
+    assert(span.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-07-01T23:59:00Z"),
       s"EDT session must end 23:59 UTC: ${span.getTimestamp(1)}")
   }
 

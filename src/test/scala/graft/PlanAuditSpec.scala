@@ -15,6 +15,21 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("every query is oracle-backed except the documented rows-only set") {
+    // a queries entry without an oracleSql mirror silently downgrades to
+    // a rows-only check in the driver's correctness gate — the ONLY
+    // deliberate such entry is the QP solve (certified separately by
+    // l5_qp_certificate); anything else appearing here is a regression
+    // of the gate, not a style choice
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("l5_qp_weights"),
+      s"unexpected rows-only queries: ${(rowsOnly - "l5_qp_weights").toSeq.sorted}")
+    // and no orphaned oracle entries (an oracle whose query was renamed
+    // would never run, masking a lost check)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: ${orphans.toSeq.sorted}")
+  }
+
   test("filters reach the parquet scan; projections prune the read schema") {
     // q6 filters lineitem on shipdate/discount/quantity: all three belong
     // in PushedFilters, and the 16-column table must read only the

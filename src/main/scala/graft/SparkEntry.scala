@@ -1138,13 +1138,15 @@ object SparkEntry {
     // HLL cardinality sketch (deterministic md5 registers) per language,
     // alongside the exact distinct count the sketch approximates.
     "t8_hll_cardinality" -> ((s, dir) => {
-      // two consumers (sketch + exact count) — cache the exploded words
-      // so the documents scan/split/explode runs once; the bench/verify
-      // drivers release it via clearCache between queries
+      // two consumers (sketch + exact count) land in the ONE final job —
+      // an eager localCheckpoint materializes the exploded words exactly
+      // once, where a lazy cache would race-compute the scan/split/explode
+      // on both branches; the bench/verify drivers release the persisted
+      // RDD between queries
       val words = t(s, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .cache()
+        .localCheckpoint(true)
       val est = Sketch.hllCardinality(words, Seq("lang"), col("w"))
       val exact = words.groupBy("lang")
         .agg(countDistinct(col("w")).as("n_exact"))
@@ -1157,10 +1159,13 @@ object SparkEntry {
     // counts for the corpus's top-20 words — est >= exact always (CMS
     // over-estimates only, via bucket collisions).
     "t13_heavy_hitters" -> ((s, dir) => {
+      // three consumers (sketch build, estimate probe, exact counts) in
+      // one job — eager localCheckpoint, not a lazy cache (same
+      // race-compute rule as t8 above)
       val words = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .cache()
+        .localCheckpoint(true)
       val sketch = Sketch.countMin(words, col("w"))
       val est = Sketch.countMinEstimate(words.distinct(), "w", sketch)
       val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))

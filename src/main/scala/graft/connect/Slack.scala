@@ -99,9 +99,13 @@ object Slack {
 
     val dayPnl = accountValue - previousAccountValue.getOrElse(accountValue)
     val pnlField = previousAccountValue match {
-      case Some(prev) =>
+      // prev == 0.0 falls through to the trade count: the reference's
+      // `if previous_account_value` is Python truthiness, where 0 is
+      // falsy — matching on bare Some(0.0) would divide by zero and
+      // render an 'Infinity%'/'NaN%' P&L field the reference never emits
+      case Some(prev) if prev != 0.0 =>
         s"*Day P&L*\n$$${money(dayPnl)} (${signed2(dayPnl / prev * 100)}%)"
-      case None => s"*Trades Executed*\n${filledOrders.length}"
+      case _ => s"*Trades Executed*\n${filledOrders.length}"
     }
     val stats = fieldsSection(Seq(
       s"*Portfolio Value*\n$$${money(accountValue)}",
@@ -158,11 +162,48 @@ object Slack {
     dailyTradingSummary(orders, pos, accountValue, previousAccountValue)
   }
 
-  /** Failure notification (reference `slack_failure_handler.py`). */
-  def failure(flow: String, error: String): String =
+  /** Failure notification — block-for-block parity with the reference
+    * handler (`slack_failure_handler.py:30-90`): header; an error-type +
+    * message section; an optional run-id/parameters context section
+    * (parameters truncated at 200 chars → first 197 + "..."); a divider;
+    * and the traceback in a code block, TAIL-truncated when over 2000
+    * chars (the LAST 1950 + "(truncated)" — the tail is where the
+    * raising frame lives, so the reference keeps it and drops the head).
+    */
+  def failure(
+      flow: String,
+      errorType: String,
+      errorMessage: String,
+      traceback: String,
+      runId: Option[String] = None,
+      parameters: Option[String] = None): String = {
+    val tb =
+      if (traceback.length > 2000) traceback.takeRight(1950) + "\n... (truncated)"
+      else traceback
+    val contextLines =
+      runId.map(id => s"*Run ID:* `$id`").toSeq ++
+      parameters.map { p =>
+        val ps = if (p.length > 200) p.take(197) + "..." else p
+        s"*Parameters:* `$ps`"
+      }
     blocks(Seq(
-      header(s"Pipeline failure — $flow"),
-      section(s"```${error.take(2000)}```")))
+      header(s"🚨 Flow Failed: $flow"),
+      section(s"*Error Type:* `$errorType`\n*Error Message:* $errorMessage")) ++
+      (if (contextLines.nonEmpty) Seq(section(contextLines.mkString("\n"))) else Nil) ++
+      Seq(divider, section("*Traceback:*\n```" + tb + "```")))
+  }
+
+  /** [[failure]] from a caught Throwable — renders the class name, the
+    * message, and the JVM stack trace (the Scala analogue of the
+    * reference's `traceback.format_exception`).
+    */
+  def failure(flow: String, error: Throwable, runId: Option[String],
+      parameters: Option[String]): String = {
+    val sw = new java.io.StringWriter()
+    error.printStackTrace(new java.io.PrintWriter(sw))
+    failure(flow, error.getClass.getSimpleName,
+      Option(error.getMessage).getOrElse(""), sw.toString, runId, parameters)
+  }
 
   /** Edge sink: sends via the supplied transport (tests pass a recorder). */
   def notify(payload: String, post: String => Unit): Unit = post(payload)

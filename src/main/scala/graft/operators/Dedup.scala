@@ -184,10 +184,19 @@ object Dedup {
     * shingle-join intersection. Extra candidate columns (tags) pass
     * through.
     */
-  private def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
       rightGrams: DataFrame, threshold: Double): DataFrame = {
-    val extra = cand.columns.filterNot(Set("a", "b")).toSeq
-    val candSide = if (cand.count() <= broadcastCandLimit) broadcast(cand) else cand
+    // the size probe below RUNS an action on the candidate plan before the
+    // join spine consumes it again — a lazy input would compute its whole
+    // upstream pipeline twice. Both in-repo callers pass an eagerly
+    // localCheckpointed frame (which analyzes to a bare LogicalRDD leaf);
+    // anything else is defensively checkpointed here so the contract is
+    // enforced rather than documented-only.
+    val c =
+      if (cand.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") cand
+      else cand.localCheckpoint(true)
+    val extra = c.columns.filterNot(Set("a", "b")).toSeq
+    val candSide = if (c.count() <= broadcastCandLimit) broadcast(c) else c
     candSide
       .join(leftGrams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
       .join(rightGrams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
@@ -318,14 +327,17 @@ object Dedup {
       bands: Int, bitsPerBand: Int, threshold: Double,
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(bands * bitsPerBand <= 63, "code must fit a long")
-    // cache only (id, code, nrm) — a few bytes per vector — for the band
-    // self-join and the norm lookups; the verification joins re-read full
-    // vectors from the source (a cached copy of every embedding would not
-    // fit at corpus scale)
+    // materialize only (id, code, nrm) — a few bytes per vector — for the
+    // band self-join and the norm lookups; the verification joins re-read
+    // full vectors from the source (a persisted copy of every embedding
+    // would not fit at corpus scale). Eager localCheckpoint, not a lazy
+    // cache: the band side and the norm lookup are BOTH consumed by the
+    // one final job, and a lazy cache with two same-job consumers
+    // race-computes the SRP projection twice (the repo-wide rule).
     val coded = df.select(col(idCol).as("id"),
         Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"),
         Similarity.l2Norm(col(vecCol)).as("nrm"))
-      .cache()
+      .localCheckpoint(true)
     val mask = (1L << bitsPerBand) - 1
     val chunks = coded.selectExpr("id",
       s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
@@ -676,9 +688,11 @@ object Dedup {
     require(hotWidth > 0, "hotWidth must be positive")
     val kc = keyCols.map(col)
     // three consumers (width counts, x side, y side) would each recompute
-    // the upstream signature pipeline — cache the band-key frame instead:
-    // a few small columns per (doc, band), negligible next to the corpus
-    val k = keyed.cache()
+    // the upstream signature pipeline — and all three feed ONE output job,
+    // where a lazy cache race-computes instead of filling once. Eager
+    // localCheckpoint materializes the band-key frame exactly once: a few
+    // small columns per (doc, band), negligible next to the corpus
+    val k = keyed.localCheckpoint(true)
     // hot keys only — rare by construction of a good hash family, so the
     // broadcast stays small even at corpus scale
     val hot = k.groupBy(kc: _*).agg(count(lit(1)).as("_n"))

@@ -55,6 +55,36 @@ class PlanAuditSpec extends SparkSpec {
       "q5's region/nation dims must broadcast:\n" + star)
   }
 
+  test("LSH verification broadcasts the candidate spine only when the probe says small") {
+    import spark.implicits._
+    // the d3/d9 verify path size-probes its candidate frame and hints a
+    // broadcast only under the 1M-pair limit — a degenerate candidate
+    // explosion must NOT be forced into a driver-OOM broadcast
+    val grams = Seq(
+      (1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "c d e")),
+      (3L, Seq("x y z"))).toDF("id", "gs")
+    val small = Seq((1L, 2L), (1L, 3L)).toDF("a", "b").localCheckpoint(true)
+    val verified = operators.Dedup.verifyJaccard(small, grams, grams, 0.0)
+    assert(verified.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small candidate frames must take the explicit broadcast hint")
+    assert(verified.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the hinted candidate spine must execute as a broadcast join")
+    // >1M pairs: the hint must be withheld (AQE picks the strategy from
+    // runtime sizes instead). The range frame is NOT pre-checkpointed on
+    // purpose — it also exercises verifyJaccard's defensive
+    // materialization of non-checkpointed inputs before the count probe.
+    val big = spark.range(1000001L)
+      .select(org.apache.spark.sql.functions.col("id").as("a"),
+        (org.apache.spark.sql.functions.col("id") + 1000001L).as("b"))
+    val bigVerified = operators.Dedup.verifyJaccard(big, grams, grams, 0.0)
+    assert(!bigVerified.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "an over-limit candidate frame must not be hint-broadcast")
+    // d3 end-to-end: at test scale the candidates are small, so the
+    // executed plan must carry broadcast joins on the verify spine
+    assert(plan("d3_dedup_minhash").contains("BroadcastHashJoin"),
+      "d3's verify joins must broadcast the candidate side")
+  }
+
   test("grouped aggregation combines map-side (partial before the exchange)") {
     val p = plan("q1_agg")
     assert(p.contains("partial_"), "no map-side partial aggregation:\n" + p)

@@ -46,6 +46,27 @@ class QpSpec extends SparkSpec {
     assert(breeze.linalg.norm(moved - w) < 1e-5)
   }
 
+  test("solver lands the stationarity gap far below the certificate pin") {
+    // the l5_qp_certificate oracle pins stat_resid to 0.0 at 6 d.p.,
+    // which needs a post-solve KKT gap < 5e-7 on EVERY date; this
+    // asserts the default tol/maxIter keep an order of magnitude of
+    // headroom (the solve-time warn threshold) across a spread of
+    // conditioning and lambda regimes — gradient units scale with
+    // lambda, so the high-lambda near-singular corner is the worst
+    // case — and a future solver-knob change that erodes convergence
+    // fails HERE instead of as a cross-engine hash mismatch in the
+    // driver gate
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(5, 50, 200); lambda <- Seq(1.0, 50.0, 2000.0)) {
+      val a = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextGaussian() * 0.05)
+      val sigma = a * a.t + DenseMatrix.eye[Double](n) * 1e-4 // near-singular
+      val alphas = DenseVector.tabulate(n)(_ => rnd.nextGaussian() * 0.01)
+      val w = Qp.solve(alphas, sigma, lambda)
+      val gap = Qp.stationarityGap(w, alphas, sigma, lambda)
+      assert(gap < 5e-8, f"n=$n lambda=$lambda gap=$gap%.3e")
+    }
+  }
+
   test("higher lambda gives lower active risk (monotonicity)") {
     val rnd = new scala.util.Random(11)
     val n = 10

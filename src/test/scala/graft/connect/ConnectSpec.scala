@@ -103,6 +103,13 @@ class ConnectSpec extends SparkSpec {
     // without a previous value the P&L field becomes the trade count
     assert(Slack.dailyTradingSummary(orders.take(1), positions, 100.0)
       .contains("""*Trades Executed*\n1"""))
+    // previous value 0.0 ALSO falls through to the trade count: Python's
+    // `if previous_account_value` is falsy for 0 — a P&L branch here
+    // would render Infinity%/NaN%, which the reference never emits
+    val zeroPrev = Slack.dailyTradingSummary(orders.take(1), positions,
+      100.0, Some(0.0))
+    assert(zeroPrev.contains("""*Trades Executed*\n1"""))
+    assert(!zeroPrev.contains("Infinity") && !zeroPrev.contains("NaN"))
     // frame-level wrapper renders from BrokerSource-shaped frames
     import spark.implicits._
     val payload = Slack.dailyTradingSummaryFrames(
@@ -114,10 +121,44 @@ class ConnectSpec extends SparkSpec {
     assert(payload.contains("""*Top 1 Positions*\n1. `AAA`: $12,345.67"""))
   }
 
+  test("failure notification renders the reference's block sequence, golden-exact") {
+    // block-for-block mirror of slack_failure_handler.py:52-90: header /
+    // error section / context section / divider / traceback code block
+    val golden =
+      """{"blocks":[{"type":"header","text":{"type":"plain_text","text":"🚨 Flow Failed: stock_prices"}},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Error Type:* `ValueError`\n*Error Message:* bad bar row"}},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Run ID:* `run-42`\n*Parameters:* `{date: 2024-03-04}`"}},""" +
+      """{"type":"divider"},""" +
+      """{"type":"section","text":{"type":"mrkdwn","text":"*Traceback:*\n```Traceback (most recent call last):\n  boom```"}}]}"""
+    assert(Slack.failure("stock_prices", "ValueError", "bad bar row",
+      "Traceback (most recent call last):\n  boom",
+      Some("run-42"), Some("{date: 2024-03-04}")) == golden)
+    // without context the section is omitted entirely (reference:
+    // `if context_lines` — no empty block)
+    val bare = Slack.failure("f", "E", "m", "tb")
+    assert(!bare.contains("Run ID") && bare.contains(""""type":"divider""""))
+    // long tracebacks keep the TAIL (the raising frame), not the head:
+    // last 1950 chars + the truncation marker (handler lines 37-38)
+    val longTb = ("x" * 3000) + "TAIL_MARKER"
+    val truncated = Slack.failure("f", "E", "m", longTb)
+    assert(truncated.contains("TAIL_MARKER"))
+    assert(truncated.contains("""... (truncated)"""))
+    assert(!truncated.contains("x" * 1960), "head must be dropped, not the tail")
+    // parameters over 200 chars truncate to 197 + "..."
+    val p = Slack.failure("f", "E", "m", "tb", None, Some("p" * 250))
+    assert(p.contains("p" * 197 + "...") && !p.contains("p" * 198))
+    // Throwable overload renders class name + message + JVM stack trace
+    val fromEx = Slack.failure("f",
+      new IllegalStateException("kaboom"), Some("r1"), None)
+    assert(fromEx.contains("*Error Type:* `IllegalStateException`"))
+    assert(fromEx.contains("kaboom"))
+  }
+
   test("Slack payloads are well-formed JSON blocks") {
     val summary = Slack.dailySummary("2024-03-04", 1234567.89,
       Seq("AAA" -> 0.031, "BBB" -> 0.012), Seq("CCC" -> -0.02))
-    val failure = Slack.failure("daily_flow", "boom\n\"quoted\"\tend")
+    val failure = Slack.failure("daily_flow", "RuntimeError",
+      "boom\n\"quoted\"\tend", "trace\n\"q\"\tline", Some("id\"x"), None)
     val trading = Slack.dailyTradingSummary(
       Seq(Slack.Order("A\"A", "buy", 1.0, 2.0)), Seq(("A\"A", 2.0)), 3.0,
       Some(2.5))

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
 /** Benchmark main (driver contract): run every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and print one JSON line with per-query seconds.
@@ -9,13 +10,50 @@ import org.apache.spark.sql.SparkSession
   * lets Spark prune every column and under-measures scans/projections).
   * One warmup pass over a small slice amortizes JVM/codegen startup so
   * measurements reflect steady-state throughput.
+  *
+  * Sweep fidelity: a 100+-query sweep accumulates driver-JVM state that a
+  * single long-lived session never sheds — shuffle files and broadcasts
+  * waiting on ContextCleaner (which only acts after a GC), heap old-gen
+  * growth, listener/status stores — and by the r5 sweep that inflated the
+  * heavy tail up to 5x over the same query isolated (q7 4.90s in-sweep vs
+  * 0.97s alone) while the trivial calibration scan stayed flat. Two
+  * mechanisms keep in-sweep times honest to isolated cost:
+  *   - after every query, `System.gc()` + a short settle, so reference-
+  *     queue-driven cleanup (shuffle deps, broadcasts) runs BETWEEN
+  *     timed regions instead of inside a later query's clock;
+  *   - every SPARK_GRAFT_CHUNK queries the SparkSession is recycled
+  *     (stopped and rebuilt, outside any timed region), dropping
+  *     accumulated executor/driver state wholesale. Codegen caches are
+  *     JVM-static, so no re-warmup is needed.
   */
 object Bench {
+
+  /** Cluster-wide task-metric sums (scale telemetry): shuffle bytes
+    * written across all exchanges and bytes spilled to disk. Listener
+    * delivery is asynchronous — snapshots are taken after a short drain
+    * sleep, so values are near-exact for a quiesced query, approximate
+    * if anything still straggles; they grade plan SHAPE (does this query
+    * shuffle/spill at all, and how much), not byte-exact accounting.
+    */
+  private final class MetricsListener extends SparkListener {
+    private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snap(): (Long, Long) = (shuffleWrite.get, diskSpill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // iteration knobs (local profiling only; the driver sets neither):
-    // comma-separated query subset, and how many timed repetitions each
+    // iteration knobs (local profiling only; the driver sets none):
+    // comma-separated query subset, timed repetitions per query, queries
+    // per session before a recycle, settle pause after each query
     val only = SparkEntry.querySubset(sys.env.get("SPARK_GRAFT_QUERIES"))
     // Default 2 reps, reporting the per-query MINIMUM: the r4 sweep showed a
     // contiguous band of queries 3-13x slower purely from transient machine
@@ -23,15 +61,49 @@ object Bench {
     // A single-shot sweep cannot tell that apart from a real regression;
     // the min over >=2 reps discards one-off contention windows.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "25").toInt
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "250").toLong
+    // streaming entries run on the RocksDB state store (the 100 TB
+    // deployment shape: per-key state off-heap, changelog checkpointing
+    // instead of full-snapshot uploads); "hdfs" opts back into the
+    // default in-memory/HDFS-backed provider for comparison runs
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+
+    var spark: SparkSession = null
+    var metrics: MetricsListener = null
+    def openSession(): Unit = {
+      spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      if (stateStore == "rocksdb") {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+        // every put otherwise pays a read-modify of the row counter —
+        // pure overhead for throughput benchmarking (the count is a
+        // progress-metrics nicety, not a correctness input)
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+          "false")
+      }
+      metrics = new MetricsListener
+      spark.sparkContext.addSparkListener(metrics)
+    }
+    def recycleSession(): Unit = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      openSession()
+    }
+    openSession()
 
     // Caches/persists created inside an operator (LSH shingle sets, the
     // QP base frame) are dropped after every materialization: 100+
@@ -48,6 +120,15 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
+
+    // between timed regions only — never inside one: the GC is what lets
+    // ContextCleaner reclaim the shuffle files/broadcasts the previous
+    // query abandoned, so a later query does not pay its neighbor's
+    // cleanup; the sleep lets cleanup and listener delivery drain
+    def settle(): Unit = { System.gc(); Thread.sleep(settleMs) }
+    // listener events are delivered off-thread; give them a moment to
+    // drain before snapshotting per-rep metric deltas
+    def drainMetrics(): Unit = Thread.sleep(100)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -74,109 +155,144 @@ object Bench {
     // whose every rep fails is reported as -1 in `queries` plus an entry in
     // `errors`, never as its time-to-fail.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query scale telemetry from the min-time rep: shuffle mb, spill mb
+    val taskMetrics = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // Mid-sweep calibration probes: re-time the calibration scan every N
     // queries so a contention window that opens DURING the sweep (invisible
     // to the start/end pair alone) shows up in the artifact.
     val midCalib = scala.collection.mutable.ArrayBuffer[Double]()
     val calibEvery = 20
-    val results = names.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && i % calibEvery == 0) {
-        val c = try timeIt(materialize(calibName, sfDir))
-                catch { case _: Throwable => -1.0 }
-        midCalib += c
-      }
+
+    def jsonSafe(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        // JSON-safe: quotes/backslashes and ALL control chars
+        // (any char < 0x20 is illegal in a JSON string) -> spaces
+        .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
+
+    /** reps of `run`, recording min time over successful reps plus that
+      * rep's task-metric deltas; -1 + errors entry iff every rep failed.
+      */
+    def timedReps(name: String)(run: () => Unit): (String, Double) = {
       var lastErr: String = null
-      val times = (1 to reps).map { _ =>
+      val outcomes = (1 to reps).map { _ =>
+        val before = metrics.snap()
         val t0 = System.nanoTime()
         val ok =
-          try { materialize(name, sfDir); true }
+          try { run(); true }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: $e")
               e.printStackTrace()
-              lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
-                // JSON-safe: quotes/backslashes and ALL control chars
-                // (any char < 0x20 is illegal in a JSON string) -> spaces
-                .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
+              lastErr = jsonSafe(e)
               false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        drainMetrics()
+        val after = metrics.snap()
+        (sec, (after._1 - before._1) / 1e6, (after._2 - before._2) / 1e6)
       }
       if (reps > 1) System.err.println(
-        s"[bench] $name reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
+        s"[bench] $name reps: ${outcomes.map(o => f"${o._1}%.3f").mkString(", ")}")
       // min over SUCCESSFUL reps — a query that failed one rep but
       // succeeded on another has a real time and is NOT an error (the
       // transient-contention case REPS>=2 exists to tolerate); errors and
       // the -1 sentinel are reserved for every-rep failures so exit(2)
       // means a genuinely broken query, not a flaky rep
-      val succ = times.filter(_ >= 0)
-      if (succ.isEmpty && lastErr != null) errors(name) = lastErr
-      name -> (if (succ.nonEmpty) succ.min else -1.0)
+      val succ = outcomes.filter(_._1 >= 0)
+      if (succ.isEmpty) {
+        if (lastErr != null) errors(name) = lastErr
+        name -> -1.0
+      } else {
+        val best = succ.minBy(_._1)
+        taskMetrics(name) = (best._2, best._3)
+        name -> best._1
+      }
     }
+
+    var timedCount = 0
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % chunk == 0) recycleSession()
+      if (i > 0 && i % calibEvery == 0) {
+        val c = try timeIt(materialize(calibName, sfDir))
+                catch { case _: Throwable => -1.0 }
+        midCalib += c
+        settle()
+      }
+      val r = timedReps(name)(() => materialize(name, sfDir))
+      timedCount += 1
+      settle()
+      r
+    }
+
     // Streaming wall-clock entries — StreamOps is batch-parity
     // spec-verified for correctness; these time it end-to-end. The sf
-    // events table is replayed as a bounded MemoryStream in ~10 REAL
+    // input table is replayed as a bounded MemoryStream in ~10 REAL
     // micro-batches (each chunk drained before the next is added)
-    // through keyed-state sessionization and the watermarked hourly
-    // rollup, writing to the noop sink — so per-batch state-store
-    // load/commit and watermark advancement are inside the measurement.
-    // Input collect happens once, outside the timed region.
-    val streamDefs: Seq[(String, org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event] => org.apache.spark.sql.Dataset[_])] = Seq(
-      "e3_stream_sessionize" ->
-        ((ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event]) =>
-          graft.streaming.StreamOps.sessionize(ds)),
-      "e4_stream_rollup" ->
-        ((ds: org.apache.spark.sql.Dataset[graft.streaming.StreamOps.Event]) =>
-          graft.streaming.StreamOps.hourlyRollup(ds.toDF()))
-    ).filter { case (n, _) => only.forall(_.contains(n)) }
+    // through keyed-state operators writing to the noop sink — so
+    // per-batch state-store load/commit and watermark advancement are
+    // inside the measurement, on the RocksDB provider by default (see
+    // `stateStore` above). Input collect happens outside the clock.
+    def replay[T](rows: IndexedSeq[T], mk: Dataset[T] => Dataset[_])(
+        implicit enc: Encoder[T]): Unit = {
+      implicit val sc = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
+      val q = mk(in.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try
+        // feed-then-drain per chunk: adding everything before start()
+        // would collapse the replay into ONE micro-batch and skip the
+        // per-batch state-store load/commit and watermark advancement
+        // this entry exists to measure
+        rows.grouped(math.max(1, rows.length / 10))
+          .foreach { b => in.addData(b); q.processAllAvailable() }
+      finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(ckpt.toFile) // a rep must not leak its state-store files
+      }
+    }
     lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
       graft.catalog.Tables.load(spark, sfDir, "events")
         .select("user_id", "event_id", "ts", "value").collect().map { r =>
           graft.streaming.StreamOps.Event(
             r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))
         }.toIndexedSeq
-    val streamResults = streamDefs.map { case (name, mk) =>
-      val rows = eventRows // force the collect before the clock starts
-      val chunk = math.max(1, rows.length / 10)
-      def runOnce(): Unit = {
-        import spark.implicits._
-        implicit val sc = spark.sqlContext
-        val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[graft.streaming.StreamOps.Event]
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
-        val q = mk(in.toDS()).writeStream.format("noop")
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode("append").start()
-        try
-          // feed-then-drain per chunk: adding everything before start()
-          // would collapse the replay into ONE micro-batch and skip the
-          // per-batch state-store load/commit and watermark advancement
-          // this entry exists to measure
-          rows.grouped(chunk).foreach { b => in.addData(b); q.processAllAvailable() }
-        finally {
-          q.stop()
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(ckpt.toFile) // a rep must not leak its state-store files
-        }
-      }
-      var lastErr: String = null
-      val times = (1 to reps).map { _ =>
-        try timeIt(runOnce())
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
-            -1.0
-        }
-      }
-      if (reps > 1) System.err.println(
-        s"[bench] $name reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
-      val succ = times.filter(_ >= 0)
-      if (succ.isEmpty && lastErr != null) errors(name) = lastErr
-      name -> (if (succ.nonEmpty) succ.min else -1.0)
+    // the documents table carries no timestamp — the near-dup replay
+    // synthesizes a deterministic 1-second event-time spacing so the
+    // 1-hour state horizon and watermark advance realistically
+    lazy val docRows: IndexedSeq[graft.streaming.StreamOps.Doc] =
+      graft.catalog.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text").collect().zipWithIndex.map { case (r, i) =>
+          graft.streaming.StreamOps.Doc(r.getLong(0),
+            new java.sql.Timestamp(1700000000000L + i * 1000L),
+            if (r.isNullAt(1)) null else r.getString(1))
+        }.toIndexedSeq
+    implicit val eventEnc: Encoder[graft.streaming.StreamOps.Event] =
+      Encoders.product[graft.streaming.StreamOps.Event]
+    implicit val docEnc: Encoder[graft.streaming.StreamOps.Doc] =
+      Encoders.product[graft.streaming.StreamOps.Doc]
+    val streamDefs: Seq[(String, () => Unit)] = Seq(
+      ("e3_stream_sessionize",
+        () => replay(eventRows,
+          (ds: Dataset[graft.streaming.StreamOps.Event]) =>
+            graft.streaming.StreamOps.sessionize(ds))),
+      ("e4_stream_rollup",
+        () => replay(eventRows,
+          (ds: Dataset[graft.streaming.StreamOps.Event]) =>
+            graft.streaming.StreamOps.hourlyRollup(ds.toDF()))),
+      ("e5_stream_neardedup",
+        () => replay(docRows,
+          (ds: Dataset[graft.streaming.StreamOps.Doc]) =>
+            graft.streaming.StreamOps.streamingNearDedup(ds)))
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
+    val streamResults = streamDefs.map { case (name, run) =>
+      val r = timedReps(name)(run)
+      settle()
+      r
     }
 
     val calibEnd =
@@ -187,11 +303,21 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = (results ++ streamResults).map(_._2).filter(_ >= 0).sum
+    // batch and streaming totals are SEPARATE fields: the streaming
+    // replays measure state-store throughput, not query cost, and
+    // folding them into `value` (as r5 did) breaks round-over-round
+    // total comparisons. `value` is the batch sweep alone.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val streamTotal = streamResults.map(_._2).filter(_ >= 0).sum
     val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
     val midJson = midCalib.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calib = s""","calibration":{"query":"$calibName","start_sec":${f"$calibStart%.3f"},"mid_sec":$midJson,"end_sec":${f"$calibEnd%.3f"}}"""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$calib$errField,"sf":"$sfDir"}""")
+    val tm = taskMetrics
+      .map { case (k, (sh, sp)) =>
+        "\"" + k + "\":{\"shuffle_mb\":" + f"$sh%.1f" + ",\"spill_mb\":" + f"$sp%.1f" + "}"
+      }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$errField,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

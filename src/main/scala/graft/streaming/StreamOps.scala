@@ -45,24 +45,50 @@ object StreamOps {
     * timeout (production mode); without it, open sessions flush only when
     * a later event closes them (deterministic test mode).
     *
-    * State-size contract: a timeout flush leaves a dormant (n = 0)
-    * marker holding the session counter — removing it would restart
-    * session_id at 1 and emit duplicate (user_id, session_id) keys — so
-    * total state grows with the number of DISTINCT users ever seen
-    * (one small fixed-size record each), not with event volume, and is
-    * never evicted. That is the deliberate trade for monotonic session
-    * ids; deployments with unbounded key churn (e.g. anonymous visitor
-    * ids) should either accept the linear-in-cardinality state, restart
-    * the query on a schedule, or key by a coarser stable id.
+    * State-size contract, default (counter-id) mode: a timeout flush
+    * leaves a dormant (n = 0) marker holding the session counter —
+    * removing it would restart session_id at 1 and emit duplicate
+    * (user_id, session_id) keys — so total state grows with the number
+    * of DISTINCT users ever seen (one small fixed-size record each),
+    * not with event volume, and is never evicted. That is the trade for
+    * dense 1,2,3… session ids (the batch-parity shape `e2_sessionize`
+    * verifies).
+    *
+    * Bounded-state mode (`timestampIds = true`): session ids are the
+    * session-START microsecond instead of a per-user counter. The gap
+    * rule makes a user's session starts strictly increasing, so ids
+    * stay monotonic and are never reused WITHOUT any persisted counter
+    * — which means a timeout flush can REMOVE state outright (no
+    * dormant marker), leaving only currently-open sessions in the
+    * store. State is then bounded by concurrent-active users, not by
+    * all users ever seen: the right mode for unbounded key churn
+    * (anonymous visitor ids). Ids are sparse, not dense — consumers
+    * needing 1,2,3… use the default mode.
     */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Long = 30,
-      idleTimeout: Option[String] = None): Dataset[Session] = {
+      idleTimeout: Option[String] = None,
+      timestampIds: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes * 60L * 1000000L
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        sessionUpdate(gapMinutes * 60L * 1000000L, idleTimeout, timestampIds))
+  }
 
-    def emit(userId: Long, s: SessionState): Session =
+  /** The per-key state transition of [[sessionize]], extracted so specs
+    * can drive the timeout path deterministically through
+    * `TestGroupState` (a processing-time timeout inside a running query
+    * cannot be triggered without wall-clock waiting).
+    */
+  private[streaming] def sessionUpdate(
+      gapUs: Long, idleTimeout: Option[String], timestampIds: Boolean)(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    def emit(s: SessionState): Session =
       Session(userId, s.sessionId, s.n, s.start, s.end, s.sumCents / 100.0)
 
     // batch-parity conversions: unix_micros keeps the microsecond part
@@ -74,41 +100,36 @@ object StreamOps {
     def eventCents(e: Event): Long =
       java.math.BigDecimal.valueOf(e.value * 100)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def fresh(prevId: Long, us: Long, cents: Long): SessionState =
+      SessionState(if (timestampIds) us else prevId + 1, us, us, 1, cents)
 
-    def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      var closed = List.empty[Session]
-      var cur = state.getOption.orNull
-      if (state.hasTimedOut) {
+    var closed = List.empty[Session]
+    var cur = state.getOption.orNull
+    if (state.hasTimedOut) {
+      val out = if (cur != null && cur.n > 0) List(emit(cur)) else Nil
+      if (timestampIds) state.remove() // ids need no counter — drop the key
+      else if (cur != null)
         // flush the open session but KEEP the counter as a dormant
         // (n = 0) marker: removing state would restart session_id at 1
         // and emit duplicate (user_id, session_id) keys. The marker is
         // O(1) per user — the same state bound streamingReturns carries.
-        val out = if (cur != null && cur.n > 0) List(emit(userId, cur)) else Nil
-        if (cur != null) state.update(SessionState(cur.sessionId, 0L, 0L, 0L, 0L))
-        return out.iterator
-      }
-      rows.toSeq.sortBy(e => (eventUs(e), e.event_id)).foreach { e =>
-        val us = eventUs(e)
-        val cents = eventCents(e)
-        if (cur == null) cur = SessionState(1, us, us, 1, cents)
-        else if (cur.n == 0) // dormant marker left by a timeout flush
-          cur = SessionState(cur.sessionId + 1, us, us, 1, cents)
-        else if (us - cur.end > gapUs) {
-          closed ::= emit(userId, cur)
-          cur = SessionState(cur.sessionId + 1, us, us, 1, cents)
-        } else cur = cur.copy(end = us, n = cur.n + 1, sumCents = cur.sumCents + cents)
-      }
-      if (cur != null) state.update(cur)
-      if (cur != null && cur.n > 0) idleTimeout.foreach(state.setTimeoutDuration)
-      closed.reverse.iterator
+        state.update(SessionState(cur.sessionId, 0L, 0L, 0L, 0L))
+      return out.iterator
     }
-
-    val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(update)
+    rows.toSeq.sortBy(e => (eventUs(e), e.event_id)).foreach { e =>
+      val us = eventUs(e)
+      val cents = eventCents(e)
+      if (cur == null) cur = fresh(0L, us, cents)
+      else if (cur.n == 0) // dormant marker left by a counter-mode flush
+        cur = fresh(cur.sessionId, us, cents)
+      else if (us - cur.end > gapUs) {
+        closed ::= emit(cur)
+        cur = fresh(cur.sessionId, us, cents)
+      } else cur = cur.copy(end = us, n = cur.n + 1, sumCents = cur.sumCents + cents)
+    }
+    if (cur != null) state.update(cur)
+    if (cur != null && cur.n > 0) idleTimeout.foreach(state.setTimeoutDuration)
+    closed.reverse.iterator
   }
 
   final case class Bar(ticker: String, ts: Timestamp, close: Double)

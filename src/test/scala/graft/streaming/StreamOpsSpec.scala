@@ -116,6 +116,88 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(0).session_id == 1)
   }
 
+  test("bounded-state sessionize: timeout eviction keeps ids monotonic, never reused") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // timestampIds mode: a processing-time timeout can only fire on wall
+    // clock inside a running query, so the extracted transition function
+    // is driven directly through TestGroupState
+    val gapUs = 30L * 60L * 1000000L
+    val update = StreamOps.sessionUpdate(gapUs, Some("10 minutes"), true) _
+    val noWm = Optional.empty[Long]()
+
+    // batch 1: one event opens a session (nothing emitted yet)
+    val s0 = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, noWm, false)
+    assert(update(7L, Iterator(Event(7L, 1L, ts(0), 1.5)), s0).isEmpty)
+    assert(s0.exists && s0.get.n == 1)
+
+    // timeout fires: the open session flushes AND the key is REMOVED —
+    // no dormant marker survives (the bounded-state contract)
+    val s1 = TestGroupState.create[SessionState](Optional.of(s0.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L, noWm, true)
+    val flushed = update(7L, Iterator.empty, s1).toSeq
+    assert(flushed.length == 1 && flushed.head.n_events == 1)
+    assert(s1.isRemoved, "dormant marker must not survive a timeout in timestampIds mode")
+    val firstId = flushed.head.session_id
+
+    // re-arrival AFTER eviction: fresh state, yet the new session id is
+    // strictly larger (start-us ids) — monotonic, no (user, id) reuse
+    val s2 = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 3000L, noWm, false)
+    assert(update(7L, Iterator(Event(7L, 2L, ts(120), 2.0)), s2).isEmpty)
+    assert(s2.get.sessionId > firstId,
+      s"id ${s2.get.sessionId} must exceed flushed id $firstId")
+
+    // gap-closed sessions inside one batch also carry distinct
+    // monotonic start-us ids
+    val s3 = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 4000L, noWm, false)
+    val out3 = update(8L, Iterator(
+      Event(8L, 1L, ts(0), 1.0), Event(8L, 2L, ts(10), 1.0),
+      Event(8L, 3L, ts(60), 1.0)), s3).toSeq
+    assert(out3.length == 1 && out3.head.n_events == 2)
+    assert(s3.get.sessionId > out3.head.session_id)
+  }
+
+  test("RocksDB state-store provider takes effect and preserves session semantics") {
+    // the Bench streaming entries run on RocksDB + changelog
+    // checkpointing; this pins that the session conf is actually honored
+    // by a keyed-state query (observable via rocksdb custom metrics in
+    // the progress report) and that results match the default provider
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      val input = MemoryStream[Event]
+      val q = sessionize(input.toDS()).writeStream
+        .format("memory").queryName("rocks_sess").outputMode("append")
+        .start()
+      input.addData(
+        Event(7L, 1L, ts(0), 1.50), Event(7L, 2L, ts(10), 2.50),
+        Event(7L, 3L, ts(60), 4.00))
+      q.processAllAvailable()
+      val custom = q.lastProgress.stateOperators.head.customMetrics
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      assert(custom.keySet().asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state-store metrics, got: ${custom.keySet()}")
+      val out = spark.table("rocks_sess").as[Session].collect()
+      assert(out.length == 1 && out(0).n_events == 2 && out(0).session_id == 1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+  }
+
   test("file-source stream: parquet drops drive the stateful returns chain") {
     // production shape: a directory of parquet files as the unbounded
     // source, each new file a micro-batch

@@ -38,14 +38,23 @@ object Bench {
   private final class MetricsListener extends SparkListener {
     private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     private val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    // max-over-tasks of peakExecutionMemory: the per-task memory high-water
+    // mark is what decides whether a partition fits an executor at scale
+    // (a sum would overstate peaks that never coexist). Reset per rep —
+    // queries run strictly one at a time, so the reset cannot race a
+    // concurrent query's tasks, only stragglers from the previous rep.
+    private val peakTaskMem = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         diskSpill.addAndGet(m.diskBytesSpilled)
+        peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
       }
     }
     def snap(): (Long, Long) = (shuffleWrite.get, diskSpill.get)
+    def resetPeak(): Unit = peakTaskMem.set(0L)
+    def peak(): Long = peakTaskMem.get
   }
 
   def main(args: Array[String]): Unit = {
@@ -155,8 +164,9 @@ object Bench {
     // whose every rep fails is reported as -1 in `queries` plus an entry in
     // `errors`, never as its time-to-fail.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // per-query scale telemetry from the min-time rep: shuffle mb, spill mb
-    val taskMetrics = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // per-query scale telemetry from the min-time rep: shuffle mb, spill
+    // mb, peak single-task execution memory mb
+    val taskMetrics = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     // Mid-sweep calibration probes: re-time the calibration scan every N
     // queries so a contention window that opens DURING the sweep (invisible
     // to the start/end pair alone) shows up in the artifact.
@@ -176,6 +186,7 @@ object Bench {
       var lastErr: String = null
       val outcomes = (1 to reps).map { _ =>
         val before = metrics.snap()
+        metrics.resetPeak()
         val t0 = System.nanoTime()
         val ok =
           try { run(); true }
@@ -189,7 +200,8 @@ object Bench {
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         drainMetrics()
         val after = metrics.snap()
-        (sec, (after._1 - before._1) / 1e6, (after._2 - before._2) / 1e6)
+        (sec, (after._1 - before._1) / 1e6, (after._2 - before._2) / 1e6,
+          metrics.peak() / 1e6)
       }
       if (reps > 1) System.err.println(
         s"[bench] $name reps: ${outcomes.map(o => f"${o._1}%.3f").mkString(", ")}")
@@ -204,7 +216,7 @@ object Bench {
         name -> -1.0
       } else {
         val best = succ.minBy(_._1)
-        taskMetrics(name) = (best._2, best._3)
+        taskMetrics(name) = (best._2, best._3, best._4)
         name -> best._1
       }
     }
@@ -328,8 +340,9 @@ object Bench {
     val midJson = midCalib.map(c => f"$c%.3f").mkString("[", ",", "]")
     val calib = s""","calibration":{"query":"$calibName","start_sec":${f"$calibStart%.3f"},"mid_sec":$midJson,"end_sec":${f"$calibEnd%.3f"}}"""
     val tm = taskMetrics
-      .map { case (k, (sh, sp)) =>
-        "\"" + k + "\":{\"shuffle_mb\":" + f"$sh%.1f" + ",\"spill_mb\":" + f"$sp%.1f" + "}"
+      .map { case (k, (sh, sp, pk)) =>
+        "\"" + k + "\":{\"shuffle_mb\":" + f"$sh%.1f" + ",\"spill_mb\":" + f"$sp%.1f" +
+          ",\"peak_task_mem_mb\":" + f"$pk%.1f" + "}"
       }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$errField,"sf":"$sfDir"}""")

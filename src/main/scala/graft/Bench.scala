@@ -221,17 +221,21 @@ object Bench {
       }
     }
 
-    var timedCount = 0
     val results = names.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && i % chunk == 0) recycleSession()
+      // calibration probe BEFORE any recycle at indices where both fire
+      // (lcm of chunk and calibEvery, e.g. i=100 on defaults): the
+      // single-shot probe measures machine load on the session the sweep
+      // has been using — taken after a recycle it would time fresh-session
+      // setup (file listing, first-job startup) and read as a phantom
+      // mid-sweep contention window
       if (i > 0 && i % calibEvery == 0) {
         val c = try timeIt(materialize(calibName, sfDir))
                 catch { case _: Throwable => -1.0 }
         midCalib += c
         settle()
       }
+      if (i > 0 && i % chunk == 0) recycleSession()
       val r = timedReps(name)(() => materialize(name, sfDir))
-      timedCount += 1
       settle()
       r
     }

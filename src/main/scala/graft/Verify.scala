@@ -28,8 +28,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operator-internal caches must not accumulate across the 58 queries
-      finally spark.sharedState.cacheManager.clearCache()
+      // operator-internal persists must not accumulate across the 100+
+      // queries. Eager localCheckpoints (the repo's same-job multi-consumer
+      // rule) register persistent RDDs INVISIBLE to the cache manager, so
+      // both stores are cleared — clearCache() alone would leak every
+      // checkpointed frame (t8/t13 word explosions, LSH band keys, the QP
+      // base) for the rest of the sweep.
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

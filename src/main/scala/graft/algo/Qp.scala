@@ -108,6 +108,14 @@ object Qp {
     var it = 0
     var diff = Double.MaxValue
     var converged = false
+    // The O(n²) gap check runs at the FIRST stalled iterate (the happy
+    // path: weight-diff and gap converge together), then every
+    // gapCheckEvery stalled iterates — a near-singular date whose gap
+    // stalls above gapTol while diff stays under tol would otherwise pay
+    // a second Σw multiply on every remaining iteration for no accuracy
+    // gain (the advisor's high-λ corner runs ~2000 such iterations).
+    val gapCheckEvery = 10
+    var sinceGap = gapCheckEvery
     while (it < maxIter && !converged) {
       val grad = (sigma * y) * lambda - alphas
       val wNext = projectSimplex(y - grad * step)
@@ -125,8 +133,13 @@ object Qp {
       diff = breeze.linalg.norm(wNext - w)
       w = wNext
       it += 1
-      if (diff <= tol)
-        converged = stationarityGap(w, alphas, sigma, lambda) <= gapTol
+      if (diff <= tol) {
+        sinceGap += 1
+        if (sinceGap >= gapCheckEvery) {
+          sinceGap = 0
+          converged = stationarityGap(w, alphas, sigma, lambda) <= gapTol
+        }
+      } else sinceGap = gapCheckEvery // next stall checks immediately
     }
     val gap = stationarityGap(w, alphas, sigma, lambda)
     if (gap > certGapWarn) System.err.println(

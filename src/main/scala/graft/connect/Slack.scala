@@ -9,9 +9,18 @@ package graft.connect
   */
 object Slack {
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\t", "\\t")
+  // ALL control chars must be escaped, not just \n\t: failure() funnels
+  // arbitrary exception messages and tracebacks through here, and one raw
+  // \r (CRLF-sourced text echoed into an error) would make the payload
+  // illegal JSON — losing the alert on the alert path itself
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   def header(text: String): String =
     s"""{"type":"header","text":{"type":"plain_text","text":"${esc(text)}"}}"""

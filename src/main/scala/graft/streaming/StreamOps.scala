@@ -63,7 +63,14 @@ object StreamOps {
     * store. State is then bounded by concurrent-active users, not by
     * all users ever seen: the right mode for unbounded key churn
     * (anonymous visitor ids). Ids are sparse, not dense — consumers
-    * needing 1,2,3… use the default mode.
+    * needing 1,2,3… use the default mode. Delivery caveat (same class
+    * as streamingNearDedup's horizon contract): id uniqueness holds for
+    * events that arrive while their session's state is live; once a
+    * timeout evicts the key, an at-least-once REDELIVERY of an old
+    * event (or a straggler stamped at/before a flushed session's start)
+    * opens a fresh session whose start-us id can equal or precede an
+    * already-emitted one. Exactly-once, watermark-respecting delivery —
+    * or the counter mode's permanent marker — is what rules that out.
     */
   def sessionize(
       events: Dataset[Event],
@@ -125,7 +132,14 @@ object StreamOps {
       else if (us - cur.end > gapUs) {
         closed ::= emit(cur)
         cur = fresh(cur.sessionId, us, cents)
-      } else cur = cur.copy(end = us, n = cur.n + 1, sumCents = cur.sumCents + cents)
+      } else cur = cur.copy(
+        // max, not us: a cross-batch straggler stamped INSIDE the open
+        // session (us < cur.end; in-batch order is sorted so this is
+        // only reachable across micro-batches) must not regress the
+        // session end — a regressed end would mis-measure the next gap
+        // and split one real session in two
+        end = math.max(cur.end, us), n = cur.n + 1,
+        sumCents = cur.sumCents + cents)
     }
     if (cur != null) state.update(cur)
     if (cur != null && cur.n > 0) idleTimeout.foreach(state.setTimeoutDuration)

@@ -160,6 +160,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(s3.get.sessionId > out3.head.session_id)
   }
 
+  test("sessionize: a cross-batch straggler inside the open session cannot regress its end") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // in-batch rows are sorted, so an end-regressing event is only
+    // reachable across micro-batches; a regressed end would mis-measure
+    // the next gap and split one real session in two
+    val gapUs = 30L * 60L * 1000000L
+    val update = StreamOps.sessionUpdate(gapUs, None, false) _
+    val noWm = Optional.empty[Long]()
+
+    // batch 1: events at t=0 and t=10min -> open session ending 10min
+    val s0 = TestGroupState.create[SessionState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 1000L, noWm, false)
+    assert(update(7L, Iterator(
+      Event(7L, 1L, ts(0), 1.0), Event(7L, 2L, ts(10), 1.0)), s0).isEmpty)
+    val end1 = s0.get.end
+
+    // batch 2: straggler at t=2min (inside the session), then t=34min.
+    // 34min is 24min after the TRUE end (10min) -> same session; against
+    // a regressed end of 2min it would read 32min > 30min and split.
+    val s1 = TestGroupState.create[SessionState](Optional.of(s0.get),
+      GroupStateTimeout.NoTimeout, 2000L, noWm, false)
+    val out = update(7L, Iterator(
+      Event(7L, 3L, ts(2), 1.0), Event(7L, 4L, ts(34), 1.0)), s1).toSeq
+    assert(out.isEmpty, s"straggler must not split the session: $out")
+    assert(s1.get.n == 4 && s1.get.end > end1)
+  }
+
   test("RocksDB state-store provider takes effect and preserves session semantics") {
     // the Bench streaming entries run on RocksDB + changelog
     // checkpointing; this pins that the session conf is actually honored

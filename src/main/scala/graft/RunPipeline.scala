@@ -152,6 +152,15 @@ object RunPipeline {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.schemaInference", "false")
+      // production state-store shape, same as the Bench streaming
+      // entries: per-key state in RocksDB (off-heap, spill-free at large
+      // key cardinality) with changelog checkpointing (per-batch delta
+      // upload instead of full snapshots)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,33 +224,51 @@ object SparkEntry {
     // W6 again as pure window algebra: integer-exact window sums +
     // parenthesized Cramer's rule as column expressions — no
     // flatMapGroups, the whole plan stays in whole-stage codegen. Same
-    // oracle as w6_rolling_ols. Measured trade-off: Spark re-aggregates
-    // the full 252-row frame per row for bounded frames (sliding sums
-    // are not incremental), so this form is ~1.7x slower than the
-    // O(1)/row streaming fold in RollingOls.fit — kept as the
-    // no-custom-code expression of the same semantics; fit() is the
-    // recommended path.
+    // oracle as w6_rolling_ols. Spark's bounded sliding frames re-
+    // aggregate all 252 rows per output row (O(W)/row), so each sliding
+    // sum is expressed as a cumulative-sum DIFFERENCE instead:
+    // sum[i-251..i] = cum[i] - cum[i-252], with the running sum and the
+    // lag both O(1)/row. This is exact — the moments are longs, and long
+    // cum-minus-lag is bit-identical to summing the 252 values directly
+    // (doubles would NOT be: float subtraction loses what the narrow sum
+    // never added) — and both window passes share one partitioning+sort,
+    // so the plan is one exchange, one sort, two O(1)/row Window nodes.
+    // At a 252-row frame this removes a 252x CPU multiplier versus the
+    // bounded-frame form; the O(1)/row streaming fold in RollingOls.fit
+    // remains the mapPartitions-free-of-shuffle comparison point.
     "w6_rolling_ols_native" -> ((s, dir) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "y", "x")
-        .rowsBetween(-251, 0)
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("y"), col("x"))
+      val wCum = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRow = Window.partitionBy("l_suppkey").orderBy(ord: _*)
       val n = lit(252.0)
       val base = t(s, dir, "lineitem").select(
         col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_discount") * 100).cast("long").as("z"),
         round(col("l_extendedprice") * 100).cast("long").as("y"))
-      val sums = base.select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        count(lit(1)).over(w).as("cnt"),
-        sum(col("x")).over(w).cast("double").as("sx0"),
-        sum(col("z")).over(w).cast("double").as("sx1"),
-        sum(col("y")).over(w).cast("double").as("b0"),
-        sum(col("x") * col("x")).over(w).cast("double").as("s00"),
-        sum(col("x") * col("z")).over(w).cast("double").as("s01"),
-        sum(col("z") * col("z")).over(w).cast("double").as("s11"),
-        sum(col("x") * col("y")).over(w).cast("double").as("b1"),
-        sum(col("z") * col("y")).over(w).cast("double").as("b2"))
+      val moments = Seq[(String, Column)](
+        "sx0" -> col("x"), "sx1" -> col("z"), "b0" -> col("y"),
+        "s00" -> col("x") * col("x"), "s01" -> col("x") * col("z"),
+        "s11" -> col("z") * col("z"), "b1" -> col("x") * col("y"),
+        "b2" -> col("z") * col("y"))
+      val cums = base.select(
+        col("l_suppkey") +: col("l_orderkey") +: col("l_linenumber") +:
+          row_number().over(wRow).as("rn") +:
+          moments.map { case (a, c) => sum(c).over(wCum).as(s"c_$a") }: _*)
+      // rn encodes the full sort order, so the lag pass orders by it —
+      // the original ordering columns need not survive the projection
+      val wLag = Window.partitionBy("l_suppkey").orderBy("rn")
+      val sums = cums.select(
+        col("l_suppkey") +: col("l_orderkey") +: col("l_linenumber") +:
+          // the bounded-frame count capped at 252; least() preserves the
+          // downstream cnt === 252 full-frame predicate exactly
+          least(col("rn"), lit(252)).cast("long").as("cnt") +:
+          moments.map { case (a, _) =>
+            (col(s"c_$a") - coalesce(lag(col(s"c_$a"), 252).over(wLag), lit(0L)))
+              .cast("double").as(a)
+          }: _*)
       // identical parenthesization to RollingOls.solve and the SQL oracle
       val det = n * (col("s00") * col("s11") - col("s01") * col("s01")) -
         col("sx0") * (col("sx0") * col("s11") - col("s01") * col("sx1")) +

@@ -188,6 +188,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(s1.get.n == 4 && s1.get.end > end1)
   }
 
+  test("sessionize is invariant to micro-batch splits of an in-order stream") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // the general form of the straggler case: for ANY contiguous split of
+    // a time-ordered event stream, the emitted sessions and final open
+    // state must equal the single-batch run — micro-batch boundaries are
+    // an execution detail, not a semantic input
+    val gapUs = 30L * 60L * 1000000L
+    val update = StreamOps.sessionUpdate(gapUs, None, false) _
+    val noWm = Optional.empty[Long]()
+    val rnd = new scala.util.Random(20260813L)
+
+    def run(batches: Seq[Seq[Event]]): (Seq[Session], Option[SessionState]) = {
+      var st: Option[SessionState] = None
+      val emitted = scala.collection.mutable.ArrayBuffer[Session]()
+      batches.foreach { b =>
+        val gs = TestGroupState.create[SessionState](
+          st.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+          GroupStateTimeout.NoTimeout, 0L, noWm, false)
+        emitted ++= update(1L, b.iterator, gs).toSeq
+        st = if (gs.exists) Some(gs.get) else None
+      }
+      (emitted.toSeq, st)
+    }
+
+    (1 to 8).foreach { round =>
+      var tMin = 0L
+      val events = (1 to 30).map { i =>
+        // mostly short steps, occasionally over the 30-min gap
+        tMin += (if (rnd.nextInt(4) == 0) 31L + rnd.nextInt(60) else rnd.nextInt(10).toLong)
+        Event(1L, i.toLong, ts(tMin), rnd.nextInt(100) / 10.0)
+      }
+      val single = run(Seq(events))
+      val cuts = (Seq(0, events.size) ++ Seq.fill(rnd.nextInt(4))(rnd.nextInt(events.size)))
+        .distinct.sorted
+      val batches = cuts.sliding(2).collect { case Seq(a, b) if b > a => events.slice(a, b) }.toSeq
+      val split = run(batches)
+      assert(split == single, s"round $round cuts $cuts")
+    }
+  }
+
   test("RocksDB state-store provider takes effect and preserves session semantics") {
     // the Bench streaming entries run on RocksDB + changelog
     // checkpointing; this pins that the session conf is actually honored

@@ -253,20 +253,22 @@ object SparkEntry {
         "s00" -> col("x") * col("x"), "s01" -> col("x") * col("z"),
         "s11" -> col("z") * col("z"), "b1" -> col("x") * col("y"),
         "b2" -> col("z") * col("y"))
+      // the ordering columns survive the cum projection so the lag pass
+      // can declare the IDENTICAL sort — ordering by the (equivalent) rn
+      // instead makes Catalyst insert a second Sort it cannot prove away
+      // (PlanAuditSpec pins one exchange + one sort)
       val cums = base.select(
-        col("l_suppkey") +: col("l_orderkey") +: col("l_linenumber") +:
+        col("l_suppkey") +: col("l_shipdate") +: col("l_orderkey") +:
+          col("l_linenumber") +: col("y") +: col("x") +:
           row_number().over(wRow).as("rn") +:
           moments.map { case (a, c) => sum(c).over(wCum).as(s"c_$a") }: _*)
-      // rn encodes the full sort order, so the lag pass orders by it —
-      // the original ordering columns need not survive the projection
-      val wLag = Window.partitionBy("l_suppkey").orderBy("rn")
       val sums = cums.select(
         col("l_suppkey") +: col("l_orderkey") +: col("l_linenumber") +:
           // the bounded-frame count capped at 252; least() preserves the
           // downstream cnt === 252 full-frame predicate exactly
           least(col("rn"), lit(252)).cast("long").as("cnt") +:
           moments.map { case (a, _) =>
-            (col(s"c_$a") - coalesce(lag(col(s"c_$a"), 252).over(wLag), lit(0L)))
+            (col(s"c_$a") - coalesce(lag(col(s"c_$a"), 252).over(wRow), lit(0L)))
               .cast("double").as(a)
           }: _*)
       // identical parenthesization to RollingOls.solve and the SQL oracle

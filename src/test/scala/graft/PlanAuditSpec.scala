@@ -133,6 +133,21 @@ class PlanAuditSpec extends SparkSpec {
       "repetitionMetrics must not shuffle")
   }
 
+  test("cum-diff rolling OLS: both window passes share one exchange and one sort") {
+    // w6_rolling_ols_native's O(1)/row shape depends on the running-sum
+    // pass and the lag pass sharing their partitioning and order — a
+    // second Exchange or Sort means the cum-diff rewrite regressed to
+    // paying the shuffle twice (and a bounded sliding frame would mean
+    // the O(W)/row form crept back)
+    val p = plan("w6_rolling_ols_native")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val sorts = p.linesIterator.count(_.contains("Sort "))
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$p")
+    assert(sorts == 1, s"expected one sort, got $sorts:\n$p")
+    assert(!p.contains("specifiedwindowframe(RowFrame, -251"),
+      s"bounded 252-row sliding frame crept back (O(W)/row):\n$p")
+  }
+
   test("dedup keeper elections partial-aggregate; no corpus-wide window") {
     // exact/segment/incremental dedup elect keepers via groupBy-min +
     // join-back: the min MUST partial-aggregate (a window min has no

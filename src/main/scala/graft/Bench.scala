@@ -102,6 +102,13 @@ object Bench {
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
           "false")
+        // one capped block cache shared across ALL store instances on
+        // the executor: without it each of the N state partitions keeps
+        // its own unbounded native memtable/cache, the classic
+        // many-partition executor OOM at cluster scale — benching the
+        // bounded shape prices what a deployment would actually run
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       }
       metrics = new MetricsListener
       spark.sparkContext.addSparkListener(metrics)

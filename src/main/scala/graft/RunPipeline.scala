@@ -161,6 +161,11 @@ object RunPipeline {
       .config(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         "true")
+      // one capped block cache shared across all store instances —
+      // unbounded per-partition native memory is the many-partition
+      // executor OOM at cluster scale
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._

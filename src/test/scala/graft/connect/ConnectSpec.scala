@@ -157,8 +157,10 @@ class ConnectSpec extends SparkSpec {
   test("Slack payloads are well-formed JSON blocks") {
     val summary = Slack.dailySummary("2024-03-04", 1234567.89,
       Seq("AAA" -> 0.031, "BBB" -> 0.012), Seq("CCC" -> -0.02))
+    // \r and other control chars ride in real tracebacks (CRLF-sourced
+    // text echoed into errors) — the alert path must stay parseable JSON
     val failure = Slack.failure("daily_flow", "RuntimeError",
-      "boom\n\"quoted\"\tend", "trace\n\"q\"\tline", Some("id\"x"), None)
+      "boom\r\n\"quoted\"\tend", "trace\r\n\"q\"\t\u0001line", Some("id\"x"), None)
     val trading = Slack.dailyTradingSummary(
       Seq(Slack.Order("A\"A", "buy", 1.0, 2.0)), Seq(("A\"A", 2.0)), 3.0,
       Some(2.5))

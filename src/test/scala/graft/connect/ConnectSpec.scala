@@ -154,6 +154,33 @@ class ConnectSpec extends SparkSpec {
     assert(fromEx.contains("kaboom"))
   }
 
+  test("credential resolution fails fast listing EVERY unset variable") {
+    // reference clients/alpaca.py:16-23: one RuntimeError interpolating
+    // each missing env var — not first-missing-wins
+    val env = Map("ALPACA_API_KEY" -> "k", "ALPACA_PAPER" -> "true")
+    val e = intercept[Credentials.MissingCredentials] {
+      Credentials.resolve(Map.empty[String, String].get,
+        Seq("ALPACA_API_KEY", "ALPACA_SECRET_KEY"))
+    }
+    assert(e.missing == Seq("ALPACA_API_KEY", "ALPACA_SECRET_KEY"))
+    assert(e.getMessage.contains("Environment variables not set"))
+    assert(e.getMessage.contains("ALPACA_SECRET_KEY: null"))
+    // only the truly-missing required key is reported
+    val one = intercept[Credentials.MissingCredentials] {
+      Credentials.resolve(env.get, Seq("ALPACA_API_KEY", "ALPACA_SECRET_KEY"))
+    }
+    assert(one.missing == Seq("ALPACA_SECRET_KEY"))
+    // all present -> map; absent OPTIONAL key omitted without error
+    // (alpaca.py:29-30 reads ALPACA_PAPER unvalidated)
+    val full = env + ("ALPACA_SECRET_KEY" -> "s")
+    assert(Credentials.resolve(full.get,
+      Seq("ALPACA_API_KEY", "ALPACA_SECRET_KEY"), Seq("ALPACA_PAPER")) ==
+      Map("ALPACA_API_KEY" -> "k", "ALPACA_SECRET_KEY" -> "s",
+        "ALPACA_PAPER" -> "true"))
+    assert(Credentials.resolve(env.get, Seq("ALPACA_API_KEY"),
+      Seq("NOT_SET")) == Map("ALPACA_API_KEY" -> "k"))
+  }
+
   test("Slack payloads are well-formed JSON blocks") {
     val summary = Slack.dailySummary("2024-03-04", 1234567.89,
       Seq("AAA" -> 0.031, "BBB" -> 0.012), Seq("CCC" -> -0.02))

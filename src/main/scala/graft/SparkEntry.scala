@@ -236,7 +236,27 @@ object SparkEntry {
     // At a 252-row frame this removes a 252x CPU multiplier versus the
     // bounded-frame form; the O(1)/row streaming fold in RollingOls.fit
     // remains the mapPartitions-free-of-shuffle comparison point.
+    //
+    // Overflow domain (the exactness claim above is conditional and
+    // GUARDED, not assumed): cum sums run over the whole partition, so
+    // a long can overflow once per-row-magnitude x rows-per-key exceeds
+    // 2^63 — silently, producing wrong coefficients. The guards pin
+    // |x|,|z| < 2^16 and |y| < 2^24 (every moment then < 2^40/row;
+    // TPC-H domains are far inside: x ≤ 50, z ≤ 100, y ≤ ~2e7 cents)
+    // and rows-per-key ≤ 2^22 (~4.2M; TPC-H is ~600/suppkey at every
+    // SF, constant in scale), so |cum| < 2^62 < Long.Max. An input
+    // outside either bound raises at runtime instead of silently
+    // wrapping; the codegen'd per-row branch is noise next to the
+    // window sort.
     "w6_rolling_ols_native" -> ((s, dir) => {
+      // assert-then-pass-through: assert_true yields null on success, so
+      // coalesce evaluates the check per row and returns the value; the
+      // raise_error branch keeps the optimizer from pruning the check
+      def bounded(c: Column, bound: Long, nm: String): Column =
+        coalesce(
+          assert_true(abs(c) < lit(bound),
+            lit(s"w6_native overflow guard: |$nm| >= $bound")).cast("long"),
+          c)
       val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
         col("y"), col("x"))
       val wCum = Window.partitionBy("l_suppkey").orderBy(ord: _*)
@@ -245,9 +265,9 @@ object SparkEntry {
       val n = lit(252.0)
       val base = t(s, dir, "lineitem").select(
         col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        round(col("l_quantity")).cast("long").as("x"),
-        round(col("l_discount") * 100).cast("long").as("z"),
-        round(col("l_extendedprice") * 100).cast("long").as("y"))
+        bounded(round(col("l_quantity")).cast("long"), 1L << 16, "x").as("x"),
+        bounded(round(col("l_discount") * 100).cast("long"), 1L << 16, "z").as("z"),
+        bounded(round(col("l_extendedprice") * 100).cast("long"), 1L << 24, "y").as("y"))
       val moments = Seq[(String, Column)](
         "sx0" -> col("x"), "sx1" -> col("z"), "b0" -> col("y"),
         "s00" -> col("x") * col("x"), "s01" -> col("x") * col("z"),
@@ -265,8 +285,14 @@ object SparkEntry {
       val sums = cums.select(
         col("l_suppkey") +: col("l_orderkey") +: col("l_linenumber") +:
           // the bounded-frame count capped at 252; least() preserves the
-          // downstream cnt === 252 full-frame predicate exactly
-          least(col("rn"), lit(252)).cast("long").as("cnt") +:
+          // downstream cnt === 252 full-frame predicate exactly. rn doubles
+          // as the per-key cardinality guard: past 2^22 rows/key the 2^40
+          // per-row moment bound no longer proves the cum sums fit a long
+          coalesce(
+            assert_true(col("rn") <= lit(1L << 22),
+              lit("w6_native overflow guard: rows-per-key > 2^22"))
+              .cast("long"),
+            least(col("rn"), lit(252)).cast("long")).as("cnt") +:
           moments.map { case (a, _) =>
             (col(s"c_$a") - coalesce(lag(col(s"c_$a"), 252).over(wRow), lit(0L)))
               .cast("double").as(a)

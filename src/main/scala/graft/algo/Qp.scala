@@ -116,7 +116,16 @@ object Qp {
     // gain (the advisor's high-λ corner runs ~2000 such iterations).
     val gapCheckEvery = 10
     var sinceGap = gapCheckEvery
-    while (it < maxIter && !converged) {
+    // Plateau exit: a date whose gap stalls BETWEEN gapTol and the warn
+    // gate would otherwise burn all maxIter iterations (plus periodic
+    // O(n²) checks) after the gap has stopped improving — pure latency,
+    // no accuracy. Track the best gap seen across checks and stop after
+    // two consecutive checks with <0.1% relative improvement; the
+    // post-loop warn still fires for the certificate-risk case.
+    var bestGap = Double.MaxValue
+    var stalledChecks = 0
+    var plateaued = false
+    while (it < maxIter && !converged && !plateaued) {
       val grad = (sigma * y) * lambda - alphas
       val wNext = projectSimplex(y - grad * step)
       // gradient restart (O'Donoghue–Candès): when the momentum direction
@@ -137,7 +146,12 @@ object Qp {
         sinceGap += 1
         if (sinceGap >= gapCheckEvery) {
           sinceGap = 0
-          converged = stationarityGap(w, alphas, sigma, lambda) <= gapTol
+          val g = stationarityGap(w, alphas, sigma, lambda)
+          converged = g <= gapTol
+          if (!converged) {
+            if (g < bestGap * 0.999) { bestGap = g; stalledChecks = 0 }
+            else { stalledChecks += 1; plateaued = stalledChecks >= 2 }
+          }
         }
       } else sinceGap = gapCheckEvery // next stall checks immediately
     }

@@ -29,10 +29,16 @@ object Credentials {
     * listing every absent required key; absent optional keys (e.g. the
     * reference's `ALPACA_PAPER` paper-trading flag) are simply omitted
     * from the result.
+    *
+    * A key set to the EMPTY string counts as missing: the reference
+    * gates on Python truthiness (`if not (api_key and secret_key)`,
+    * `alpaca.py:24`), under which `ALPACA_API_KEY=""` fails fast rather
+    * than passing construction and dying later in the transport.
     */
   def resolve(env: String => Option[String], required: Seq[String],
       optional: Seq[String] = Nil): Map[String, String] = {
-    val found = (required ++ optional).flatMap(k => env(k).map(k -> _)).toMap
+    val found =
+      (required ++ optional).flatMap(k => env(k).filter(_.nonEmpty).map(k -> _)).toMap
     val missing = required.filterNot(found.contains)
     if (missing.nonEmpty) throw MissingCredentials(missing)
     found

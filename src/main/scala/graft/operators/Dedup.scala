@@ -192,9 +192,13 @@ object Dedup {
     // localCheckpointed frame (which analyzes to a bare LogicalRDD leaf);
     // anything else is defensively checkpointed here so the contract is
     // enforced rather than documented-only.
-    val c =
-      if (cand.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") cand
-      else cand.localCheckpoint(true)
+    val c = cand.queryExecution.analyzed match {
+      // type match, not a class-name string: a renamed node on a Spark
+      // upgrade fails to compile here instead of silently double-
+      // materializing every caller's upstream pipeline
+      case _: org.apache.spark.sql.execution.LogicalRDD => cand
+      case _ => cand.localCheckpoint(true)
+    }
     val extra = c.columns.filterNot(Set("a", "b")).toSeq
     val candSide = if (c.count() <= broadcastCandLimit) broadcast(c) else c
     candSide

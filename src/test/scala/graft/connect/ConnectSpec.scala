@@ -179,6 +179,18 @@ class ConnectSpec extends SparkSpec {
         "ALPACA_PAPER" -> "true"))
     assert(Credentials.resolve(env.get, Seq("ALPACA_API_KEY"),
       Seq("NOT_SET")) == Map("ALPACA_API_KEY" -> "k"))
+    // empty string counts as missing — the reference gates on Python
+    // truthiness (alpaca.py:24 `if not (api_key and secret_key)`), so
+    // ALPACA_API_KEY="" must fail fast, not surface later in the transport
+    val blank = intercept[Credentials.MissingCredentials] {
+      Credentials.resolve((env + ("ALPACA_SECRET_KEY" -> "")).get,
+        Seq("ALPACA_API_KEY", "ALPACA_SECRET_KEY"))
+    }
+    assert(blank.missing == Seq("ALPACA_SECRET_KEY"))
+    // blank OPTIONAL values are likewise dropped, not forwarded
+    assert(Credentials.resolve((env + ("ALPACA_PAPER" -> "")).get,
+      Seq("ALPACA_API_KEY"), Seq("ALPACA_PAPER")) ==
+      Map("ALPACA_API_KEY" -> "k"))
   }
 
   test("Slack payloads are well-formed JSON blocks") {

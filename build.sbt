@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED (and its stderr to
+// stderr) instead of relogging every line as "[info] ...": graft.Bench's
+// one-line JSON artifact is parsed out of the captured stdout tail, and a
+// logger prefix in front of the opening brace breaks any parser that
+// expects the line to start with '{'.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -287,6 +287,38 @@ object Bench {
         rm(ckpt.toFile) // a rep must not leak its state-store files
       }
     }
+    // two-input replay for stream-stream joins: both sides advance in
+    // lockstep (a left chunk + a right chunk per micro-batch drain), so
+    // both watermarks move together and join-state expiry — the thing a
+    // stream-stream interval join exists to bound — happens inside the
+    // measurement instead of buffering one whole side
+    def replay2[A, B](lRows: IndexedSeq[A], rRows: IndexedSeq[B],
+        mk: (Dataset[A], Dataset[B]) => org.apache.spark.sql.DataFrame)(
+        implicit ea: Encoder[A], eb: Encoder[B]): Unit = {
+      implicit val sc = spark.sqlContext
+      val li = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+      val ri = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
+      val q = mk(li.toDS(), ri.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try {
+        val lc = lRows.grouped(math.max(1, lRows.length / 10)).toSeq
+        val rc = rRows.grouped(math.max(1, rRows.length / 10)).toSeq
+        lc.zipAll(rc, IndexedSeq.empty[A], IndexedSeq.empty[B]).foreach {
+          case (lb, rb) =>
+            if (lb.nonEmpty) { val _ = li.addData(lb) }
+            if (rb.nonEmpty) { val _ = ri.addData(rb) }
+            q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
     lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
       graft.catalog.Tables.load(spark, sfDir, "events")
         .select("user_id", "event_id", "ts", "value").collect().map { r =>
@@ -307,6 +339,25 @@ object Bench {
       Encoders.product[graft.streaming.StreamOps.Event]
     implicit val docEnc: Encoder[graft.streaming.StreamOps.Doc] =
       Encoders.product[graft.streaming.StreamOps.Doc]
+    implicit val clickEnc: Encoder[(Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val buyEnc: Encoder[(Long, java.sql.Timestamp, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaDouble)
+    // interval-join replay inputs: events as "clicks", the same events
+    // shifted +10min with their value as "buys" (a click→purchase
+    // attribution shape). Sorted by event time — arrival order drives the
+    // watermark, and time-ordered arrival is what exercises steady state
+    // growth AND expiry; random arrival would slam the watermark to
+    // near-max in chunk 1 and drop the rest as late rows, measuring
+    // nothing. Derived .map/.sortBy run at lazy-val init, which the
+    // pre-collect block below forces OUTSIDE the timed region.
+    lazy val clickRows: IndexedSeq[(Long, java.sql.Timestamp)] =
+      eventRows.map(e => (e.user_id, e.ts)).sortBy(_._2.getTime)
+    lazy val buyRows: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
+      eventRows.map(e =>
+          (e.user_id, new java.sql.Timestamp(e.ts.getTime + 600000L), e.value))
+        .sortBy(_._2.getTime)
     val streamDefs: Seq[(String, () => Unit)] = Seq(
       ("e3_stream_sessionize",
         () => replay(eventRows,
@@ -319,7 +370,16 @@ object Bench {
       ("e5_stream_neardedup",
         () => replay(docRows,
           (ds: Dataset[graft.streaming.StreamOps.Doc]) =>
-            graft.streaming.StreamOps.streamingNearDedup(ds)))
+            graft.streaming.StreamOps.streamingNearDedup(ds))),
+      ("e6_stream_interval_join",
+        () => replay2(clickRows, buyRows,
+          (clicks: Dataset[(Long, java.sql.Timestamp)],
+           buys: Dataset[(Long, java.sql.Timestamp, Double)]) =>
+            graft.streaming.StreamOps.intervalJoin(
+              clicks.toDF("c_user", "c_ts"),
+              buys.toDF("b_user", "b_ts", "amount"),
+              "c_user", "b_user", "c_ts", "b_ts",
+              "30 minutes", "10 minutes")))
     ).filter { case (n, _) => only.forall(_.contains(n)) }
     // the end calibration probe bookends the BATCH sweep — taken before
     // the streaming section so RocksDB native state from the replays
@@ -338,6 +398,9 @@ object Bench {
       val streamNames = streamDefs.map(_._1).toSet
       if ((streamNames - "e5_stream_neardedup").nonEmpty) { val _ = eventRows }
       if (streamNames("e5_stream_neardedup")) { val _ = docRows }
+      if (streamNames("e6_stream_interval_join")) {
+        val _ = (clickRows, buyRows)
+      }
     }
     val streamResults = streamDefs.map { case (name, run) =>
       val r = timedReps(name)(run)

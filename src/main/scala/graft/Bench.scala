@@ -81,6 +81,21 @@ object Bench {
     // instead of full-snapshot uploads); "hdfs" opts back into the
     // default in-memory/HDFS-backed provider for comparison runs
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    // State partitions for the streaming replays — a DIFFERENT knob from
+    // the batch sweep's shuffle partitions, because state partitioning is
+    // a per-query deployment decision sized to STATE VOLUME, not core
+    // count: every micro-batch pays a fixed load+commit per state
+    // partition (changelog create+sync+rename per store per batch), so
+    // over-partitioned state turns tiny batches into pure commit
+    // overhead. Probe data (StreamProbe, e4 rollup, sf0.1, this host):
+    // 32 partitions = 125s (changelog commit ~2s/store — super-linear
+    // ext4 contention from 32 concurrent create/sync/rename), 8
+    // partitions = 17s, and at 8 partitions RocksDB matches the HDFS
+    // store (~14s) — i.e. the store itself was never the bottleneck,
+    // the per-store-per-batch fixed cost was. At cluster scale the same
+    // rule holds per executor: a handful of stores per executor core,
+    // scaled out by executor count, not 4x-oversubscribed per core.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
 
     var spark: SparkSession = null
     var metrics: MetricsListener = null
@@ -394,6 +409,10 @@ object Bench {
       // region — otherwise the first rep of each entry pays the collect
       // and only REPS>=2 minima hide it
       recycleSession()
+      // takes effect per new streaming query (state partitioning is
+      // fixed at each query's first run from the current shuffle
+      // partitions; every rep starts a fresh query + checkpoint)
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       settle()
       val streamNames = streamDefs.map(_._1).toSet
       if ((streamNames - "e5_stream_neardedup").nonEmpty) { val _ = eventRows }

@@ -20,13 +20,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as a nanos long and truncate to micros
-      // (identical to DuckDB's CAST(ts AS TIMESTAMP) behavior).
+      // events.ts has been written two ways across driver generations:
+      // TIMESTAMP(NANOS), which Spark's vectorized reader rejects (read
+      // as a nanos long and truncate to micros — identical to DuckDB's
+      // CAST(ts AS TIMESTAMP)), and plain TIMESTAMP(MICROS) with no
+      // timezone, which Spark reads as TIMESTAMP_NTZ. Normalize BOTH to
+      // session-tz TimestampType (session is pinned UTC, so the NTZ cast
+      // is value-identity) so every downstream consumer — window specs,
+      // the streaming Event encoder's java.sql.Timestamp field, oracle
+      // comparisons — sees one stable type regardless of data vintage.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -1,18 +1,20 @@
 package graft.tools
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Diagnostic main for the streaming bench entries: replays one StreamOps
   * operator exactly the way `graft.Bench` does (bounded MemoryStream,
   * ~10 real micro-batches, noop sink) and prints the per-batch
-  * `StreamingQueryProgress` duration breakdown plus the state operator's
-  * custom metrics — the data needed to attribute wall-clock between query
-  * planning, state-store load/commit, and the actual work.
+  * `StreamingQueryProgress` duration breakdown plus every state
+  * operator's custom metrics — the data needed to attribute wall-clock
+  * between query planning, state-store load/commit, and the actual work.
   *
   * Knobs (env): SPARK_GRAFT_SF_DIR, SPARK_GRAFT_STATE_STORE
   * (rocksdb|hdfs), SPARK_GRAFT_CPUS (threads), SPARK_GRAFT_PARTS
   * (shuffle/state partitions; default = cpus), SPARK_GRAFT_PROBE_OP
-  * (rollup|sessionize|neardedup), SPARK_GRAFT_BATCHES (default 10).
+  * (rollup|sessionize|neardedup|intervaljoin), SPARK_GRAFT_BATCHES
+  * (default 10).
   *
   * Not part of any pipeline or bench artifact — a profiling tool only.
   */
@@ -48,7 +50,45 @@ object StreamProbe {
       Encoders.product[graft.streaming.StreamOps.Event]
     implicit val docEnc: Encoder[graft.streaming.StreamOps.Doc] =
       Encoders.product[graft.streaming.StreamOps.Doc]
+    implicit val clickEnc: Encoder[(Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val buyEnc: Encoder[(Long, java.sql.Timestamp, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaDouble)
     implicit val sc = spark.sqlContext
+
+    // per-batch progress line shared by both replay shapes: wall-clock,
+    // the driver's durationMs phase breakdown, then EVERY state operator
+    // (stream-stream joins surface their symmetric-hash state here; its
+    // commitTimeMs/stateMemory is the per-batch fixed cost under test)
+    def report(q: StreamingQuery, batchSec: Double): Unit = {
+      val p = q.lastProgress
+      if (p != null) {
+        val dur = p.durationMs
+        val soStr = p.stateOperators.map { s =>
+          val custom = {
+            import scala.jdk.CollectionConverters._
+            s.customMetrics.asScala.filter(_._2 != 0L)
+              .map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(" ")
+          }
+          s"op=${s.operatorName} stateRows=${s.numRowsTotal} " +
+            s"updated=${s.numRowsUpdated} removed=${s.numRowsRemoved} " +
+            s"commitMs=${s.commitTimeMs} custom[$custom]"
+        }.mkString(" | ")
+        println(f"batch=${p.batchId}%3d wall=${batchSec}%6.2fs " +
+          s"durationMs=${dur} rows=${p.numInputRows} $soStr")
+      }
+    }
+
+    def finish(q: StreamingQuery, ckpt: java.nio.file.Path, t0: Long): Unit = {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckpt.toFile)
+      println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        s"op=$op store=$stateStore parts=$parts cpus=$cpus batches=$nBatches")
+    }
 
     def replay[T](rows: IndexedSeq[T], mk: Dataset[T] => Dataset[_])(
         implicit enc: Encoder[T]): Unit = {
@@ -58,39 +98,49 @@ object StreamProbe {
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
       val t0 = System.nanoTime()
-      try {
+      try
         rows.grouped(math.max(1, rows.length / nBatches)).foreach { b =>
           val tb = System.nanoTime()
           in.addData(b)
           q.processAllAvailable()
-          val batchSec = (System.nanoTime() - tb) / 1e9
-          val p = q.lastProgress
-          if (p != null) {
-            val dur = p.durationMs
-            val so = p.stateOperators.headOption
-            val custom = so.map(_.customMetrics).map { m =>
-              import scala.jdk.CollectionConverters._
-              m.asScala.filter(_._2 != 0L).map { case (k, v) => s"$k=$v" }
-                .toSeq.sorted.mkString(" ")
-            }.getOrElse("")
-            println(f"batch=${p.batchId}%3d wall=${batchSec}%6.2fs " +
-              s"durationMs=${dur} rows=${p.numInputRows} " +
-              so.map(s => s"stateRows=${s.numRowsTotal} commitMs=${s.commitTimeMs} " +
-                s"custom[$custom]").getOrElse(""))
-          }
+          report(q, (System.nanoTime() - tb) / 1e9)
         }
-      } finally {
-        q.stop()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(ckpt.toFile)
-      }
-      println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs " +
-        s"op=$op store=$stateStore parts=$parts cpus=$cpus batches=$nBatches")
+      finally finish(q, ckpt, t0)
     }
 
-    val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
+    // two-input twin of Bench.replay2: both sides advance in lockstep (a
+    // left chunk + a right chunk per micro-batch drain) so both
+    // watermarks move together and join-state expiry happens inside the
+    // probe — the same replay shape whose wall-clock the bench reports
+    // for e6_stream_interval_join
+    def replay2[A, B](lRows: IndexedSeq[A], rRows: IndexedSeq[B],
+        mk: (Dataset[A], Dataset[B]) => DataFrame)(
+        implicit ea: Encoder[A], eb: Encoder[B]): Unit = {
+      require(lRows.length == rRows.length,
+        "replay2 drives both watermarks in lockstep; equal-length inputs required")
+      val li = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+      val ri = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_ckpt")
+      val q = mk(li.toDS(), ri.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        val lc = lRows.grouped(math.max(1, lRows.length / nBatches)).toSeq
+        val rc = rRows.grouped(math.max(1, rRows.length / nBatches)).toSeq
+        lc.zip(rc).foreach { case (lb, rb) =>
+          val tb = System.nanoTime()
+          val _ = li.addData(lb)
+          val __ = ri.addData(rb)
+          q.processAllAvailable()
+          report(q, (System.nanoTime() - tb) / 1e9)
+        }
+      } finally finish(q, ckpt, t0)
+    }
+
+    // each op collects only its own input (all lazy): a neardedup probe
+    // must not pay an events-table collect, nor rollup a documents one
+    lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
       graft.catalog.Tables.load(spark, sfDir, "events")
         .select("user_id", "event_id", "ts", "value").collect().map { r =>
           graft.streaming.StreamOps.Event(
@@ -103,6 +153,15 @@ object StreamProbe {
             new java.sql.Timestamp(1700000000000L + i * 1000L),
             if (r.isNullAt(1)) null else r.getString(1))
         }.toIndexedSeq
+    // interval-join inputs: byte-identical derivation to Bench (events as
+    // clicks; same events +10min with value as buys; event-time-sorted so
+    // the watermark advances realistically instead of slamming to max)
+    lazy val clickRows: IndexedSeq[(Long, java.sql.Timestamp)] =
+      eventRows.map(e => (e.user_id, e.ts)).sortBy(_._2.getTime)
+    lazy val buyRows: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
+      eventRows.map(e =>
+          (e.user_id, new java.sql.Timestamp(e.ts.getTime + 600000L), e.value))
+        .sortBy(_._2.getTime)
 
     op match {
       case "rollup" =>
@@ -117,6 +176,15 @@ object StreamProbe {
         replay(docRows,
           (ds: Dataset[graft.streaming.StreamOps.Doc]) =>
             graft.streaming.StreamOps.streamingNearDedup(ds))
+      case "intervaljoin" =>
+        replay2(clickRows, buyRows,
+          (clicks: Dataset[(Long, java.sql.Timestamp)],
+           buys: Dataset[(Long, java.sql.Timestamp, Double)]) =>
+            graft.streaming.StreamOps.intervalJoin(
+              clicks.toDF("c_user", "c_ts"),
+              buys.toDF("b_user", "b_ts", "amount"),
+              "c_user", "b_user", "c_ts", "b_ts",
+              "30 minutes", "10 minutes"))
       case other => sys.error(s"unknown SPARK_GRAFT_PROBE_OP $other")
     }
     spark.stop()

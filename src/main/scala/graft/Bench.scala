@@ -96,6 +96,23 @@ object Bench {
     // rule holds per executor: a handful of stores per executor core,
     // scaled out by executor count, not 4x-oversubscribed per core.
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    // State-partition sensitivity probe values (detail-file only; see the
+    // probe block after the streaming sweep). Default "16": one extra e4
+    // rollup run per sweep, so every round's BENCH_DETAIL carries at
+    // least one sensitivity point alongside the streamParts=8 e4 entry
+    // and the 8-partition sizing rule stays empirically pinned as
+    // data/host evolve. "4,8,16,32" = full sweep; "" = off. Parsed HERE,
+    // before any work: a malformed token must fail loudly at startup (or
+    // be skipped with a note), never throw after the whole sweep has run
+    // and discard its results.
+    val partsProbeValues: Seq[Int] =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS_PROBE", "16")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { t =>
+          val v = t.toIntOption.filter(_ > 0)
+          if (v.isEmpty) System.err.println(
+            s"[bench] ignoring non-positive-int SPARK_GRAFT_STREAM_PARTS_PROBE token '$t'")
+          v
+        }
 
     var spark: SparkSession = null
     var metrics: MetricsListener = null
@@ -347,22 +364,15 @@ object Bench {
         rm(ckpt.toFile)
       }
     }
+    // replay inputs and e6 join parameters live in StreamBenchShapes —
+    // the ONE definition site shared with tools.StreamProbe, so the
+    // probe's per-batch attribution provably describes the query this
+    // bench wall-clocks. Derivations run at lazy-val init, which the
+    // pre-collect block below forces OUTSIDE the timed region.
     lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
-      graft.catalog.Tables.load(spark, sfDir, "events")
-        .select("user_id", "event_id", "ts", "value").collect().map { r =>
-          graft.streaming.StreamOps.Event(
-            r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))
-        }.toIndexedSeq
-    // the documents table carries no timestamp — the near-dup replay
-    // synthesizes a deterministic 1-second event-time spacing so the
-    // 1-hour state horizon and watermark advance realistically
+      graft.streaming.StreamBenchShapes.loadEvents(spark, sfDir)
     lazy val docRows: IndexedSeq[graft.streaming.StreamOps.Doc] =
-      graft.catalog.Tables.load(spark, sfDir, "documents")
-        .select("doc_id", "text").collect().zipWithIndex.map { case (r, i) =>
-          graft.streaming.StreamOps.Doc(r.getLong(0),
-            new java.sql.Timestamp(1700000000000L + i * 1000L),
-            if (r.isNullAt(1)) null else r.getString(1))
-        }.toIndexedSeq
+      graft.streaming.StreamBenchShapes.loadDocs(spark, sfDir)
     implicit val eventEnc: Encoder[graft.streaming.StreamOps.Event] =
       Encoders.product[graft.streaming.StreamOps.Event]
     implicit val docEnc: Encoder[graft.streaming.StreamOps.Doc] =
@@ -372,20 +382,10 @@ object Bench {
     implicit val buyEnc: Encoder[(Long, java.sql.Timestamp, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
         Encoders.scalaDouble)
-    // interval-join replay inputs: events as "clicks", the same events
-    // shifted +10min with their value as "buys" (a click→purchase
-    // attribution shape). Sorted by event time — arrival order drives the
-    // watermark, and time-ordered arrival is what exercises steady state
-    // growth AND expiry; random arrival would slam the watermark to
-    // near-max in chunk 1 and drop the rest as late rows, measuring
-    // nothing. Derived .map/.sortBy run at lazy-val init, which the
-    // pre-collect block below forces OUTSIDE the timed region.
     lazy val clickRows: IndexedSeq[(Long, java.sql.Timestamp)] =
-      eventRows.map(e => (e.user_id, e.ts)).sortBy(_._2.getTime)
+      graft.streaming.StreamBenchShapes.clicksOf(eventRows)
     lazy val buyRows: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
-      eventRows.map(e =>
-          (e.user_id, new java.sql.Timestamp(e.ts.getTime + 600000L), e.value))
-        .sortBy(_._2.getTime)
+      graft.streaming.StreamBenchShapes.buysOf(eventRows)
     val streamDefs: Seq[(String, () => Unit)] = Seq(
       ("e3_stream_sessionize",
         () => replay(eventRows,
@@ -403,11 +403,7 @@ object Bench {
         () => replay2(clickRows, buyRows,
           (clicks: Dataset[(Long, java.sql.Timestamp)],
            buys: Dataset[(Long, java.sql.Timestamp, Double)]) =>
-            graft.streaming.StreamOps.intervalJoin(
-              clicks.toDF("c_user", "c_ts"),
-              buys.toDF("b_user", "b_ts", "amount"),
-              "c_user", "b_user", "c_ts", "b_ts",
-              "30 minutes", "10 minutes")))
+            graft.streaming.StreamBenchShapes.intervalJoinQuery(clicks, buys)))
     ).filter { case (n, _) => only.forall(_.contains(n)) }
     // the end calibration probe bookends the BATCH sweep — taken before
     // the streaming section so RocksDB native state from the replays
@@ -440,15 +436,15 @@ object Bench {
       r
     }
 
-    // State-partition sensitivity probe (opt-in, detail-file only): re-run
-    // the e4 rollup replay once per requested partition count so the
-    // sizing rule documented at `streamParts` above stays empirically
-    // pinned as data/host evolve instead of fossilizing as a comment.
-    // SPARK_GRAFT_STREAM_PARTS_PROBE="4,8,16" adds ~1 rollup run per
-    // value; unset = off (the driver's default sweep is unaffected).
+    // State-partition sensitivity probe (detail-file only): re-run the e4
+    // rollup replay once per value in `partsProbeValues` (validated at
+    // startup; default one point, 16) so the sizing rule documented at
+    // `streamParts` above stays empirically pinned as data/host evolve
+    // instead of fossilizing as a comment. Skipped when a query subset
+    // excludes e4 — a single-query profiling run should not pay a rollup.
     val partsProbe: Seq[(Int, Double)] =
-      sys.env.get("SPARK_GRAFT_STREAM_PARTS_PROBE").toSeq
-        .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
+      (if (only.forall(_.contains("e4_stream_rollup"))) partsProbeValues
+       else Seq.empty[Int])
         .map { p =>
           recycleSession()
           spark.conf.set("spark.sql.shuffle.partitions", p)
@@ -474,13 +470,18 @@ object Bench {
     // isolated s1_scan_project time at sf0.1 on this host class
     // (r06 0.63-0.71s, r05 in the same band); it is only meaningful at
     // sf0.1, so the ratio is omitted at other scale factors.
-    val calibNominalSec = 0.70
-    val calibProbes = (calibStart +: midCalib :+ calibEnd).filter(_ >= 0)
-    val calibMean =
-      if (calibProbes.isEmpty) -1.0 else calibProbes.sum / calibProbes.size
+    //
+    // The mean deliberately EXCLUDES the start probe: the nominal is an
+    // isolated STEADY-STATE time, but the start probe is the first sf-dir
+    // touch after an sf0.001-only warmup — cold I/O. The r08 sweep showed
+    // calibStart 4.48s against mid/end probes of 0.87-1.29s; folding it
+    // in reported calib_ratio 2.13 when steady state sat ~1.4, and a
+    // judge dividing by 2.13 would over-correct by ~50%, manufacturing
+    // phantom improvements. start_sec stays in the artifact as the
+    // separate cold-start datum.
+    val calibMean = warmCalibMean(calibStart, midCalib.toSeq, calibEnd)
     val calibRatio: Option[Double] =
-      if (calibMean > 0 && sfDir.endsWith("sf0.1"))
-        Some(calibMean / calibNominalSec)
+      if (calibMean > 0 && isNominalSf(sfDir)) Some(calibMean / calibNominalSec)
       else None
 
     val all = results ++ streamResults
@@ -548,10 +549,57 @@ object Bench {
       s"[${f"$calibStart%.2f"}$mid,${f"$calibEnd%.2f"}]" // start, worst mid, end
     }
     println(compactArtifact(all, total, streamTotal, stateStore, calibCompact,
-      detailFile, errors.keys.toSeq, sfDir, calibMean, calibRatio))
+      detailFile, errors.keys.toSeq, sfDir, calibMean, calibRatio,
+      noisyRepCount(repTimes.values)))
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
+
+  /** Pinned nominal for calib_ratio: the isolated steady-state
+    * s1_scan_project time at sf0.1 on this host class (r05/r06 band
+    * 0.63-0.71s).
+    */
+  private[graft] val calibNominalSec = 0.70
+
+  /** Mean of the WARM calibration probes (mid-sweep + end), the series
+    * whose definition matches the isolated-steady-state nominal. The
+    * cold start probe is excluded — it alone was 3-5x the warm band in
+    * r08 and biased the ratio by ~50%; it falls back in only when no
+    * warm probe succeeded (e.g. a SPARK_GRAFT_QUERIES run too short for
+    * a mid probe AND a failed end probe). Failed probes (-1) never
+    * contribute. BenchFormatSpec pins the cold-probe exclusion.
+    */
+  private[graft] def warmCalibMean(
+      start: Double, mid: Seq[Double], end: Double): Double = {
+    val warm = (mid :+ end).filter(_ >= 0)
+    if (warm.nonEmpty) warm.sum / warm.size
+    else if (start >= 0) start
+    else -1.0
+  }
+
+  /** calib_ratio is only meaningful at the nominal's scale factor.
+    * Compared by normalized basename — a trailing slash or symlinked
+    * parent must not silently drop (or fake) the ratio.
+    */
+  private[graft] def isNominalSf(sfDir: String): Boolean =
+    try {
+      val name = java.nio.file.Paths.get(sfDir).getFileName
+      name != null && name.toString == "sf0.1"
+    } catch { case _: Exception => false }
+
+  /** Count of queries whose successful reps disagree by more than 2x
+    * (max/min). Min-of-reps exists to discard one-off contention spikes,
+    * but when reps disagree that much the reported min is effectively a
+    * single unreplicated measurement taken next to a spike (r08:
+    * w6_rolling_ols reps [2.06, 18.37]). The count surfaces the sweep's
+    * noise floor in the compact line so a judge sees it BEFORE comparing
+    * rounds; the per-query reps arrays in the detail file say which.
+    */
+  private[graft] def noisyRepCount(reps: Iterable[Seq[Double]]): Int =
+    reps.count { vs =>
+      val ok = vs.filter(_ > 0)
+      ok.size >= 2 && ok.max / ok.min > 2.0
+    }
 
   /** The one stdout line the driver parses, sized to survive its tail
     * capture. `queries` lists entries slowest-first up to the budget with
@@ -566,6 +614,7 @@ object Bench {
       stateStore: String, calibCompact: String, detailFile: String,
       errorNames: Seq[String], sfDir: String,
       calibMean: Double = -1.0, calibRatio: Option[Double] = None,
+      noisyReps: Int = 0,
       tailBudget: Int = 1850): String = {
     val errField =
       if (errorNames.isEmpty) ""
@@ -576,7 +625,8 @@ object Bench {
     // s1_scan_project at sf0.1): the cross-round normalizer — divide this
     // round's per-query seconds by it before comparing to another round's
     val calibNorm = (if (calibMean >= 0) s""","calib_mean":${f"$calibMean%.2f"}""" else "") +
-      calibRatio.map(r => s""","calib_ratio":${f"$r%.2f"}""").getOrElse("")
+      calibRatio.map(r => s""","calib_ratio":${f"$r%.2f"}""").getOrElse("") +
+      s""","noisy_reps":$noisyReps"""
     val slowestFirst = all.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
     def line(entries: Seq[String], omitted: Int): String =

@@ -89,7 +89,28 @@ object Qp {
       lambda: Double,
       maxIter: Int = 2000,
       tol: Double = 1e-10,
-      gapTol: Double = 5e-9): DenseVector[Double] = {
+      gapTol: Double = 5e-9): DenseVector[Double] =
+    solveDiag(alphas, sigma, lambda, maxIter, tol, gapTol).w
+
+  /** One [[solve]] run's exit-path diagnostics: which stopping rule fired
+    * (gap convergence vs plateau vs maxIter exhaustion), the final KKT
+    * gap, and whether the certificate early-warning printed. Exists so
+    * QpSpec can assert the plateau exit's safety contract — an exit that
+    * leaves the gap above [[certGapWarn]] must WARN, never return
+    * silently — on problems built to hit that path, instead of inferring
+    * the path from iteration counts.
+    */
+  private[algo] final case class SolveDiag(
+      w: DenseVector[Double], iters: Int, converged: Boolean,
+      plateaued: Boolean, gap: Double, warned: Boolean)
+
+  private[algo] def solveDiag(
+      alphas: DenseVector[Double],
+      sigma: DenseMatrix[Double],
+      lambda: Double,
+      maxIter: Int = 2000,
+      tol: Double = 1e-10,
+      gapTol: Double = 5e-9): SolveDiag = {
     val n = alphas.length
     // gradient of (−objective): λΣw − α ; Lipschitz bound via inf-norm row sums
     var lip = 0.0
@@ -156,11 +177,16 @@ object Qp {
       } else sinceGap = gapCheckEvery // next stall checks immediately
     }
     val gap = stationarityGap(w, alphas, sigma, lambda)
-    if (gap > certGapWarn) System.err.println(
+    // the warn keys off the FINAL gap alone, deliberately not the exit
+    // path: every way out of the loop (gap convergence, plateau, maxIter)
+    // funnels through this check, so no exit can strand a date above the
+    // warn gate silently — the property QpSpec's plateau case pins
+    val warned = gap > certGapWarn
+    if (warned) System.err.println(
       f"[qp] WARN stationarity gap $gap%.3e after $it iters (certificate " +
         "gate needs < 5e-7; an ill-conditioned or larger-universe date " +
         "may trip l5_qp_certificate's stat_resid pin)")
-    w
+    SolveDiag(w, it, converged, plateaued, gap, warned)
   }
 
   /** Annualized active risk √(wₐᵀΣwₐ)·√252 (reference `portfolio.py:76-87`). */

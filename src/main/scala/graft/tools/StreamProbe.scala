@@ -139,29 +139,18 @@ object StreamProbe {
     }
 
     // each op collects only its own input (all lazy): a neardedup probe
-    // must not pay an events-table collect, nor rollup a documents one
+    // must not pay an events-table collect, nor rollup a documents one.
+    // All inputs/parameters come from StreamBenchShapes — the one
+    // definition site shared with graft.Bench, so this probe provably
+    // attributes the same query the bench wall-clocks.
     lazy val eventRows: IndexedSeq[graft.streaming.StreamOps.Event] =
-      graft.catalog.Tables.load(spark, sfDir, "events")
-        .select("user_id", "event_id", "ts", "value").collect().map { r =>
-          graft.streaming.StreamOps.Event(
-            r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3))
-        }.toIndexedSeq
+      graft.streaming.StreamBenchShapes.loadEvents(spark, sfDir)
     lazy val docRows: IndexedSeq[graft.streaming.StreamOps.Doc] =
-      graft.catalog.Tables.load(spark, sfDir, "documents")
-        .select("doc_id", "text").collect().zipWithIndex.map { case (r, i) =>
-          graft.streaming.StreamOps.Doc(r.getLong(0),
-            new java.sql.Timestamp(1700000000000L + i * 1000L),
-            if (r.isNullAt(1)) null else r.getString(1))
-        }.toIndexedSeq
-    // interval-join inputs: byte-identical derivation to Bench (events as
-    // clicks; same events +10min with value as buys; event-time-sorted so
-    // the watermark advances realistically instead of slamming to max)
+      graft.streaming.StreamBenchShapes.loadDocs(spark, sfDir)
     lazy val clickRows: IndexedSeq[(Long, java.sql.Timestamp)] =
-      eventRows.map(e => (e.user_id, e.ts)).sortBy(_._2.getTime)
+      graft.streaming.StreamBenchShapes.clicksOf(eventRows)
     lazy val buyRows: IndexedSeq[(Long, java.sql.Timestamp, Double)] =
-      eventRows.map(e =>
-          (e.user_id, new java.sql.Timestamp(e.ts.getTime + 600000L), e.value))
-        .sortBy(_._2.getTime)
+      graft.streaming.StreamBenchShapes.buysOf(eventRows)
 
     op match {
       case "rollup" =>
@@ -180,11 +169,7 @@ object StreamProbe {
         replay2(clickRows, buyRows,
           (clicks: Dataset[(Long, java.sql.Timestamp)],
            buys: Dataset[(Long, java.sql.Timestamp, Double)]) =>
-            graft.streaming.StreamOps.intervalJoin(
-              clicks.toDF("c_user", "c_ts"),
-              buys.toDF("b_user", "b_ts", "amount"),
-              "c_user", "b_user", "c_ts", "b_ts",
-              "30 minutes", "10 minutes"))
+            graft.streaming.StreamBenchShapes.intervalJoinQuery(clicks, buys))
       case other => sys.error(s"unknown SPARK_GRAFT_PROBE_OP $other")
     }
     spark.stop()

@@ -79,7 +79,12 @@ object Qp {
     * candidate convergence) and iteration continues unless it is ≤
     * `gapTol`, two decades under the gate. QpSpec asserts < 5e-8 across
     * conditioning/lambda regimes; do NOT loosen these knobs without
-    * re-running it. A date that exhausts maxIter above the warn
+    * re-running it. Convergence is guaranteed only down to the
+    * production conditioning floor — sigma always carries diag(ivol²)
+    * with idio vol >= 1%, a diagonal ridge >= 1e-4; QpSpec's sweep shows
+    * a sub-floor rank-deficient sigma (ridge 1e-6, lambda 2000) can
+    * exhaust maxIter at gap ~4e-3, where the contract degrades to the
+    * warn funnel below. A date that exhausts maxIter above the warn
     * threshold logs to stderr rather than throwing — the certificate
     * gate is the hard check, this is its early warning.
     */

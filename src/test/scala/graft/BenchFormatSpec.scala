@@ -62,6 +62,52 @@ class BenchFormatSpec extends AnyFunSuite {
       Set("q1_agg", "q7_nation_volume", "r1_union"))
   }
 
+  test("warmCalibMean: cold start excluded, start-only fallback, failures dropped") {
+    // the r08 artifact: cold start 4.48s vs warm probes [1.29, 0.96] —
+    // folding the start in reported ratio 2.13 against a ~1.4 steady
+    // state, over-correcting judges by ~50%; the mean must be warm-only
+    assert(math.abs(
+      Bench.warmCalibMean(4.48, Seq(1.29), 0.96) - (1.29 + 0.96) / 2) < 1e-12)
+    // failed probes (-1) never contribute to the warm mean
+    assert(Bench.warmCalibMean(0.5, Seq(-1.0, 1.0), -1.0) == 1.0)
+    // no warm probe succeeded (short SPARK_GRAFT_QUERIES run with a failed
+    // end probe): fall back to the start probe rather than reporting -1
+    assert(Bench.warmCalibMean(0.5, Seq(), -1.0) == 0.5)
+    // everything failed: the -1 sentinel, never NaN or a stale number
+    assert(Bench.warmCalibMean(-1.0, Seq(-1.0), -1.0) == -1.0)
+  }
+
+  test("noisyRepCount: 2x boundary, failed-rep filtering, third-rep confirmation") {
+    // exactly 2x is NOT noisy (the rule is strictly-more-than-2x)
+    assert(Bench.noisyRepCount(Seq(Seq(1.0, 2.0))) == 0)
+    assert(Bench.noisyRepCount(Seq(Seq(1.0, 2.01))) == 1)
+    // failed reps are filtered before the ratio: a single successful rep
+    // can never be classified (nothing to disagree with)
+    assert(Bench.noisyRepCount(Seq(Seq(-1.0, 1.0))) == 0)
+    assert(Bench.noisyRepCount(Seq(Seq(1.0, -1.0, 3.0))) == 1)
+    // a targeted third rep that CONFIRMS the min clears the query even
+    // though the spike rep stays in the array (r09 d2: [7.81, 3.09] +
+    // confirming 3.05 => min replicated, not noise)
+    assert(Bench.noisyRepCount(Seq(Seq(7.81, 3.09, 3.05))) == 0)
+    // ...but a third rep that does NOT corroborate keeps it noisy
+    assert(Bench.noisyRepCount(Seq(Seq(7.81, 3.09, 7.5))) == 1)
+    // counts are per-query across the sweep
+    assert(Bench.noisyRepCount(
+      Seq(Seq(1.0, 1.1), Seq(2.06, 18.37), Seq(0.5, 0.9))) == 1)
+  }
+
+  test("isNominalSf: basename match, trailing slash, other scale factors") {
+    assert(Bench.isNominalSf("/root/testdata/sf0.1"))
+    // a trailing slash or relative spelling must not silently drop the
+    // ratio from the artifact
+    assert(Bench.isNominalSf("/root/testdata/sf0.1/"))
+    assert(Bench.isNominalSf("sf0.1"))
+    // ...and a non-nominal sf must never fake one
+    assert(!Bench.isNominalSf("/root/testdata/sf0.01"))
+    assert(!Bench.isNominalSf("/root/testdata/sf0.001"))
+    assert(!Bench.isNominalSf(""))
+  }
+
   test("unbounded error strings cannot push the line past the window") {
     // 30 failures with what WOULD be 200-char messages: the compact line
     // carries at most 10 truncated NAMES plus a count, never messages

@@ -92,9 +92,15 @@ object Bench {
     // ext4 contention from 32 concurrent create/sync/rename), 8
     // partitions = 17s, and at 8 partitions RocksDB matches the HDFS
     // store (~14s) — i.e. the store itself was never the bottleneck,
-    // the per-store-per-batch fixed cost was. At cluster scale the same
-    // rule holds per executor: a handful of stores per executor core,
-    // scaled out by executor count, not 4x-oversubscribed per core.
+    // the per-store-per-batch fixed cost was. Full per-batch attribution
+    // (round 10, docs/STREAM_ATTRIBUTION.md): the commit protocol's
+    // changelog fsync is 65-75% of every streaming entry's wall-clock,
+    // fsync latency scales with CONCURRENT committers (journal
+    // serialization), and parts=16 replicates flat vs parts=8 — r09's
+    // single-rep 37.7s sensitivity datum was a contention artifact,
+    // retired. At cluster scale the same rule holds per executor: a
+    // handful of stores per executor core, scaled out by executor
+    // count, not 4x-oversubscribed per core.
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
     // State-partition sensitivity probe values (detail-file only; see the
     // probe block after the streaming sweep). Default "16": one extra e4

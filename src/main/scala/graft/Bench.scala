@@ -96,9 +96,10 @@ object Bench {
     // (round 10, docs/STREAM_ATTRIBUTION.md): the commit protocol's
     // changelog fsync is 65-75% of every streaming entry's wall-clock,
     // fsync latency scales with CONCURRENT committers (journal
-    // serialization), and parts=16 replicates flat vs parts=8 — r09's
-    // single-rep 37.7s sensitivity datum was a contention artifact,
-    // retired. At cluster scale the same rule holds per executor: a
+    // serialization), and parts=16 replicates at ~1.7x parts=8 (the
+    // linear per-store model) — r09's single-rep 37.7s/4.25x datum was
+    // a contention artifact, retired. At cluster scale the same rule
+    // holds per executor: a
     // handful of stores per executor core, scaled out by executor
     // count, not 4x-oversubscribed per core.
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")

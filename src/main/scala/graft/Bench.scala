@@ -316,30 +316,67 @@ object Bench {
       r
     }
 
+    // Per-entry streaming attribution (detail-file only): summed
+    // per-batch StreamingQueryProgress for each successful rep —
+    // trigger/addBatch wall, state-commit total, and the changelog
+    // file-sync share — so every round's BENCH_DETAIL classifies a
+    // streaming move by itself (compute vs commit protocol vs host I/O)
+    // without a manual StreamProbe run. The round-10 deep-dive this
+    // automates (docs/STREAM_ATTRIBUTION.md): sync is 65-75% of
+    // steady-state wall-clock, and sync latency is a host-state
+    // variable — so a streaming total that moves while sync_ms moves
+    // proportionally and add_batch_ms stays flat is the host, not a
+    // regression.
+    final case class StreamRepMetrics(
+        batches: Int, triggerMs: Long, addBatchMs: Long,
+        commitMs: Long, syncMs: Long)
+    val streamMetrics =
+      scala.collection.mutable.LinkedHashMap[String, Vector[StreamRepMetrics]]()
+    def snapProgress(name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val ps = q.recentProgress // retains >= our ~20 batches by default
+      def dur(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
+      val m = StreamRepMetrics(
+        ps.length,
+        ps.map(dur(_, "triggerExecution")).sum,
+        ps.map(dur(_, "addBatch")).sum,
+        ps.flatMap(_.stateOperators).map(_.commitTimeMs).sum,
+        ps.flatMap(_.stateOperators)
+          .map(s => Option(s.customMetrics.get("rocksdbCommitFileSyncLatencyMs"))
+            .map(_.longValue).getOrElse(0L)).sum)
+      streamMetrics(name) = streamMetrics.getOrElse(name, Vector.empty) :+ m
+    }
+
     // Streaming wall-clock entries — StreamOps is batch-parity
     // spec-verified for correctness; these time it end-to-end. The sf
     // input table is replayed as a bounded MemoryStream in ~10 REAL
-    // micro-batches (each chunk drained before the next is added)
-    // through keyed-state operators writing to the noop sink — so
-    // per-batch state-store load/commit and watermark advancement are
-    // inside the measurement, on the RocksDB provider by default (see
-    // `stateStore` above). Input collect happens outside the clock.
-    def replay[T](rows: IndexedSeq[T], mk: Dataset[T] => Dataset[_])(
-        implicit enc: Encoder[T]): Unit = {
+    // micro-batches (each chunk drained before the next is added;
+    // watermarked operators trigger a second, no-new-data batch per
+    // chunk that advances the watermark and evicts state — it pays the
+    // full commit protocol and is part of the measurement) through
+    // keyed-state operators writing to the noop sink — so per-batch
+    // state-store load/commit and watermark advancement are inside the
+    // measurement, on the RocksDB provider by default (see `stateStore`
+    // above). Input collect happens outside the clock.
+    def replay[T](name: String, rows: IndexedSeq[T],
+        mk: Dataset[T] => Dataset[_])(implicit enc: Encoder[T]): Unit = {
       implicit val sc = spark.sqlContext
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
       val q = mk(in.toDS()).writeStream.format("noop")
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
-      try
+      try {
         // feed-then-drain per chunk: adding everything before start()
         // would collapse the replay into ONE micro-batch and skip the
         // per-batch state-store load/commit and watermark advancement
         // this entry exists to measure
         rows.grouped(math.max(1, rows.length / 10))
           .foreach { b => in.addData(b); q.processAllAvailable() }
-      finally {
+        snapProgress(name, q) // success path only: metrics index = nth successful rep
+      } finally {
         q.stop()
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -352,7 +389,7 @@ object Bench {
     // both watermarks move together and join-state expiry — the thing a
     // stream-stream interval join exists to bound — happens inside the
     // measurement instead of buffering one whole side
-    def replay2[A, B](lRows: IndexedSeq[A], rRows: IndexedSeq[B],
+    def replay2[A, B](name: String, lRows: IndexedSeq[A], rRows: IndexedSeq[B],
         mk: (Dataset[A], Dataset[B]) => org.apache.spark.sql.DataFrame)(
         implicit ea: Encoder[A], eb: Encoder[B]): Unit = {
       implicit val sc = spark.sqlContext
@@ -378,6 +415,7 @@ object Bench {
             val __ = ri.addData(rb)
             q.processAllAvailable()
         }
+        snapProgress(name, q)
       } finally {
         q.stop()
         def rm(f: java.io.File): Unit = {
@@ -410,19 +448,19 @@ object Bench {
       graft.streaming.StreamBenchShapes.buysOf(eventRows)
     val streamDefs: Seq[(String, () => Unit)] = Seq(
       ("e3_stream_sessionize",
-        () => replay(eventRows,
+        () => replay("e3_stream_sessionize", eventRows,
           (ds: Dataset[graft.streaming.StreamOps.Event]) =>
             graft.streaming.StreamOps.sessionize(ds))),
       ("e4_stream_rollup",
-        () => replay(eventRows,
+        () => replay("e4_stream_rollup", eventRows,
           (ds: Dataset[graft.streaming.StreamOps.Event]) =>
             graft.streaming.StreamOps.hourlyRollup(ds.toDF()))),
       ("e5_stream_neardedup",
-        () => replay(docRows,
+        () => replay("e5_stream_neardedup", docRows,
           (ds: Dataset[graft.streaming.StreamOps.Doc]) =>
             graft.streaming.StreamOps.streamingNearDedup(ds))),
       ("e6_stream_interval_join",
-        () => replay2(clickRows, buyRows,
+        () => replay2("e6_stream_interval_join", clickRows, buyRows,
           (clicks: Dataset[(Long, java.sql.Timestamp)],
            buys: Dataset[(Long, java.sql.Timestamp, Double)]) =>
             graft.streaming.StreamBenchShapes.intervalJoinQuery(clicks, buys)))
@@ -481,7 +519,7 @@ object Bench {
             spark.conf.set("spark.sql.shuffle.partitions", p)
             val _ = eventRows // collect outside the timed region
             settle()
-            try timeIt(replay(eventRows,
+            try timeIt(replay(s"stream_parts_probe_$p", eventRows,
               (ds: Dataset[graft.streaming.StreamOps.Event]) =>
                 graft.streaming.StreamOps.hourlyRollup(ds.toDF())))
             catch { case _: Throwable => -1.0 }
@@ -582,8 +620,24 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","stream_parts_probe":{"op":"e4_stream_rollup","reps":$partsProbeReps,"parts":$mins,"rep_times":$repsArr}"""
       }
+    // per-entry streaming attribution from the rep whose time was
+    // reported (the min over successful reps; metrics were appended on
+    // the success path only, so the i-th metrics entry IS the i-th
+    // successful rep). Probe entries (no repTimes key) report their last.
+    val streamMetricsJson =
+      if (streamMetrics.isEmpty) ""
+      else {
+        val entries = streamMetrics.map { case (name, reps) =>
+          val times = repTimes.getOrElse(name, Seq.empty).filter(_ >= 0)
+          val idx = if (times.nonEmpty) times.indexOf(times.min) else reps.size - 1
+          val m = reps.lift(idx).getOrElse(reps.last)
+          "\"" + name + "\":{" +
+            s""""batches":${m.batches},"trigger_ms":${m.triggerMs},"add_batch_ms":${m.addBatchMs},"commit_ms":${m.commitMs},"sync_ms":${m.syncMs}}"""
+        }.mkString("{", ",", "}")
+        s""","stream_metrics":$entries"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$partsProbeJson$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$partsProbeJson$streamMetricsJson$errField,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

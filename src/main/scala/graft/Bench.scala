@@ -327,9 +327,6 @@ object Bench {
     // variable — so a streaming total that moves while sync_ms moves
     // proportionally and add_batch_ms stays flat is the host, not a
     // regression.
-    final case class StreamRepMetrics(
-        batches: Int, triggerMs: Long, addBatchMs: Long,
-        commitMs: Long, syncMs: Long)
     val streamMetrics =
       scala.collection.mutable.LinkedHashMap[String, Vector[StreamRepMetrics]]()
     def snapProgress(name: String,
@@ -620,24 +617,9 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","stream_parts_probe":{"op":"e4_stream_rollup","reps":$partsProbeReps,"parts":$mins,"rep_times":$repsArr}"""
       }
-    // per-entry streaming attribution from the rep whose time was
-    // reported (the min over successful reps; metrics were appended on
-    // the success path only, so the i-th metrics entry IS the i-th
-    // successful rep). Probe entries (no repTimes key) report their last.
-    val streamMetricsJson =
-      if (streamMetrics.isEmpty) ""
-      else {
-        val entries = streamMetrics.map { case (name, reps) =>
-          val times = repTimes.getOrElse(name, Seq.empty).filter(_ >= 0)
-          val idx = if (times.nonEmpty) times.indexOf(times.min) else reps.size - 1
-          val m = reps.lift(idx).getOrElse(reps.last)
-          "\"" + name + "\":{" +
-            s""""batches":${m.batches},"trigger_ms":${m.triggerMs},"add_batch_ms":${m.addBatchMs},"commit_ms":${m.commitMs},"sync_ms":${m.syncMs}}"""
-        }.mkString("{", ",", "}")
-        s""","stream_metrics":$entries"""
-      }
+    val streamMetricsField = streamMetricsJson(streamMetrics, repTimes)
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$partsProbeJson$streamMetricsJson$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"},"state_store":"$stateStore","task_metrics":$tm$calib$partsProbeJson$streamMetricsField$errField,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -661,6 +643,37 @@ object Bench {
     * 0.63-0.71s).
     */
   private[graft] val calibNominalSec = 0.70
+
+  /** One streaming rep's summed per-batch progress: batch count,
+    * triggerExecution and addBatch totals, state-commit total, and the
+    * RocksDB changelog file-sync share.
+    */
+  private[graft] final case class StreamRepMetrics(
+      batches: Int, triggerMs: Long, addBatchMs: Long,
+      commitMs: Long, syncMs: Long)
+
+  /** The detail file's `stream_metrics` field (leading comma; empty when
+    * no streaming ran): per-entry attribution from the rep whose time
+    * was REPORTED — the min over successful reps; metrics are appended
+    * on the success path only, so the i-th metrics entry is the i-th
+    * successful rep. Entries without a repTimes key (the parts probe)
+    * report their last rep. BenchFormatSpec pins parseability and the
+    * min-rep selection, including around failed reps.
+    */
+  private[graft] def streamMetricsJson(
+      metrics: collection.Map[String, Vector[StreamRepMetrics]],
+      repTimes: collection.Map[String, Seq[Double]]): String =
+    if (metrics.isEmpty) ""
+    else {
+      val entries = metrics.map { case (name, reps) =>
+        val times = repTimes.getOrElse(name, Seq.empty).filter(_ >= 0)
+        val idx = if (times.nonEmpty) times.indexOf(times.min) else reps.size - 1
+        val m = reps.lift(idx).getOrElse(reps.last)
+        "\"" + name + "\":{" +
+          s""""batches":${m.batches},"trigger_ms":${m.triggerMs},"add_batch_ms":${m.addBatchMs},"commit_ms":${m.commitMs},"sync_ms":${m.syncMs}}"""
+      }.mkString("{", ",", "}")
+      s""","stream_metrics":$entries"""
+    }
 
   /** Mean of the WARM calibration probes (mid-sweep + end), the series
     * whose definition matches the isolated-steady-state nominal. The

@@ -108,6 +108,28 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.isNominalSf(""))
   }
 
+  test("stream_metrics: min-rep selection around failed reps, parseable, probe fallback") {
+    val m1 = Bench.StreamRepMetrics(20, 7000L, 5100L, 12600L, 11700L)
+    val m2 = Bench.StreamRepMetrics(20, 6100L, 4800L, 11900L, 11000L)
+    val probe = Bench.StreamRepMetrics(20, 8800L, 7000L, 53000L, 52000L)
+    // rep times [failed, 9.1, 7.3]: the two metrics entries correspond to
+    // the two SUCCESSFUL reps, and the reported min (7.3, second success)
+    // must select the SECOND metrics entry despite the leading -1
+    val s = Bench.streamMetricsJson(
+      scala.collection.immutable.ListMap(
+        "e4_stream_rollup" -> Vector(m1, m2),
+        "stream_parts_probe_16" -> Vector(probe)),
+      Map("e4_stream_rollup" -> Seq(-1.0, 9.1, 7.3)))
+    assert(s.startsWith(","), "field must splice after a previous field")
+    val j = JsonMethods.parse("{" + s.drop(1) + "}")
+    assert((j \ "stream_metrics" \ "e4_stream_rollup" \ "trigger_ms") == JInt(6100))
+    assert((j \ "stream_metrics" \ "e4_stream_rollup" \ "sync_ms") == JInt(11000))
+    // a probe entry has no repTimes key and reports its (only) last rep
+    assert((j \ "stream_metrics" \ "stream_parts_probe_16" \ "commit_ms") == JInt(53000))
+    // no streaming ran -> no field at all, not an empty object
+    assert(Bench.streamMetricsJson(Map.empty, Map.empty) == "")
+  }
+
   test("unbounded error strings cannot push the line past the window") {
     // 30 failures with what WOULD be 200-char messages: the compact line
     // carries at most 10 truncated NAMES plus a count, never messages

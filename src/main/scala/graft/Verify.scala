@@ -55,6 +55,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-describing marker for DESIGNED rows-only entries: the driver's
+    // compare reports them as `no_oracle`, which reads as breakage in a
+    // correctness table — this sidecar names each one and the artifact
+    // that pins its correctness instead (for l5_qp_weights, the green
+    // l5_qp_certificate)
+    val designed = SparkEntry.rowsOnlyByDesign
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_by_design.json"), designed)
     spark.stop()
   }
 }

@@ -108,26 +108,83 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.isNominalSf(""))
   }
 
-  test("stream_metrics: min-rep selection around failed reps, parseable, probe fallback") {
+  test("stream_metrics: min-rep selection around failed reps, parseable, probe min-rep") {
     val m1 = Bench.StreamRepMetrics(20, 7000L, 5100L, 12600L, 11700L)
     val m2 = Bench.StreamRepMetrics(20, 6100L, 4800L, 11900L, 11000L)
-    val probe = Bench.StreamRepMetrics(20, 8800L, 7000L, 53000L, 52000L)
+    val p1 = Bench.StreamRepMetrics(20, 8800L, 7000L, 53000L, 52000L)
+    val p2 = Bench.StreamRepMetrics(20, 8100L, 6900L, 21000L, 20000L)
     // rep times [failed, 9.1, 7.3]: the two metrics entries correspond to
     // the two SUCCESSFUL reps, and the reported min (7.3, second success)
     // must select the SECOND metrics entry despite the leading -1
     val s = Bench.streamMetricsJson(
       scala.collection.immutable.ListMap(
         "e4_stream_rollup" -> Vector(m1, m2),
-        "stream_parts_probe_16" -> Vector(probe)),
-      Map("e4_stream_rollup" -> Seq(-1.0, 9.1, 7.3)))
+        "stream_parts_probe_16" -> Vector(p1, p2)),
+      Map(
+        "e4_stream_rollup" -> Seq(-1.0, 9.1, 7.3),
+        // probe reps [37.7 contended, 14.9 clean]: stream_parts_probe
+        // reports the min (14.9), so the attribution must describe the
+        // SECOND rep, not the contended first or "whichever ran last"
+        "stream_parts_probe_16" -> Seq(37.7, 14.9)))
     assert(s.startsWith(","), "field must splice after a previous field")
     val j = JsonMethods.parse("{" + s.drop(1) + "}")
     assert((j \ "stream_metrics" \ "e4_stream_rollup" \ "trigger_ms") == JInt(6100))
     assert((j \ "stream_metrics" \ "e4_stream_rollup" \ "sync_ms") == JInt(11000))
-    // a probe entry has no repTimes key and reports its (only) last rep
-    assert((j \ "stream_metrics" \ "stream_parts_probe_16" \ "commit_ms") == JInt(53000))
+    assert((j \ "stream_metrics" \ "stream_parts_probe_16" \ "commit_ms") == JInt(21000))
+    // an entry with NO rep-times key still reports its last rep rather
+    // than dropping the attribution
+    val fallback = Bench.streamMetricsJson(
+      Map("stream_parts_probe_8" -> Vector(p1, p2)), Map.empty)
+    val jf = JsonMethods.parse("{" + fallback.drop(1) + "}")
+    assert((jf \ "stream_metrics" \ "stream_parts_probe_8" \ "commit_ms") == JInt(21000))
     // no streaming ran -> no field at all, not an empty object
     assert(Bench.streamMetricsJson(Map.empty, Map.empty) == "")
+  }
+
+  test("stream_compute_total: min-rep sum over sweep entries only, field emission") {
+    val e3a = Bench.StreamRepMetrics(20, 4000L, 3000L, 9000L, 8600L)
+    val e3b = Bench.StreamRepMetrics(20, 4400L, 3400L, 9900L, 9300L)
+    val e4 = Bench.StreamRepMetrics(20, 9000L, 7500L, 30000L, 29000L)
+    val probe = Bench.StreamRepMetrics(20, 8800L, 7000L, 53000L, 52000L)
+    val metrics = scala.collection.immutable.ListMap(
+      "e3_stream_sessionize" -> Vector(e3a, e3b),
+      "e4_stream_rollup" -> Vector(e4),
+      "stream_parts_probe_16" -> Vector(probe))
+    val times = Map(
+      "e3_stream_sessionize" -> Seq(3.6, 4.1), // min = first rep -> e3a
+      "e4_stream_rollup" -> Seq(8.5),
+      "stream_parts_probe_16" -> Seq(15.0))
+    // sums the MIN rep's addBatch per sweep entry; the probe is excluded
+    // by the names filter even though its metrics exist
+    val sec = Bench.streamComputeTotalSec(metrics, times,
+      Seq("e3_stream_sessionize", "e4_stream_rollup"))
+    assert(math.abs(sec - (3000L + 7500L) / 1000.0) < 1e-9)
+    // an entry that never succeeded (no metrics) contributes nothing
+    assert(Bench.streamComputeTotalSec(metrics, times,
+      Seq("e3_stream_sessionize", "e6_stream_interval_join")) == 3.0)
+    // the compact line carries the field next to stream_total...
+    val s = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 12.3,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf,
+      streamComputeSec = 10.5)
+    val j = JsonMethods.parse(s)
+    assert((j \ "stream_compute_total") == JDouble(10.5))
+    // ...and omits it entirely when no streaming ran (sentinel -1)
+    val s2 = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 0.0,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf)
+    assert(!s2.contains("stream_compute_total"))
+    assert(JsonMethods.parse(s2) != JNothing)
+  }
+
+  test("minUnconfirmed matches noisyRepCount and skips corroborated mins") {
+    // the targeted-extra-rep trigger and the reported noisy_reps count
+    // share one predicate: a min with a second rep within 2x is
+    // confirmed, so no extra rep fires even with a 5x outlier present
+    assert(!Bench.minUnconfirmed(Seq(1.0, 1.1, 5.0)))
+    assert(Bench.minUnconfirmed(Seq(2.06, 18.37)))
+    assert(!Bench.minUnconfirmed(Seq(1.0, 2.0))) // exactly 2x confirms
+    // failed reps (-1) and zero times are filtered before the ratio
+    assert(!Bench.minUnconfirmed(Seq(-1.0, 1.0)))
+    assert(Bench.minUnconfirmed(Seq(1.0, -1.0, 3.0)))
   }
 
   test("unbounded error strings cannot push the line past the window") {

@@ -24,6 +24,11 @@ class PlanAuditSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("l5_qp_weights"),
       s"unexpected rows-only queries: ${(rowsOnly - "l5_qp_weights").toSeq.sorted}")
+    // the self-describing marker Verify dumps must name EXACTLY that set
+    // (a stale marker would either excuse a new unoracled query or label
+    // a since-oracled one as designed rows-only)
+    assert(SparkEntry.rowsOnlyByDesign.keySet == rowsOnly,
+      s"rows_only_by_design out of sync: ${SparkEntry.rowsOnlyByDesign.keySet}")
     // and no orphaned oracle entries (an oracle whose query was renamed
     // would never run, masking a lost check)
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

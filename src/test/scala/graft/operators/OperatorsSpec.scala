@@ -432,6 +432,50 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(0L) == feats(3L)) // identical payloads => identical features
   }
 
+  test("multimodal decodeFeatures: real PNG/JPEG decode via ImageIO, opaque fallback") {
+    // a real container written by the JDK's own encoder, decoded back
+    // through the mapPartitions path — not a synthetic stand-in
+    def imageBytes(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8)
+        img.setRGB(x, y, (x * 32 << 16) | (y * 64 << 8) | 128)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = imageBytes("png")
+    val jpg = imageBytes("jpg")
+    val rows = Seq(
+      (0L, png), (1L, jpg),
+      (2L, "plain text payload".getBytes("UTF-8")),
+      (3L, png.take(12))) // valid PNG magic, truncated container
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.asAssets(rows, "doc_id", col("payload"), "image")
+    val out = Multimodal.decodeFeatures(assets, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG: dimensions come from the DECODED container, not caller metadata
+    assert(out(0L).getAs[String]("kind") == "png")
+    assert(out(0L).getAs[Int]("width") == 8 && out(0L).getAs[Int]("height") == 4)
+    val hist = out(0L).getSeq[Double](1)
+    assert(hist.size == 16 && math.abs(hist.sum - 1.0) < 1e-9)
+    // mean luminance matches an independent Rec. 601 computation over
+    // the exact pixels written (PNG is lossless, TYPE_INT_RGB round-trips)
+    val expMean = (for (y <- 0 until 4; x <- 0 until 8)
+      yield 0.299 * (x * 32) + 0.587 * (y * 64) + 0.114 * 128).sum / 32
+    assert(math.abs(out(0L).getAs[Double]("mean_lum") - expMean) < 1e-9)
+    assert(out(0L).getAs[Double]("std_lum") > 0.0)
+    // JPEG decodes through the same dispatch (lossy, so dims + kind only)
+    assert(out(1L).getAs[String]("kind") == "jpeg")
+    assert(out(1L).getAs[Int]("width") == 8 && out(1L).getAs[Int]("height") == 4)
+    // non-image payloads keep the byte-histogram path and null image cols
+    assert(out(2L).getAs[String]("kind") == "opaque")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")))
+    assert(math.abs(out(2L).getSeq[Double](1).sum - 1.0) < 1e-9)
+    // image magic with a truncated body degrades to opaque, never throws
+    assert(out(3L).getAs[String]("kind") == "opaque")
+  }
+
   test("multimodal resize: strided downsample caps payload size, pass-through below") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
     val resized = Multimodal.resizePayload(assets, 32).collect()

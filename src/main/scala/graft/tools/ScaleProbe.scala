@@ -1,0 +1,194 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dynamic scaling probe: measures how the heaviest BATCH paths behave
+  * as data grows past the largest driver-provided scale factor, turning
+  * the engine's "scales by design" plan assertions into observed data.
+  *
+  * The testdata is read-only and capped at sf0.1, so larger inputs are
+  * SYNTHESIZED from it deterministically — each scaled table is the
+  * union of N transformed copies of the sf0.1 original written once to
+  * a scratch parquet dir (never under /root/testdata), and the probe
+  * then runs the UNCHANGED `SparkEntry.queries` entries against that
+  * dir, so the measured plan is byte-identical to the graded one.
+  *
+  * Copy transforms preserve per-copy structure so the workload scales
+  * ~linearly in rows rather than changing shape:
+  *   - keys are offset per copy (doc_id/l_orderkey/o_orderkey +
+  *     i*10M, l_suppkey/o_custkey/c_custkey + i*1M), so group counts
+  *     scale ×N at constant group size — the way a bigger corpus
+  *     actually grows;
+  *   - document TEXT is salted per copy (every token suffixed "_ci"),
+  *     because an exact replica of the corpus would make every doc an
+  *     exact cross-copy duplicate: LSH bands would pair each doc with
+  *     its N−1 clones and the near-dup pair count would grow ×N², a
+  *     distribution cliff that measures the synthetic replication, not
+  *     scaling. Salting makes cross-copy shingle sets disjoint while
+  *     keeping every within-copy relationship (dup clusters, token
+  *     counts, source mix) exactly as at sf0.1.
+  *
+  * Per query the probe reports min-of-reps seconds at each scale and
+  * the least-squares slope of ln(time) vs ln(copies) — the observed
+  * scaling exponent (1.0 = linear, ~1.1 ≈ n·log n at these sizes;
+  * anything clearly above that names a problem). Results: one JSON
+  * line on stdout; the committed analysis lives in docs/SCALING.md.
+  *
+  * Knobs (env): SPARK_GRAFT_SF_DIR (base, default sf0.1),
+  * SPARK_GRAFT_SCALE_COPIES (default "3,10"), SPARK_GRAFT_SCALE_QUERIES
+  * (default: the six heaviest distinct batch shapes),
+  * SPARK_GRAFT_SCALE_OUT (scratch root, default /tmp/graft_scale),
+  * SPARK_GRAFT_SCALE_REPS (default 2), SPARK_GRAFT_CPUS (default 32).
+  *
+  * A measurement tool, not part of any pipeline or the bench artifact.
+  */
+object ScaleProbe {
+
+  /** Tables the probed queries read, with their per-copy transform.
+    * Key offsets use strides far above any sf0.1 key range.
+    */
+  private val bigStride = 10_000_000L
+  private val smallStride = 1_000_000L
+
+  private def saltTokens(c: Column, i: Int): Column =
+    if (i == 0) c else regexp_replace(c, "(\\S+)", "$1_c" + i)
+
+  private[tools] def copyTransform(table: String, df: DataFrame, i: Int): DataFrame =
+    table match {
+      case "documents" =>
+        val salted = saltTokens(col("text"), i)
+        df.select((col("doc_id") + lit(i * bigStride)).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"),
+          length(salted).cast("long").as("n_chars"))
+      case "lineitem" =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * bigStride))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * smallStride))
+      case "orders" =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * bigStride))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * smallStride))
+      case "customer" =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * smallStride))
+      case other => sys.error(s"no scale transform for table $other")
+    }
+
+  /** ln-ln least-squares slope over (copies, seconds) points — the
+    * observed scaling exponent. Requires >= 2 valid points.
+    */
+  private[tools] def exponent(points: Seq[(Int, Double)]): Option[Double] = {
+    val ok = points.filter { case (n, t) => n > 0 && t > 0 }
+    if (ok.size < 2) None
+    else {
+      val xs = ok.map(p => math.log(p._1.toDouble))
+      val ys = ok.map(p => math.log(p._2))
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      val denom = xs.map(x => (x - mx) * (x - mx)).sum
+      if (denom == 0) None
+      else Some(xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / denom)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "3,10")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filter(_ > 1).sorted
+    val queryNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
+      "d3_dedup_minhash,d6_dedup_clusters,d9_incremental_neardup," +
+        "w6_rolling_ols_native,l5_qp_weights,x6_pack_sequences")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val tablesFor: Map[String, Seq[String]] = Map(
+      "d3_dedup_minhash" -> Seq("documents"),
+      "d6_dedup_clusters" -> Seq("documents"),
+      "d9_incremental_neardup" -> Seq("documents"),
+      "x6_pack_sequences" -> Seq("documents"),
+      "w6_rolling_ols_native" -> Seq("lineitem"),
+      "l5_qp_weights" -> Seq("orders", "customer"))
+    val neededTables =
+      queryNames.flatMap(n => tablesFor.getOrElse(n,
+        sys.error(s"no table mapping for query $n"))).distinct
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // scaled dirs are built once and reused across runs (marker file):
+    // generation cost must stay outside every timed region
+    def scaledDir(n: Int): String = s"${outRoot}_${n}x"
+    def buildScaled(n: Int): Unit = {
+      val dir = scaledDir(n)
+      val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
+      if (java.nio.file.Files.exists(marker)) return
+      neededTables.foreach { t =>
+        val base = graft.catalog.Tables.load(spark, sfDir, t)
+        (0 until n).map(i => copyTransform(t, base, i))
+          .reduce(_.union(_))
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
+      }
+      java.nio.file.Files.createFile(marker); ()
+    }
+    copies.foreach(buildScaled)
+
+    // same materialization + cache hygiene as graft.Bench: noop sink so
+    // nothing is pruned, caches AND localCheckpoint-persisted RDDs
+    // dropped so no query inherits a neighbor's blocks
+    def materialize(name: String, dir: String): Unit =
+      try graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    def settle(): Unit = { System.gc(); Thread.sleep(250) }
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOfReps(name: String, dir: String): Double = {
+      val ts = (1 to reps).map { _ =>
+        val t = try timeIt(materialize(name, dir))
+                catch { case e: Throwable =>
+                  System.err.println(s"[scale] $name @ $dir FAILED: $e"); -1.0 }
+        settle(); t
+      }
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+
+    // codegen/JVM warmup (not timed), smallest sf
+    queryNames.foreach { n =>
+      try materialize(n, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+
+    val scales: Seq[(Int, String)] = (1, sfDir) +: copies.map(n => (n, scaledDir(n)))
+    val results: Seq[(String, Seq[(Int, Double)])] = queryNames.map { name =>
+      val pts = scales.map { case (n, dir) =>
+        val t = minOfReps(name, dir)
+        System.err.println(f"[scale] $name ${n}%2dx -> $t%7.2fs")
+        (n, t)
+      }
+      name -> pts
+    }
+
+    val qJson = results.map { case (name, pts) =>
+      val secs = pts.map { case (n, t) => s""""$n":${f"$t%.3f"}""" }
+        .mkString("{", ",", "}")
+      val exp = exponent(pts).map(e => f"$e%.3f").getOrElse("null")
+      s""""$name":{"sec":$secs,"exponent":$exp}"""
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":${copies.mkString("[", ",", "]")},"reps":$reps,"queries":$qJson}""")
+    spark.stop()
+  }
+}

@@ -98,7 +98,15 @@ object Bench {
     // fsync latency scales with CONCURRENT committers (journal
     // serialization), and parts=16 replicates at ~1.7x parts=8 (the
     // linear per-store model) — r09's single-rep 37.7s/4.25x datum was
-    // a contention artifact, retired. At cluster scale the same rule
+    // a contention artifact, retired. Round 11 closed the model's one
+    // gap: e6's non-sync commit half is the un-instrumented file-
+    // protocol portion of the SAME per-store commit (engine-independent
+    // — the HDFS provider costs the same; concurrency-bound like the
+    // sync), so commit cost counts STORES, and a stream-stream join
+    // (4 stores/partition) should size its state partitions at ~1/4 of
+    // a single-store operator's for the same commit budget (e6 at
+    // parts=2: 18.0s vs 21-22s at this parts=8 default, kept as the
+    // deployment-shaped choice). At cluster scale the same rule
     // holds per executor: a
     // handful of stores per executor core, scaled out by executor
     // count, not 4x-oversubscribed per core.

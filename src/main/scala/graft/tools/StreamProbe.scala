@@ -35,6 +35,12 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // measurement-only knob: "false" disables the no-new-data micro-batch
+    // that advances the watermark after each data batch, pricing that
+    // half of the commit protocol explicitly. NOT for the bench — late
+    // state would only evict on the next data batch, changing semantics.
+    sys.env.get("SPARK_GRAFT_NO_DATA_BATCHES").foreach(v =>
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v))
     if (stateStore == "rocksdb") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -42,8 +48,12 @@ object StreamProbe {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      // attribution knob (default matches the bench shape): "false"
+      // gives each store its own unbounded cache — isolates shared-
+      // block-cache mutex contention in per-commit metrics collection
       spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        sys.env.getOrElse("SPARK_GRAFT_BOUNDED_MEM", "true"))
     }
 
     implicit val eventEnc: Encoder[graft.streaming.StreamOps.Event] =
@@ -57,13 +67,20 @@ object StreamProbe {
         Encoders.scalaDouble)
     implicit val sc = spark.sqlContext
 
-    // per-batch progress line shared by both replay shapes: wall-clock,
-    // the driver's durationMs phase breakdown, then EVERY state operator
+    // per-batch progress lines shared by both replay shapes: wall-clock
+    // (of the whole drain — a drain covers the data batch AND the
+    // watermark-advance batch for watermarked operators), the driver's
+    // durationMs phase breakdown, then EVERY state operator
     // (stream-stream joins surface their symmetric-hash state here; its
-    // commitTimeMs/stateMemory is the per-batch fixed cost under test)
+    // commitTimeMs/stateMemory is the per-batch fixed cost under test).
+    // ALL batches new since the previous drain are printed, not just
+    // the last one — the data batch (puts, removed=0) and the
+    // watermark batch (rows=0, removals) have different cost profiles
+    // and attributing commit time needs both visible.
+    var lastReported = -1L
     def report(q: StreamingQuery, batchSec: Double): Unit = {
-      val p = q.lastProgress
-      if (p != null) {
+      val fresh = q.recentProgress.filter(_.batchId > lastReported)
+      fresh.foreach { p =>
         val dur = p.durationMs
         val soStr = p.stateOperators.map { s =>
           val custom = {
@@ -75,9 +92,11 @@ object StreamProbe {
             s"updated=${s.numRowsUpdated} removed=${s.numRowsRemoved} " +
             s"commitMs=${s.commitTimeMs} custom[$custom]"
         }.mkString(" | ")
-        println(f"batch=${p.batchId}%3d wall=${batchSec}%6.2fs " +
+        val wall = if (p.batchId == fresh.last.batchId) f"${batchSec}%6.2fs" else "      "
+        println(f"batch=${p.batchId}%3d drain=$wall " +
           s"durationMs=${dur} rows=${p.numInputRows} $soStr")
       }
+      fresh.lastOption.foreach(p => lastReported = p.batchId)
     }
 
     def finish(q: StreamingQuery, ckpt: java.nio.file.Path, t0: Long): Unit = {

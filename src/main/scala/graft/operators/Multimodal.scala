@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * [[decodeFeatures]] is a REAL decode path for images: payloads whose
   * magic bytes say PNG or JPEG are decoded with `javax.imageio` (in
   * every JDK — no extra dependency) into width/height/pixel statistics
-  * plus a normalized luminance histogram. Payloads of any other
-  * modality (audio/video codecs genuinely absent here, plain text)
-  * fall back to a deterministic normalized byte histogram — the same
-  * feature shape, so downstream schema does not fork on modality. The
-  * Spark-side contract is the 100 TB-relevant part either way: payload
-  * bytes never hit the driver, each partition streams its rows once,
-  * and the feature column comes back columnar.
+  * plus a normalized luminance histogram. [[resizePayload]] really
+  * rescales decodable images (Graphics2D bilinear + PNG re-encode) and
+  * [[sampleFrames]] really extracts frames from multi-frame GIFs.
+  * Payloads of any other modality (audio/video codecs genuinely absent
+  * here, plain text) fall back to deterministic byte-level forms — the
+  * same output shape, so downstream schema does not fork on modality.
+  * The Spark-side contract is the 100 TB-relevant part either way:
+  * payload bytes never hit the driver, each partition streams its rows
+  * once, and results come back columnar.
   */
 object Multimodal {
 
@@ -31,10 +33,10 @@ object Multimodal {
       .withColumn("n_chunks", ceil(col("n_bytes") / 4096.0).cast("long"))
 
   /** Container sniff by magic bytes: the dispatch key for the decode
-    * path. PNG = 89 50 4E 47 0D 0A 1A 0A, JPEG = FF D8 FF. Anything
-    * else is treated as an opaque payload (text, audio, unknown) —
-    * sniffing is per-row and never trusts the `modality` column, which
-    * is caller-asserted metadata, not evidence.
+    * path. PNG = 89 50 4E 47 0D 0A 1A 0A, JPEG = FF D8 FF, GIF =
+    * "GIF87a"/"GIF89a". Anything else is treated as an opaque payload
+    * (text, audio, unknown) — sniffing is per-row and never trusts the
+    * `modality` column, which is caller-asserted metadata, not evidence.
     */
   private[operators] def imageKind(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
@@ -42,44 +44,91 @@ object Multimodal {
         bytes(5) == 0x0a && bytes(6) == 0x1a && bytes(7) == 0x0a) Some("png")
     else if (bytes.length >= 3 && bytes(0) == 0xff.toByte &&
         bytes(1) == 0xd8.toByte && bytes(2) == 0xff.toByte) Some("jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') Some("gif")
     else None
 
-  /** Decoded-image features: (width, height, normalized `bins`-bin
-    * luminance histogram, mean luminance, luminance stddev). Rec. 601
-    * luma over the ARGB pixels. None when ImageIO cannot actually decode
-    * the bytes (truncated/corrupt container behind valid magic) — the
-    * caller falls back to the opaque path rather than failing the task,
-    * because at corpus scale some payloads ARE corrupt and a poison row
-    * must not kill a 100-partition stage.
+  /** Decode cap: max pixels a payload may DECLARE before the decode is
+    * refused. `ImageIO.read` allocates the output raster from the
+    * untrusted container header, so a dimension bomb (valid magic, huge
+    * declared width×height) would raise OutOfMemoryError — an Error,
+    * not an Exception, so it would sail past a `catch Exception`
+    * fallback and kill the executor. 16M pixels ≈ 64 MB ARGB: large
+    * enough for any sane corpus image, small enough that 32 concurrent
+    * tasks cannot OOM a worker.
+    */
+  private[operators] val maxDecodePixels: Long = 16L * 1024 * 1024
+
+  /** Full image decode behind a HEADER-ONLY dimension guard: the reader
+    * parses just the container header for width/height (no raster
+    * allocation), the product is checked against `maxPixels`, and only
+    * then is the raster decoded. None for non-image magic, unreadable
+    * containers, or over-cap declarations — the caller falls back to
+    * the opaque path rather than failing the task, because at corpus
+    * scale some payloads ARE hostile or corrupt and a poison row must
+    * not kill a 100-partition stage.
+    */
+  private[operators] def readImage(bytes: Array[Byte],
+      maxPixels: Long = maxDecodePixels)
+      : Option[(String, java.awt.image.BufferedImage)] =
+    imageKind(bytes).flatMap { kind =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0).toLong
+              val h = reader.getHeight(0).toLong
+              if (w <= 0 || h <= 0 || w * h > maxPixels) None
+              else Option(reader.read(0)).map((kind, _))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+  /** Rec. 601 luma statistics over the ARGB pixels: normalized
+    * `bins`-bin histogram, mean, stddev.
+    */
+  private[operators] def lumStats(img: java.awt.image.BufferedImage,
+      bins: Int): (Array[Double], Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Double](bins)
+    var sum = 0.0; var sumSq = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        hist(math.min(bins - 1, (lum * bins / 256.0).toInt)) += 1.0
+        sum += lum; sumSq += lum * lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(w.toLong * h, 1L).toDouble
+    val mean = sum / n
+    (hist.map(_ / n), mean,
+      math.sqrt(math.max(0.0, sumSq / n - mean * mean)))
+  }
+
+  /** Decoded-image features: (kind, width, height, normalized luminance
+    * histogram, mean luminance, luminance stddev); None → opaque path.
     */
   private[operators] def decodeImage(bytes: Array[Byte], bins: Int)
-      : Option[(Int, Int, Array[Double], Double, Double)] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        val hist = new Array[Double](bins)
-        var sum = 0.0; var sumSq = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            hist(math.min(bins - 1, (lum * bins / 256.0).toInt)) += 1.0
-            sum += lum; sumSq += lum * lum
-            x += 1
-          }
-          y += 1
-        }
-        val n = math.max(w.toLong * h, 1L).toDouble
-        val mean = sum / n
-        Some((w, h, hist.map(_ / n), mean,
-          math.sqrt(math.max(0.0, sumSq / n - mean * mean))))
-      }
-    } catch { case _: Exception => None }
+      : Option[(String, Int, Int, Array[Double], Double, Double)] =
+    readImage(bytes).map { case (kind, img) =>
+      val (hist, mean, std) = lumStats(img, bins)
+      (kind, img.getWidth, img.getHeight, hist, mean, std)
+    }
 
   /** Normalized byte histogram — the opaque-payload feature head (and
     * the deterministic stand-in for modalities whose codecs are not on
@@ -96,12 +145,13 @@ object Multimodal {
   /** Feature extraction over the payload column, mapPartitions form.
     *
     * Per row: sniff the container (magic bytes), and
-    *   - PNG/JPEG → REAL `javax.imageio` decode: `kind`/`width`/
-    *     `height`/`mean_lum`/`std_lum` populated, `features` = the
-    *     normalized `bins`-bin luminance histogram;
-    *   - anything else (or an image that fails to decode) → `kind`
-    *     "opaque", image columns null, `features` = the normalized
-    *     byte histogram.
+    *   - PNG/JPEG/GIF → REAL `javax.imageio` decode (first frame, behind
+    *     the [[readImage]] dimension guard): `kind`/`width`/`height`/
+    *     `mean_lum`/`std_lum` populated, `features` = the normalized
+    *     `bins`-bin luminance histogram;
+    *   - anything else (or an image that fails the guard or the decode)
+    *     → `kind` "opaque", image columns null, `features` = the
+    *     normalized byte histogram.
     * Both paths return the same feature shape, so downstream consumers
     * (m2's per-bin corpus means, ANN over the feature head) do not fork
     * on modality. Decode runs inside the partition iterator — payload
@@ -130,8 +180,8 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](pIdx)
         if (bytes == null) // null payload -> null features
           Row(r.get(idIdx), null, null, null, null, null, null)
-        else imageKind(bytes).flatMap(k => decodeImage(bytes, bins).map((k, _))) match {
-          case Some((k, (w, h, hist, mean, std))) =>
+        else decodeImage(bytes, bins) match {
+          case Some((k, w, h, hist, mean, std)) =>
             Row(r.get(idIdx), hist.toSeq, k, w, h, mean, std)
           case None =>
             Row(r.get(idIdx), byteHistogram(bytes, bins).toSeq, "opaque",
@@ -141,14 +191,24 @@ object Multimodal {
     }
   }
 
-  /** Resize stub, mapPartitions form: strided downsample of the payload to
-    * at most `targetBytes` (REAL RESIZE GOES HERE — an image scaler per
-    * batch in production; the partition-streaming contract and binary-in/
-    * binary-out schema are the real part). Payloads already small enough
-    * pass through unchanged.
+  /** REAL image resize, mapPartitions form: payloads that decode (PNG/
+    * JPEG/GIF behind the [[readImage]] dimension guard) and exceed the
+    * `imageBox` bounding square are rescaled with a bilinear
+    * `Graphics2D` transform to fit the box (aspect preserved, never
+    * upscaled) and re-encoded as PNG — the lossless JDK-native codec,
+    * so a resized payload re-decodes through [[decodeFeatures]] with
+    * the target dimensions. Images already inside the box pass through
+    * byte-identical.
+    *
+    * Non-image payloads (and images the guard refuses) take the opaque
+    * fallback: a strided byte downsample to at most `targetBytes`
+    * (pass-through when already small enough) — a size cap, not an
+    * image operation, kept for schema parity across modalities.
     */
-  def resizePayload(assets: DataFrame, targetBytes: Int): DataFrame = {
+  def resizePayload(assets: DataFrame, targetBytes: Int,
+      imageBox: Int = 256): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(imageBox > 0, "imageBox must be positive")
     val fields = assets.schema.fields.map {
       case f if f.name == "payload" => f.copy(dataType = BinaryType)
       case f => f
@@ -156,29 +216,150 @@ object Multimodal {
     val schema = StructType(fields)
     implicit val enc = Encoders.row(schema)
     val pIdx = assets.schema.fieldIndex("payload")
+
+    def strided(bytes: Array[Byte]): Array[Byte] =
+      if (bytes.length <= targetBytes) bytes
+      else {
+        val res = new Array[Byte](targetBytes)
+        var i = 0
+        while (i < targetBytes) {
+          res(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+          i += 1
+        }
+        res
+      }
+
+    def scaleToBox(img: java.awt.image.BufferedImage): Option[Array[Byte]] = {
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= imageBox && h <= imageBox) None // caller passes through
+      else {
+        val scale = imageBox.toDouble / math.max(w, h)
+        val tw = math.max(1, math.round(w * scale).toInt)
+        val th = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
+        else None
+      }
+    }
+
     assets.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](pIdx)
         val out =
           if (bytes == null) null
-          else if (bytes.length <= targetBytes) bytes
-          else {
-            val res = new Array[Byte](targetBytes)
-            var i = 0
-            while (i < targetBytes) {
-              res(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
-              i += 1
-            }
-            res
+          else readImage(bytes) match {
+            case Some((_, img)) =>
+              scaleToBox(img).getOrElse(bytes) // within box -> pass-through
+            case None => strided(bytes)
           }
         Row.fromSeq(r.toSeq.updated(pIdx, out))
       }
     }
   }
 
-  /** Deterministic "frame sampling": fixed-offset slices of the payload,
-    * hex-encoded (stands in for video frame extraction; the slice/batch
-    * plumbing is the real part).
+  /** Per-frame stats of a multi-frame GIF: (frame index, width, height,
+    * mean luminance) for each requested index that exists. Frames are
+    * index-selected `ImageReader.read(i)` calls — the reader decodes
+    * each raw frame raster (no disposal compositing; sampling reads
+    * frames, it does not replay the animation). Every frame passes the
+    * same declared-dimension guard as [[readImage]]. None when the
+    * payload is not a readable GIF.
+    */
+  private[operators] def gifFrameStats(bytes: Array[Byte], indices: Seq[Int],
+      maxPixels: Long = maxDecodePixels): Option[Seq[(Int, Int, Int, Double)]] =
+    imageKind(bytes).filter(_ == "gif").flatMap { _ =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              // seekForwardOnly=false: getNumImages(true) must scan the
+              // whole stream, and read(i) may then revisit earlier frames
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              val out = indices.distinct.sorted.filter(i => i >= 0 && i < n)
+                .flatMap { i =>
+                  val w = reader.getWidth(i).toLong
+                  val h = reader.getHeight(i).toLong
+                  if (w <= 0 || h <= 0 || w * h > maxPixels) None
+                  else Option(reader.read(i)).map { img =>
+                    val (_, mean, _) = lumStats(img, 2)
+                    (i, img.getWidth, img.getHeight, mean)
+                  }
+                }
+              if (out.isEmpty) None else Some(out)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+  /** REAL frame sampling over the binary payload column, mapPartitions
+    * form: GIF payloads yield one row per requested frame index that
+    * exists (`kind` "gif", real per-frame width/height/mean_lum from
+    * index-selected `ImageReader.read(i)`, `sample_hex` null); any
+    * other payload falls back to deterministic byte slices (`kind`
+    * "opaque", null dims, `sample_hex` = the hex of `sliceWidth` bytes
+    * at offset index·sliceWidth) so the output schema never forks on
+    * modality. Single-frame PNG/JPEG payloads are "opaque" here by
+    * design — frame sampling is a multi-frame operation; use
+    * [[decodeFeatures]] for stills.
+    */
+  def sampleFrames(assets: DataFrame, indices: Seq[Int],
+      sliceWidth: Int = 16): DataFrame = {
+    require(indices.nonEmpty, "at least one frame index required")
+    require(sliceWidth > 0, "sliceWidth must be positive")
+    val schema = StructType(Seq(
+      StructField("asset_id", assets.schema("asset_id").dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_lum", DoubleType, nullable = true),
+      StructField("sample_hex", StringType, nullable = true)))
+    implicit val enc = Encoders.row(schema)
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val pIdx = assets.schema.fieldIndex("payload")
+    val idxList = indices.distinct.sorted
+    assets.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        if (bytes == null) Iterator.empty
+        else gifFrameStats(bytes, idxList) match {
+          case Some(frames) =>
+            frames.iterator.map { case (i, w, h, mean) =>
+              Row(r.get(idIdx), i, "gif", w, h, mean, null)
+            }
+          case None =>
+            idxList.iterator.map { i =>
+              val from = math.min(bytes.length, i.toLong * sliceWidth).toInt
+              val until = math.min(bytes.length.toLong, from.toLong + sliceWidth).toInt
+              val hx = bytes.slice(from, until).map("%02x".format(_)).mkString
+              Row(r.get(idIdx), i, "opaque", null, null, null, hx)
+            }
+        }
+      }
+    }
+  }
+
+  /** Deterministic TEXT frame slices: fixed-offset substrings of a text
+    * column, hex-encoded — the SQL-expressible sampling shape (oracle-
+    * mirrored by `m1_multimodal_stats`). For real multi-frame media use
+    * [[sampleFrames]] on the binary payload.
     */
   def frameSamples(df: DataFrame, textCol: String, offsets: Seq[Int], width: Int): DataFrame =
     offsets.foldLeft(df) { (d, off) =>

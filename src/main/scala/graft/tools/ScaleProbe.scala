@@ -54,6 +54,19 @@ object ScaleProbe {
   private def saltTokens(c: Column, i: Int): Column =
     if (i == 0) c else regexp_replace(c, "(\\S+)", "$1_c" + i)
 
+  /** The columns each table's transform offsets, with their stride.
+    * Strides must exceed the BASE data's key range — asserted against
+    * the actual max before building, because SPARK_GRAFT_SF_DIR lets
+    * the base be any SF: at sf>=2 l_orderkey already exceeds 10M, and a
+    * silent collision would merge groups across copies and corrupt the
+    * measured exponent without any visible failure.
+    */
+  private[tools] val offsetCols: Map[String, Seq[(String, Long)]] = Map(
+    "documents" -> Seq("doc_id" -> bigStride),
+    "lineitem" -> Seq("l_orderkey" -> bigStride, "l_suppkey" -> smallStride),
+    "orders" -> Seq("o_orderkey" -> bigStride, "o_custkey" -> smallStride),
+    "customer" -> Seq("c_custkey" -> smallStride))
+
   private[tools] def copyTransform(table: String, df: DataFrame, i: Int): DataFrame =
     table match {
       case "documents" =>
@@ -122,21 +135,54 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // scaled dirs are built once and reused across runs (marker file):
-    // generation cost must stay outside every timed region
+    // Key ranges of the BASE data must fit under the copy strides, or
+    // copies silently collide (see offsetCols). One agg per table, once.
+    neededTables.foreach { t =>
+      val checks = offsetCols.getOrElse(t, Seq.empty)
+      if (checks.nonEmpty) {
+        val maxes = graft.catalog.Tables.load(spark, sfDir, t)
+          .agg(checks.map { case (c, _) => max(col(c)).cast("long").as(c) }.head,
+            checks.drop(1).map { case (c, _) => max(col(c)).cast("long").as(c) }: _*)
+          .collect().head
+        checks.zipWithIndex.foreach { case ((c, stride), i) =>
+          val mx = maxes.getLong(i)
+          require(mx < stride,
+            s"base $t.$c max $mx >= copy stride $stride: scaled copies " +
+              "would collide on keys and corrupt the measured exponent — " +
+              "raise the stride for this base SF")
+        }
+      }
+    }
+
+    // scaled dirs are built once and reused across runs; the marker file
+    // RECORDS WHICH TABLES were built (one name per line), so a later
+    // run needing a table the first run didn't build rebuilds just the
+    // missing ones instead of short-circuiting on the marker's existence
+    // and silently fitting the exponent over fewer points. Generation
+    // cost stays outside every timed region either way.
     def scaledDir(n: Int): String = s"${outRoot}_${n}x"
     def buildScaled(n: Int): Unit = {
       val dir = scaledDir(n)
       val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
-      if (java.nio.file.Files.exists(marker)) return
-      neededTables.foreach { t =>
+      val built: Set[String] =
+        if (java.nio.file.Files.exists(marker)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(marker).asScala
+            .map(_.trim).filter(_.nonEmpty).toSet
+        } else Set.empty
+      val missing = neededTables.filterNot(built)
+      if (missing.isEmpty) return
+      missing.foreach { t =>
         val base = graft.catalog.Tables.load(spark, sfDir, t)
         (0 until n).map(i => copyTransform(t, base, i))
           .reduce(_.union(_))
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
         System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
       }
-      java.nio.file.Files.createFile(marker); ()
+      java.nio.file.Files.write(marker,
+        (built ++ missing).toSeq.sorted.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      ()
     }
     copies.foreach(buildScaled)
 

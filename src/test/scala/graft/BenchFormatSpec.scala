@@ -159,9 +159,23 @@ class BenchFormatSpec extends AnyFunSuite {
     val sec = Bench.streamComputeTotalSec(metrics, times,
       Seq("e3_stream_sessionize", "e4_stream_rollup"))
     assert(math.abs(sec - (3000L + 7500L) / 1000.0) < 1e-9)
-    // an entry that never succeeded (no metrics) contributes nothing
+    // an entry that never succeeded (no metrics) contributes nothing...
     assert(Bench.streamComputeTotalSec(metrics, times,
       Seq("e3_stream_sessionize", "e6_stream_interval_join")) == 3.0)
+    // ...but the shrunken sum must not read as a compute improvement:
+    // coverage counts the contributing entries, and the emitted field
+    // flags k < m ("1/2") while staying silent at full coverage
+    assert(Bench.streamComputeCoverage(metrics,
+      Seq("e3_stream_sessionize", "e6_stream_interval_join")) == (1, 2))
+    assert(Bench.streamComputeCovField(Some((1, 2))) ==
+      ""","stream_compute_covered":"1/2"""")
+    assert(Bench.streamComputeCovField(Some((2, 2))) == "")
+    assert(Bench.streamComputeCovField(None) == "")
+    val partial = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 12.3,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf,
+      streamComputeSec = 3.0, streamComputeCov = Some((1, 2)))
+    assert((JsonMethods.parse(partial) \ "stream_compute_covered") ==
+      JString("1/2"))
     // the compact line carries the field next to stream_total...
     val s = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 12.3,
       "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf,

@@ -476,7 +476,7 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L).getAs[String]("kind") == "opaque")
   }
 
-  test("multimodal resize: strided downsample caps payload size, pass-through below") {
+  test("multimodal resize: opaque fallback strided downsample, pass-through below") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
     val resized = Multimodal.resizePayload(assets, 32).collect()
       .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload")).toMap
@@ -489,6 +489,127 @@ class OperatorsSpec extends SparkSpec {
         assert(resized(id)(0) == bytes(0)) // stride anchors at the start
       }
     }
+  }
+
+  /** A real single-frame image written by the JDK's own encoder: a
+    * width×height gradient (or solid `fill` when given).
+    */
+  private def imagePayload(fmt: String, w: Int, h: Int,
+      fill: Option[Int] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, fill.getOrElse(
+        ((x * 255 / math.max(1, w - 1)) << 16) |
+          ((y * 255 / math.max(1, h - 1)) << 8) | 128))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("multimodal resize: REAL bilinear rescale, re-decodes at target dims") {
+    val big = imagePayload("png", 64, 32) // 4x the 16-box in x
+    val small = imagePayload("png", 8, 4) // already inside the box
+    val rows = Seq((0L, big), (1L, small),
+      (2L, "plain text far longer than the byte cap......".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.asAssets(rows, "doc_id", col("payload"), "image")
+    val out = Multimodal.resizePayload(assets, 32, imageBox = 16).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    // the resized payload is a real PNG that re-decodes at the box-fit
+    // dimensions (aspect preserved: 64x32 -> 16x8)
+    val (kind, img) = Multimodal.readImage(out(0L)).get
+    assert(kind == "png" && img.getWidth == 16 && img.getHeight == 8)
+    // a resized payload flows back through decodeFeatures as an image
+    val redecoded = Multimodal.decodeFeatures(
+      Multimodal.asAssets(Seq((0L, out(0L))).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "image")).collect().head
+    assert(redecoded.getAs[String]("kind") == "png")
+    assert(redecoded.getAs[Int]("width") == 16)
+    // images already inside the box pass through byte-identical
+    assert(out(1L).toSeq == small.toSeq)
+    // non-image payloads keep the strided byte cap
+    assert(out(2L).length == 32)
+  }
+
+  test("multimodal decode: dimension-bomb header is refused, not decoded") {
+    // a VALID PNG header (correct magic + IHDR CRC) declaring
+    // 40000x40000 = 1.6e9 pixels: ImageIO.read would allocate the
+    // raster from that untrusted declaration (~6 GB -> OutOfMemoryError,
+    // an Error that a `catch Exception` fallback never sees). The
+    // header-only guard must refuse it BEFORE allocation.
+    def bombPng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val body = java.nio.ByteBuffer.allocate(17)
+      body.put("IHDR".getBytes("US-ASCII"))
+      body.putInt(w).putInt(h)
+      body.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+      body.put(0.toByte).put(0.toByte).put(0.toByte)
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+      bos.write(body.array())
+      val crc = new java.util.zip.CRC32()
+      crc.update(body.array())
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      bos.toByteArray
+    }
+    val bomb = bombPng(40000, 40000)
+    assert(Multimodal.imageKind(bomb).contains("png")) // magic IS valid
+    assert(Multimodal.readImage(bomb).isEmpty) // guard refuses pre-decode
+    // ...and the full pipeline degrades to the opaque path, no throw
+    val out = Multimodal.decodeFeatures(Multimodal.asAssets(
+      Seq((0L, bomb)).toDF("doc_id", "payload"), "doc_id",
+      col("payload"), "image")).collect().head
+    assert(out.getAs[String]("kind") == "opaque")
+    // a sane image under the cap still decodes through the same guard
+    assert(Multimodal.readImage(imagePayload("png", 8, 4)).nonEmpty)
+  }
+
+  test("multimodal sampleFrames: REAL multi-frame GIF extraction + opaque fallback") {
+    // a 3-frame GIF written by the JDK's own sequence writer, solid
+    // grayscale frames (gray g has Rec. 601 luma exactly g) so per-frame
+    // mean luminance is checkable bit-for-bit
+    val grays = Seq(40, 120, 200)
+    val frames = grays.map(g => {
+      val img = new java.awt.image.BufferedImage(10, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 10) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    })
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(Multimodal.imageKind(gif).contains("gif"))
+
+    val rows = Seq((0L, gif), (1L, "0123456789abcdefghijklmnopqrstuv".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.asAssets(rows, "doc_id", col("payload"), "video")
+    // index 7 exceeds the frame count -> silently absent, never throws
+    val out = Multimodal.sampleFrames(assets, Seq(0, 2, 7), sliceWidth = 8).collect()
+    val byKey = out.map(r =>
+      (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_idx")) -> r).toMap
+    // GIF: real frames at the requested indices, real dims + luminance
+    assert(byKey((0L, 0)).getAs[String]("kind") == "gif")
+    assert(byKey((0L, 0)).getAs[Int]("width") == 10)
+    assert(byKey((0L, 0)).getAs[Int]("height") == 6)
+    assert(math.abs(byKey((0L, 0)).getAs[Double]("mean_lum") - grays(0)) < 0.5)
+    assert(math.abs(byKey((0L, 2)).getAs[Double]("mean_lum") - grays(2)) < 0.5)
+    assert(!byKey.contains((0L, 7))) // out-of-range index dropped
+    // opaque fallback: deterministic hex slices at index*sliceWidth
+    assert(byKey((1L, 0)).getAs[String]("kind") == "opaque")
+    assert(byKey((1L, 0)).getAs[String]("sample_hex") ==
+      "01234567".getBytes("UTF-8").map("%02x".format(_)).mkString)
+    assert(byKey((1L, 2)).getAs[String]("sample_hex") ==
+      "ghijklmn".getBytes("UTF-8").map("%02x".format(_)).mkString)
+    assert(byKey((1L, 7)).getAs[String]("sample_hex") == "") // past the end
   }
 
   test("multimodal asset stats") {

@@ -176,9 +176,16 @@ object RunPipeline {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       inDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same two-vintage ts normalization as Tables.load: nanos-as-long
+    // vintage divides to micros; TIMESTAMP(MICROS)-NTZ vintage casts to
+    // session-tz TimestampType (session pinned UTC — value identity)
+    val raw = spark.readStream.schema(schema).parquet(inDir.toString)
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val stream = schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
     val q = graft.streaming.StreamOps.hourlyRollup(stream)
       .writeStream.format("memory").queryName("rollup").outputMode("append").start()
     q.processAllAvailable()

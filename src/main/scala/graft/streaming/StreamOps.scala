@@ -71,19 +71,42 @@ object StreamOps {
     * opens a fresh session whose start-us id can equal or precede an
     * already-emitted one. Exactly-once, watermark-respecting delivery —
     * or the counter mode's permanent marker — is what rules that out.
+    *
+    * Event-time eviction (`eventTimeWatermark = Some(delay)`): instead of
+    * a processing-time idle timer, the session's close is scheduled at
+    * event time `end + gap` — once the watermark passes it, NO on-time
+    * event can extend the session (every event at/after the watermark is
+    * more than `gap` past `end`), so the flush is exactly the gap rule,
+    * not a wall-clock heuristic, and Spark's watermark filter drops the
+    * late stragglers that the processing-time mode's delivery caveat is
+    * about. This is the deterministic form — a replay produces identical
+    * flushes regardless of wall-clock speed — and the mode the state-
+    * scale probe measures. Combined with `timestampIds = true` it gives
+    * the bounded-state shape: state holds exactly the sessions still
+    * open at the current watermark (concurrent-active users), with keys
+    * removed outright at flush. Mutually exclusive with `idleTimeout`
+    * (one eviction clock per query).
     */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Long = 30,
       idleTimeout: Option[String] = None,
-      timestampIds: Boolean = false): Dataset[Session] = {
+      timestampIds: Boolean = false,
+      eventTimeWatermark: Option[String] = None): Dataset[Session] = {
+    require(idleTimeout.isEmpty || eventTimeWatermark.isEmpty,
+      "idleTimeout (processing-time) and eventTimeWatermark (event-time) " +
+        "are exclusive eviction clocks — pick one")
     import events.sparkSession.implicits._
     val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      if (eventTimeWatermark.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    events.groupByKey(_.user_id)
+    val src = eventTimeWatermark
+      .map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        sessionUpdate(gapMinutes * 60L * 1000000L, idleTimeout, timestampIds))
+        sessionUpdate(gapMinutes * 60L * 1000000L, idleTimeout, timestampIds,
+          eventTimeWatermark.isDefined))
   }
 
   /** The per-key state transition of [[sessionize]], extracted so specs
@@ -92,7 +115,8 @@ object StreamOps {
     * cannot be triggered without wall-clock waiting).
     */
   private[streaming] def sessionUpdate(
-      gapUs: Long, idleTimeout: Option[String], timestampIds: Boolean)(
+      gapUs: Long, idleTimeout: Option[String], timestampIds: Boolean,
+      eventTimeGap: Boolean = false)(
       userId: Long, rows: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     def emit(s: SessionState): Session =
@@ -142,7 +166,18 @@ object StreamOps {
         sumCents = cur.sumCents + cents)
     }
     if (cur != null) state.update(cur)
-    if (cur != null && cur.n > 0) idleTimeout.foreach(state.setTimeoutDuration)
+    if (cur != null && cur.n > 0) {
+      if (eventTimeGap)
+        // close at event time end+gap: once the watermark passes it, no
+        // on-time event can extend the session, so the timeout IS the
+        // gap rule. The max() guards the strictly-after-watermark
+        // requirement on the boundary batch (an event AT the watermark
+        // whose end+gap lands exactly on it).
+        state.setTimeoutTimestamp(math.max(
+          Math.floorDiv(cur.end, 1000L) + Math.floorDiv(gapUs, 1000L),
+          state.getCurrentWatermarkMs + 1L))
+      else idleTimeout.foreach(state.setTimeoutDuration)
+    }
     closed.reverse.iterator
   }
 

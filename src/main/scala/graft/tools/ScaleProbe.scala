@@ -120,7 +120,18 @@ object ScaleProbe {
       "d9_incremental_neardup" -> Seq("documents"),
       "x6_pack_sequences" -> Seq("documents"),
       "w6_rolling_ols_native" -> Seq("lineitem"),
-      "l5_qp_weights" -> Seq("orders", "customer"))
+      "l5_qp_weights" -> Seq("orders", "customer"),
+      // round-12 additions: the remaining heavy shapes without a
+      // dynamic datum (r11 verdict item 5). Note the l_returnflag-
+      // partitioned windows (w5 chunked, a13 trimmed): the group COUNT
+      // is constant (3 flags) while rows-per-group grow xN — the
+      // chunking/trim designs exist exactly for that regime, so these
+      // probes measure the worst case, not the friendly one.
+      "l5_qp_certificate" -> Seq("orders", "customer"),
+      "w5_covar_chunked" -> Seq("lineitem"),
+      "a13_trimmed_stats" -> Seq("lineitem"),
+      "j13_range_join" -> Seq("orders", "lineitem"),
+      "t13_heavy_hitters" -> Seq("documents"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct

@@ -110,7 +110,8 @@ object Bench {
     // holds per executor: a
     // handful of stores per executor core, scaled out by executor
     // count, not 4x-oversubscribed per core.
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    val streamParts =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", deploymentStreamParts)
     // State-partition sensitivity probe values (detail-file only; see the
     // probe block after the streaming sweep). Default "16": one extra e4
     // rollup run per sweep, so every round's BENCH_DETAIL carries at
@@ -670,7 +671,7 @@ object Bench {
         s""","stream_compute_total":${f"$streamComputeTotal%.3f"}${streamComputeCovField(streamComputeCov)}"""
       else ""
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"}$streamComputeField,"state_store":"$stateStore","task_metrics":$tm$calib$partsProbeJson$streamMetricsField$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"}$streamComputeField,"state_store":"$stateStore","stream_parts":$streamParts,"task_metrics":$tm$calib$partsProbeJson$streamMetricsField$errField,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -684,7 +685,8 @@ object Bench {
     }
     println(compactArtifact(all, total, streamTotal, stateStore, calibCompact,
       detailFile, errors.keys.toSeq, sfDir, calibMean, calibRatio,
-      noisyRepCount(repTimes.values), streamComputeTotal, streamComputeCov))
+      noisyRepCount(repTimes.values), streamComputeTotal, streamComputeCov,
+      streamParts))
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
@@ -694,6 +696,23 @@ object Bench {
     * 0.63-0.71s).
     */
   private[graft] val calibNominalSec = 0.70
+
+  /** The streaming replays' state-partition default — the DEPLOYMENT-
+    * shaped choice, not the toy-state optimum. At sf0.1 state sizes
+    * fewer partitions always win wall-clock (parts=2 runs e6 ~18s vs
+    * 21-22s here, because the per-store-per-batch commit protocol is
+    * the dominant cost and fewer stores pay it fewer times) — but a
+    * cluster sizes state partitions to 100 TB STATE VOLUME, a handful
+    * of stores per executor core, and benching a 2-partition layout
+    * would flatter every streaming number by shrinking the fixed
+    * protocol cost a deployment actually pays per trigger. The value
+    * travels in both artifacts as `stream_parts` next to the per-round
+    * sensitivity row (`stream_parts_probe`), so the tradeoff stays
+    * measured data rather than a buried default
+    * (docs/STREAM_ATTRIBUTION.md "Model" section has the full
+    * attribution). BenchFormatSpec pins field emission and this value.
+    */
+  private[graft] val deploymentStreamParts = "8"
 
   /** One streaming rep's summed per-batch progress: batch count,
     * triggerExecution and addBatch totals, state-commit total, and the
@@ -848,6 +867,7 @@ object Bench {
       calibMean: Double = -1.0, calibRatio: Option[Double] = None,
       noisyReps: Int = 0, streamComputeSec: Double = -1.0,
       streamComputeCov: Option[(Int, Int)] = None,
+      streamParts: String = deploymentStreamParts,
       tailBudget: Int = 1850): String = {
     val errField =
       if (errorNames.isEmpty) ""
@@ -869,7 +889,7 @@ object Bench {
         s""","stream_compute_total":${f"$streamComputeSec%.3f"}${streamComputeCovField(streamComputeCov)}"""
       else ""
     def line(entries: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stream_total":${f"$streamTotal%.3f"}$scField,"state_store":"$stateStore","calib":$calibCompact$calibNorm,"detail":"$detailFile","omitted":$omitted$errField,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stream_total":${f"$streamTotal%.3f"}$scField,"state_store":"$stateStore","stream_parts":$streamParts,"calib":$calibCompact$calibNorm,"detail":"$detailFile","omitted":$omitted$errField,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // first prefix length whose line would overflow the budget (probe
     // with the max-digits omitted count); keep everything before it
     val kept = slowestFirst.indices

@@ -108,6 +108,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.isNominalSf(""))
   }
 
+  test("stream_parts travels in the artifact and the default stays deployment-shaped") {
+    // the parts-vs-commit tradeoff (docs/STREAM_ATTRIBUTION.md "Model"
+    // section: parts=2 wins toy-state wall-clock; parts=8 is the
+    // cluster-shaped default) must stay visible DATA in every round's
+    // BENCH_r{N}: the artifact carries the parts value next to
+    // stream_total, and a silent default change would surface here
+    val few = Seq(("q1_agg", 0.34))
+    val s = Bench.compactArtifact(few, 0.34, 5.0, "rocksdb", calib,
+      "BENCH_DETAIL.json", Nil, sf)
+    assert((JsonMethods.parse(s) \ "stream_parts") == JInt(8))
+    val custom = Bench.compactArtifact(few, 0.34, 5.0, "rocksdb", calib,
+      "BENCH_DETAIL.json", Nil, sf, streamParts = "2")
+    assert((JsonMethods.parse(custom) \ "stream_parts") == JInt(2))
+    assert(Bench.deploymentStreamParts == "8",
+      "changing the streaming parts default invalidates the committed " +
+        "parts-vs-commit justification — update docs/STREAM_ATTRIBUTION.md " +
+        "and this pin together")
+  }
+
   test("stream_metrics: min-rep selection around failed reps, parseable, probe min-rep") {
     val m1 = Bench.StreamRepMetrics(20, 7000L, 5100L, 12600L, 11700L)
     val m2 = Bench.StreamRepMetrics(20, 6100L, 4800L, 11900L, 11000L)

@@ -517,26 +517,45 @@ object SparkEntry {
     // floor(0.05·n) rows from EACH tail by rank — whole-row logic, so
     // both engines agree bit-for-bit, unlike value-interpolated
     // percentile clipping — then aggregate the surviving cents exactly.
-    // One shuffle (the window partition); the rank tie-break on
-    // (orderkey, linenumber) makes the kept set deterministic under
-    // duplicate prices.
+    //
+    // Scale form (round 12): every output depends only on the per-group
+    // MULTISET of cents — the rank tie-break on (orderkey, linenumber)
+    // decides WHICH boundary rows are kept, but all rows tied at the
+    // boundary share one cents value, so n_kept/lo/hi/sum are tie-
+    // independent. That licenses computing the trim from per-
+    // (group, cents) partial aggregates plus a cumulative window over
+    // DISTINCT cents: kept-per-bucket = overlap of the bucket's rank
+    // span (cum-cnt, cum] with the kept span (k, n-k]. The heavy phase
+    // is a map-side-combinable groupBy ∝ rows; the per-group window
+    // runs over the VALUE DOMAIN (distinct prices — near-constant as
+    // rows grow). The row-rank form this replaces put every group's
+    // full row set through one window task (parallelism = 3 return
+    // flags) and measured ~1.2-superlinear at the probe's top segment
+    // (docs/SCALING.md); the oracle (still the row-rank SQL) pins the
+    // rewrite's equivalence.
     "a13_trimmed_stats" -> ((s, dir) => {
-      val wOrd = Window.partitionBy("l_returnflag")
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy("l_returnflag")
+      val k = floor(col("n") * 5 / 100)
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("cents"), col("cnt"),
+          sum("cnt").over(wCum).as("cum"),
+          sum("cnt").over(wAll).as("n"))
         .select(col("l_returnflag"), col("cents"),
-          row_number().over(wOrd).as("rn"),
-          count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") > floor(col("n") * 5 / 100) &&
-          col("rn") <= col("n") - floor(col("n") * 5 / 100))
+          greatest(lit(0L),
+            least(col("cum"), col("n") - k) -
+              greatest(col("cum") - col("cnt"), k)).as("kept"))
+        .filter(col("kept") > 0)
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_kept"),
+        .agg(sum("kept").as("n_kept"),
           (min("cents") / 100.0).as("lo"),
           (max("cents") / 100.0).as("hi"),
-          round(sum("cents") / 100.0 / count(lit(1)), 6).as("trimmed_mean"))
+          round(sum(col("cents") * col("kept")) / 100.0 / sum("kept"), 6)
+            .as("trimmed_mean"))
         .orderBy("l_returnflag")
     }),
 

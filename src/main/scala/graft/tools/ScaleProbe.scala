@@ -67,7 +67,30 @@ object ScaleProbe {
     "orders" -> Seq("o_orderkey" -> bigStride, "o_custkey" -> smallStride),
     "customer" -> Seq("c_custkey" -> smallStride))
 
-  private[tools] def copyTransform(table: String, df: DataFrame, i: Int): DataFrame =
+  /** Days each copy's dates shift under the date-shift variant: larger
+    * than the base data's ~7-year date span, so copies occupy disjoint
+    * date windows.
+    */
+  private[tools] val dateShiftDays = 4000L
+
+  /** Per-copy transform. `dateShift` selects the growth model for the
+    * TIME axis: false (default, the rounds-11 model) keeps all copies
+    * inside the base date window — volume densifies per-date — while
+    * true shifts copy i's dates by i·[[dateShiftDays]], modeling growth
+    * that EXTENDS the time axis (new data arrives with new dates). The
+    * distinction decides whether interval/point workloads are
+    * inherently quadratic: ×N intervals densified into a fixed window
+    * give every point ×N matches (candidate pairs ∝ N² — a property of
+    * the workload, not the plan), whereas date-extended copies keep
+    * per-point multiplicity constant. j13's probe runs both
+    * (docs/SCALING.md round-12 section).
+    */
+  private[tools] def copyTransform(table: String, df: DataFrame, i: Int,
+      dateShift: Boolean = false): DataFrame = {
+    def shifted(d: DataFrame, c: String): DataFrame =
+      if (!dateShift || i == 0) d
+      else d.withColumn(c,
+        expr(s"timestampadd(DAY, ${i * dateShiftDays}, $c)"))
     table match {
       case "documents" =>
         val salted = saltTokens(col("text"), i)
@@ -75,15 +98,18 @@ object ScaleProbe {
           salted.as("text"), col("lang"), col("source"),
           length(salted).cast("long").as("n_chars"))
       case "lineitem" =>
-        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * bigStride))
+        shifted(df, "l_shipdate")
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * bigStride))
           .withColumn("l_suppkey", col("l_suppkey") + lit(i * smallStride))
       case "orders" =>
-        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * bigStride))
+        shifted(df, "o_orderdate")
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * bigStride))
           .withColumn("o_custkey", col("o_custkey") + lit(i * smallStride))
       case "customer" =>
         df.withColumn("c_custkey", col("c_custkey") + lit(i * smallStride))
       case other => sys.error(s"no scale transform for table $other")
     }
+  }
 
   /** ln-ln least-squares slope over (copies, seconds) points — the
     * observed scaling exponent. Requires >= 2 valid points.
@@ -110,6 +136,9 @@ object ScaleProbe {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "3,10")
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filter(_ > 1).sorted
+    // date-shift growth model (see copyTransform): scaled dirs get a
+    // "_ds" suffix so both variants coexist in the scratch root
+    val dateShift = sys.env.get("SPARK_GRAFT_SCALE_DATESHIFT").contains("1")
     val queryNames = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES",
       "d3_dedup_minhash,d6_dedup_clusters,d9_incremental_neardup," +
         "w6_rolling_ols_native,l5_qp_weights,x6_pack_sequences")
@@ -171,7 +200,8 @@ object ScaleProbe {
     // missing ones instead of short-circuiting on the marker's existence
     // and silently fitting the exponent over fewer points. Generation
     // cost stays outside every timed region either way.
-    def scaledDir(n: Int): String = s"${outRoot}_${n}x"
+    def scaledDir(n: Int): String =
+      s"${outRoot}_${n}x${if (dateShift) "_ds" else ""}"
     def buildScaled(n: Int): Unit = {
       val dir = scaledDir(n)
       val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
@@ -185,7 +215,7 @@ object ScaleProbe {
       if (missing.isEmpty) return
       missing.foreach { t =>
         val base = graft.catalog.Tables.load(spark, sfDir, t)
-        (0 until n).map(i => copyTransform(t, base, i))
+        (0 until n).map(i => copyTransform(t, base, i, dateShift))
           .reduce(_.union(_))
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
         System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
@@ -245,7 +275,7 @@ object ScaleProbe {
       s""""$name":{"sec":$secs,"exponent":$exp}"""
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":${copies.mkString("[", ",", "]")},"reps":$reps,"queries":$qJson}""")
+      s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":${copies.mkString("[", ",", "]")},"reps":$reps,"date_shift":$dateShift,"queries":$qJson}""")
     spark.stop()
   }
 }

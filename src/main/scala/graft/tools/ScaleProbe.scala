@@ -165,14 +165,26 @@ object ScaleProbe {
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] puts REAL
+    // executor JVMs and socket exchanges under the same probe (the
+    // caveat-closing datum for "network costs are plan-asserted only").
+    // Executor processes don't inherit the sbt fork's classpath or
+    // JDK17 add-opens, so both are passed explicitly.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    var builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
+      builder = builder.config("spark.executor.extraClassPath", cp))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
+      builder = builder.config("spark.executor.extraJavaOptions", o))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
+      builder = builder.config("spark.executor.memory", m))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // Key ranges of the BASE data must fit under the copy strides, or

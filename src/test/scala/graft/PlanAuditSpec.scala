@@ -170,6 +170,19 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("trimmed stats trim the value domain, not ranked rows") {
+    // a13's round-12 rewrite exists because the row-rank form capped
+    // parallelism at the 3 l_returnflag groups (measured 1.2-superlinear
+    // and 36x slower at 100x — docs/SCALING.md): the heavy phase must be
+    // a map-side-combinable (group, cents) aggregate, and no row_number
+    // over the raw row stream may creep back
+    val p = plan("a13_trimmed_stats")
+    assert(p.contains("partial_count"),
+      s"a13's cents-bucket phase must partial-aggregate:\n$p")
+    assert(!p.contains("row_number"),
+      s"a13 regressed to ranking raw rows (3-task sort at scale):\n$p")
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -133,7 +133,12 @@ object StreamScaleProbe {
         // here, not a nicety to shed like the wall-clock bench does
         "true")
       spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+        // default matches the bench's deployment shape; "false" is the
+        // attribution knob (same as StreamProbe's): giving every store
+        // an unbounded private cache isolates whether a superlinear
+        // compute segment is block-cache pressure or CPU-side work
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        sys.env.getOrElse("SPARK_GRAFT_BOUNDED_MEM", "true"))
     }
 
     implicit val eventEnc: Encoder[StreamOps.Event] =
@@ -241,11 +246,19 @@ object StreamScaleProbe {
     best(baseEvents.take(2000), 3, sessionizeBench)
     bestDocs(baseDocs.take(300), 3, neardedup)
 
+    // span-batches mode: batch COUNT scales with the copies (batch SIZE
+    // and event-time span per batch stay constant) — the deployment
+    // shape where trigger interval << state horizon, so intra-batch
+    // state peaks are horizon-bounded instead of batch-span-bounded.
+    // The default (fixed 10 batches) matches the bench replay and the
+    // batch probe's same-query-more-data discipline.
+    val spanBatches =
+      sys.env.get("SPARK_GRAFT_STREAM_SCALE_SPAN_BATCHES").contains("1")
     def runScales[T](mkRows: Int => IndexedSeq[T],
         runOne: (IndexedSeq[T], Int) => RunStats): Seq[(Int, RunStats)] =
       (1 +: copies).map { n =>
         val rows = mkRows(n)
-        val s = runOne(rows, 10)
+        val s = runOne(rows, if (spanBatches) 10 * n else 10)
         System.err.println(f"[sscale] ${n}%3dx rows=${rows.length}%8d " +
           f"wall=${s.wallSec}%7.2fs addBatch=${s.addBatchMs}%7dms " +
           f"commit=${s.commitMs}%7dms stateRowsMax=${s.maxStateRows}%8d " +
@@ -313,7 +326,8 @@ object StreamScaleProbe {
       axisJson("e3_users", usersE3), churnJson).filter(_.nonEmpty)
     println(s"""{"metric":"stream_scale_probe","base_sf":"$sfDir",""" +
       s""""copies":${copies.mkString("[", ",", "]")},"reps":$reps,""" +
-      s""""parts":$parts,"store":"$stateStore",${sections.mkString(",")}}""")
+      s""""parts":$parts,"store":"$stateStore","span_batches":$spanBatches,""" +
+      sections.mkString(",") + "}")
     spark.stop()
   }
 }

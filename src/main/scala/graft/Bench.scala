@@ -110,8 +110,13 @@ object Bench {
     // holds per executor: a
     // handful of stores per executor core, scaled out by executor
     // count, not 4x-oversubscribed per core.
-    val streamParts =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", deploymentStreamParts)
+    // validated at startup like partsProbeValues: the value is
+    // interpolated unquoted into both JSON artifacts, so a malformed
+    // env var must fail HERE, not corrupt the lines after a full sweep
+    val streamParts: Int = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$t'")))
+      .getOrElse(deploymentStreamParts)
     // State-partition sensitivity probe values (detail-file only; see the
     // probe block after the streaming sweep). Default "16": one extra e4
     // rollup run per sweep, so every round's BENCH_DETAIL carries at
@@ -712,7 +717,7 @@ object Bench {
     * (docs/STREAM_ATTRIBUTION.md "Model" section has the full
     * attribution). BenchFormatSpec pins field emission and this value.
     */
-  private[graft] val deploymentStreamParts = "8"
+  private[graft] val deploymentStreamParts = 8
 
   /** One streaming rep's summed per-batch progress: batch count,
     * triggerExecution and addBatch totals, state-commit total, and the
@@ -867,7 +872,7 @@ object Bench {
       calibMean: Double = -1.0, calibRatio: Option[Double] = None,
       noisyReps: Int = 0, streamComputeSec: Double = -1.0,
       streamComputeCov: Option[(Int, Int)] = None,
-      streamParts: String = deploymentStreamParts,
+      streamParts: Int = deploymentStreamParts,
       tailBudget: Int = 1850): String = {
     val errField =
       if (errorNames.isEmpty) ""

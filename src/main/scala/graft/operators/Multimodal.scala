@@ -69,28 +69,48 @@ object Multimodal {
     * scale some payloads ARE hostile or corrupt and a poison row must
     * not kill a 100-partition stage.
     */
+  /** The one place that owns ImageIO reader scaffolding (input stream,
+    * reader lookup, setInput, dispose/close, catch-Exception): both the
+    * still-image path and the GIF frame path run their body through it,
+    * so a fix to reader lifecycle or the catch policy lands once.
+    * `seekForwardOnly` is the only knob the two paths differ on.
+    */
+  private def withImageReader[T](bytes: Array[Byte], seekForwardOnly: Boolean)(
+      f: javax.imageio.ImageReader => Option[T]): Option[T] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, seekForwardOnly, true)
+            f(reader)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Declared frame dimensions pass the pixel cap (header-only — no
+    * raster allocation happens before this check).
+    */
+  private def frameWithinCap(reader: javax.imageio.ImageReader, i: Int,
+      maxPixels: Long): Boolean = {
+    val w = reader.getWidth(i).toLong
+    val h = reader.getHeight(i).toLong
+    w > 0 && h > 0 && w * h <= maxPixels
+  }
+
   private[operators] def readImage(bytes: Array[Byte],
       maxPixels: Long = maxDecodePixels)
       : Option[(String, java.awt.image.BufferedImage)] =
     imageKind(bytes).flatMap { kind =>
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers == null || !readers.hasNext) None
-          else {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              val w = reader.getWidth(0).toLong
-              val h = reader.getHeight(0).toLong
-              if (w <= 0 || h <= 0 || w * h > maxPixels) None
-              else Option(reader.read(0)).map((kind, _))
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch { case _: Exception => None }
+      withImageReader(bytes, seekForwardOnly = true) { reader =>
+        if (!frameWithinCap(reader, 0, maxPixels)) None
+        else Option(reader.read(0)).map((kind, _))
+      }
     }
 
   /** Rec. 601 luma statistics over the ARGB pixels: normalized
@@ -197,13 +217,24 @@ object Multimodal {
     * `Graphics2D` transform to fit the box (aspect preserved, never
     * upscaled) and re-encoded as PNG — the lossless JDK-native codec,
     * so a resized payload re-decodes through [[decodeFeatures]] with
-    * the target dimensions. Images already inside the box pass through
-    * byte-identical.
+    * the target dimensions.
     *
-    * Non-image payloads (and images the guard refuses) take the opaque
-    * fallback: a strided byte downsample to at most `targetBytes`
-    * (pass-through when already small enough) — a size cap, not an
-    * image operation, kept for schema parity across modalities.
+    * The size contract is modality-shaped, and every row is bounded:
+    *   - image rows are bounded by the BOX — at most
+    *     `max(targetBytes, ~4·imageBox² + slack)` bytes, the cost of a
+    *     lossless encode of a box-fit raster. An in-box image bloated
+    *     past that ceiling (ancillary chunks can carry megabytes on a
+    *     tiny raster) is re-encoded at its own dimensions, stripping
+    *     the bloat, instead of riding through byte-identical; only
+    *     in-box images under the ceiling pass through untouched. A
+    *     strided byte cap would be garbage-not-an-image, so it is the
+    *     last resort only when no box down to 8px encodes under the
+    *     ceiling.
+    *   - non-image payloads (and images the guard refuses) take the
+    *     opaque fallback: a strided byte downsample to at most
+    *     `targetBytes` (pass-through when already small enough) — a
+    *     size cap, not an image operation, kept for schema parity
+    *     across modalities.
     */
   def resizePayload(assets: DataFrame, targetBytes: Int,
       imageBox: Int = 256): DataFrame = {
@@ -229,26 +260,36 @@ object Multimodal {
         res
       }
 
-    def scaleToBox(img: java.awt.image.BufferedImage): Option[Array[Byte]] = {
+    // bilinear rescale to fit `box` (never upscales) + PNG re-encode.
+    // None when ImageIO has no PNG writer (cannot happen on a stock JDK,
+    // but the fallback must exist).
+    def encodeScaled(img: java.awt.image.BufferedImage, box: Int): Option[Array[Byte]] = {
       val w = img.getWidth; val h = img.getHeight
-      if (w <= imageBox && h <= imageBox) None // caller passes through
-      else {
-        val scale = imageBox.toDouble / math.max(w, h)
-        val tw = math.max(1, math.round(w * scale).toInt)
-        val th = math.max(1, math.round(h * scale).toInt)
-        val out = new java.awt.image.BufferedImage(tw, th,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, tw, th, null)
-        } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
-        else None
-      }
+      val scale = math.min(1.0, box.toDouble / math.max(w, h))
+      val tw = math.max(1, math.round(w * scale).toInt)
+      val th = math.max(1, math.round(h * scale).toInt)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
+      else None
     }
+
+    // the IMAGE-path size bound: what a ≤box×box raster can cost as a
+    // lossless PNG (raw RGB + filter/zlib/header slack), or targetBytes
+    // if that is larger. An in-box image under this ceiling passes
+    // through; one bloated past it (ancillary chunks can be arbitrary
+    // megabytes on a tiny raster) is re-encoded at its own dimensions,
+    // which strips the bloat — so every image row is bounded by the BOX,
+    // not by whatever the source container carried
+    val imageByteCeiling =
+      math.max(targetBytes.toLong, 4L * imageBox * imageBox + 4096L)
 
     assets.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -258,7 +299,22 @@ object Multimodal {
           if (bytes == null) null
           else readImage(bytes) match {
             case Some((_, img)) =>
-              scaleToBox(img).getOrElse(bytes) // within box -> pass-through
+              if (img.getWidth <= imageBox && img.getHeight <= imageBox &&
+                  bytes.length <= imageByteCeiling) bytes
+              else {
+                var box = imageBox
+                var res = encodeScaled(img, box).getOrElse(strided(bytes))
+                // belt-and-suspenders: the box-fit PNG is ≤ the ceiling
+                // by construction; if an encoder surprise exceeds it
+                // anyway, halve the box (floor 8px) before giving up to
+                // the opaque cap — an image row must stay a valid image
+                // wherever one can be encoded
+                while (res.length > imageByteCeiling && box > 8) {
+                  box /= 2
+                  res = encodeScaled(img, box).getOrElse(res)
+                }
+                if (res.length <= imageByteCeiling) res else strided(res)
+              }
             case None => strided(bytes)
           }
         Row.fromSeq(r.toSeq.updated(pIdx, out))
@@ -267,44 +323,36 @@ object Multimodal {
   }
 
   /** Per-frame stats of a multi-frame GIF: (frame index, width, height,
-    * mean luminance) for each requested index that exists. Frames are
-    * index-selected `ImageReader.read(i)` calls — the reader decodes
-    * each raw frame raster (no disposal compositing; sampling reads
-    * frames, it does not replay the animation). Every frame passes the
-    * same declared-dimension guard as [[readImage]]. None when the
-    * payload is not a readable GIF.
+    * mean luminance) for each requested index that exists and decodes.
+    * Frames are index-selected `ImageReader.read(i)` calls — the reader
+    * decodes each raw frame raster (no disposal compositing; sampling
+    * reads frames, it does not replay the animation). Every frame
+    * passes the same declared-dimension guard as [[readImage]], and a
+    * frame that fails mid-decode is SKIPPED, not fatal: one truncated
+    * frame must not discard siblings that already decoded, nor flip a
+    * readable GIF to the opaque path. None only when the payload is not
+    * a readable GIF at all; a readable GIF where no requested frame
+    * survives returns Some(empty) — zero rows downstream, never a
+    * mislabeled "opaque". `indices` are used as given (the caller
+    * pre-normalizes to distinct+sorted once, off the per-row hot path).
     */
   private[operators] def gifFrameStats(bytes: Array[Byte], indices: Seq[Int],
       maxPixels: Long = maxDecodePixels): Option[Seq[(Int, Int, Int, Double)]] =
     imageKind(bytes).filter(_ == "gif").flatMap { _ =>
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers == null || !readers.hasNext) None
-          else {
-            val reader = readers.next()
-            try {
-              // seekForwardOnly=false: getNumImages(true) must scan the
-              // whole stream, and read(i) may then revisit earlier frames
-              reader.setInput(iis, false, true)
-              val n = reader.getNumImages(true)
-              val out = indices.distinct.sorted.filter(i => i >= 0 && i < n)
-                .flatMap { i =>
-                  val w = reader.getWidth(i).toLong
-                  val h = reader.getHeight(i).toLong
-                  if (w <= 0 || h <= 0 || w * h > maxPixels) None
-                  else Option(reader.read(i)).map { img =>
-                    val (_, mean, _) = lumStats(img, 2)
-                    (i, img.getWidth, img.getHeight, mean)
-                  }
-                }
-              if (out.isEmpty) None else Some(out)
-            } finally reader.dispose()
-          }
-        } finally iis.close()
-      } catch { case _: Exception => None }
+      // seekForwardOnly=false: getNumImages(true) must scan the whole
+      // stream, and read(i) may then revisit earlier frames
+      withImageReader(bytes, seekForwardOnly = false) { reader =>
+        val n = reader.getNumImages(true)
+        Some(indices.filter(i => i >= 0 && i < n).flatMap { i =>
+          try {
+            if (!frameWithinCap(reader, i, maxPixels)) None
+            else Option(reader.read(i)).map { img =>
+              val (_, mean, _) = lumStats(img, 2)
+              (i, img.getWidth, img.getHeight, mean)
+            }
+          } catch { case _: Exception => None } // poison frame: skip it
+        })
+      }
     }
 
   /** REAL frame sampling over the binary payload column, mapPartitions

@@ -96,7 +96,12 @@ object StreamScaleProbe {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    // parts is interpolated unquoted into the JSON line — validate at
+    // startup, never after a run's worth of measurements
+    val parts: Int = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$t'")))
+      .getOrElse(8)
     val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_REPS", "2").toInt
     val copies = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_COPIES", "3,10")
@@ -319,15 +324,23 @@ object StreamScaleProbe {
             s""""wall_sec":${f"${s.wallSec}%.3f"},"add_batch_ms":${s.addBatchMs},""" +
             s""""commit_ms":${s.commitMs}}"""
         }.mkString("[", ",", "]")
-        s""""session_churn":$body"""
+        // churn deliberately runs ONE rep (the state-row curve is
+        // deterministic; wall time is secondary) — say so in the
+        // artifact, next to the top-level reps the scaling axes use,
+        // so single-measurement wall times cannot read as min-of-reps
+        s""""session_churn":$body,"churn_reps":1"""
       }
     val sections = Seq(
       axisJson("e3_volume", volumeE3), axisJson("e5_volume", volumeE5),
       axisJson("e3_users", usersE3), churnJson).filter(_.nonEmpty)
+    // sections may ALL be empty (axes filtered out): the separating
+    // comma belongs to the join, never the fixed prefix, or the line
+    // ends ",}" and the whole run's output is unparseable
+    val sectionsTail = if (sections.isEmpty) "" else "," + sections.mkString(",")
     println(s"""{"metric":"stream_scale_probe","base_sf":"$sfDir",""" +
       s""""copies":${copies.mkString("[", ",", "]")},"reps":$reps,""" +
-      s""""parts":$parts,"store":"$stateStore","span_batches":$spanBatches,""" +
-      sections.mkString(",") + "}")
+      s""""parts":$parts,"store":"$stateStore","span_batches":$spanBatches""" +
+      sectionsTail + "}")
     spark.stop()
   }
 }

@@ -119,9 +119,9 @@ class BenchFormatSpec extends AnyFunSuite {
       "BENCH_DETAIL.json", Nil, sf)
     assert((JsonMethods.parse(s) \ "stream_parts") == JInt(8))
     val custom = Bench.compactArtifact(few, 0.34, 5.0, "rocksdb", calib,
-      "BENCH_DETAIL.json", Nil, sf, streamParts = "2")
+      "BENCH_DETAIL.json", Nil, sf, streamParts = 2)
     assert((JsonMethods.parse(custom) \ "stream_parts") == JInt(2))
-    assert(Bench.deploymentStreamParts == "8",
+    assert(Bench.deploymentStreamParts == 8,
       "changing the streaming parts default invalidates the committed " +
         "parts-vs-commit justification — update docs/STREAM_ATTRIBUTION.md " +
         "and this pin together")

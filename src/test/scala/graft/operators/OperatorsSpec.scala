@@ -612,6 +612,46 @@ class OperatorsSpec extends SparkSpec {
     assert(byKey((1L, 7)).getAs[String]("sample_hex") == "") // past the end
   }
 
+  test("multimodal edge contracts: no-frame GIF emits zero rows; bloated in-box image re-encodes") {
+    // a 2-frame GIF where every REQUESTED index is out of range: the
+    // payload is a perfectly readable GIF, so it must yield ZERO rows —
+    // not flip to 'opaque' hex slices of compressed GIF bytes (which
+    // would mislabel valid media for any consumer keying on kind)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (1 to 2).foreach(_ =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    val gifAssets = Multimodal.asAssets(
+      Seq((0L, gif)).toDF("doc_id", "payload"), "doc_id", col("payload"), "video")
+    assert(Multimodal.sampleFrames(gifAssets, Seq(5, 9)).collect().isEmpty)
+    // unit level: readable GIF + no surviving frame = Some(empty), not None
+    assert(Multimodal.gifFrameStats(gif, Seq(5, 9)).contains(Seq.empty))
+
+    // an IN-BOX image towing 200 KB of post-IEND junk: it decodes fine
+    // (readers stop at IEND), but riding through byte-identical would
+    // let a hostile container carry arbitrary bytes past the resize —
+    // the image byte ceiling forces a re-encode at the image's own
+    // dimensions, stripping the bloat while keeping a valid image
+    val bloated = imagePayload("png", 8, 4) ++ Array.fill(200000)('A'.toByte)
+    assert(Multimodal.readImage(bloated).nonEmpty) // premise: decodable
+    val resized = Multimodal.resizePayload(
+      Multimodal.asAssets(Seq((0L, bloated)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "image"),
+      targetBytes = 32, imageBox = 16).collect().head
+      .getAs[Array[Byte]]("payload")
+    assert(resized.length < 6000, s"bloat must be stripped, got ${resized.length}")
+    val (k, re) = Multimodal.readImage(resized).get
+    assert(k == "png" && re.getWidth == 8 && re.getHeight == 4)
+  }
+
   test("multimodal asset stats") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
       .filter(col("asset_id") === 0L).collect().head

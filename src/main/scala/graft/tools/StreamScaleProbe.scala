@@ -111,7 +111,7 @@ object StreamScaleProbe {
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).sorted
     val churnUsers = sys.env.getOrElse("SPARK_GRAFT_CHURN_USERS", "500").toInt
     val axes = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_AXES",
-      "volume,users,churn").split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet
+      "volume,users,churn,e6").split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -149,6 +149,11 @@ object StreamScaleProbe {
     implicit val eventEnc: Encoder[StreamOps.Event] =
       Encoders.product[StreamOps.Event]
     implicit val docEnc: Encoder[StreamOps.Doc] = Encoders.product[StreamOps.Doc]
+    implicit val clickEnc: Encoder[(Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val buyEnc: Encoder[(Long, java.sql.Timestamp, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaDouble)
     implicit val sc = spark.sqlContext
 
     def replay[T](rows: IndexedSeq[T], nBatches: Int,
@@ -162,6 +167,39 @@ object StreamScaleProbe {
       try {
         rows.grouped(math.max(1, rows.length / nBatches))
           .foreach { b => in.addData(b); q.processAllAvailable() }
+        statsOf(q, (System.nanoTime() - t0) / 1e9)
+      } finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(ckpt.toFile)
+      }
+    }
+
+    // two-input twin (same lockstep discipline as Bench.replay2: a left
+    // chunk + a right chunk per drain, so both watermarks advance
+    // together and join-state expiry stays inside the measurement)
+    def replay2[A, B](lRows: IndexedSeq[A], rRows: IndexedSeq[B], nBatches: Int,
+        mk: (Dataset[A], Dataset[B]) => org.apache.spark.sql.DataFrame)(
+        implicit ea: Encoder[A], eb: Encoder[B]): RunStats = {
+      require(lRows.length == rRows.length,
+        "replay2 drives both watermarks in lockstep; equal lengths required")
+      val li = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+      val ri = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sscale_ckpt")
+      val q = mk(li.toDS(), ri.toDS()).writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        val lc = lRows.grouped(math.max(1, lRows.length / nBatches)).toSeq
+        val rc = rRows.grouped(math.max(1, rRows.length / nBatches)).toSeq
+        lc.zip(rc).foreach { case (lb, rb) =>
+          val _ = li.addData(lb)
+          val __ = ri.addData(rb)
+          q.processAllAvailable()
+        }
         statsOf(q, (System.nanoTime() - t0) / 1e9)
       } finally {
         q.stop()
@@ -250,6 +288,13 @@ object StreamScaleProbe {
     // warmup (not timed): small replay compiles the streaming plans
     best(baseEvents.take(2000), 3, sessionizeBench)
     bestDocs(baseDocs.take(300), 3, neardedup)
+    if (axes("e6")) {
+      val warmEvents = baseEvents.take(1000)
+      replay2(graft.streaming.StreamBenchShapes.clicksOf(warmEvents),
+        graft.streaming.StreamBenchShapes.buysOf(warmEvents), 2,
+        graft.streaming.StreamBenchShapes.intervalJoinQuery)
+      ()
+    }
 
     // span-batches mode: batch COUNT scales with the copies (batch SIZE
     // and event-time span per batch stay constant) — the deployment
@@ -280,6 +325,38 @@ object StreamScaleProbe {
     val usersE3 =
       if (axes("users")) runScales[StreamOps.Event](userOverlaidEvents,
         (r, b) => best(r, b, sessionizeBench)) else Seq.empty
+
+    // e6 volume axis: the stream-stream interval join (the bench's
+    // heaviest streaming entry) over time-extended click/buy copies —
+    // same users, same arrival density, xN the wall span. Join state is
+    // the rows buffered inside the watermark horizon on each side, so
+    // at constant density it should stay ~flat while compute tracks
+    // rows. Inputs/parameters come from StreamBenchShapes (the one
+    // definition site shared with the bench), so this measures exactly
+    // the query the bench wall-clocks.
+    lazy val baseClicks = graft.streaming.StreamBenchShapes.clicksOf(baseEvents)
+    lazy val baseBuys = graft.streaming.StreamBenchShapes.buysOf(baseEvents)
+    def timeExtendedClicks(n: Int): IndexedSeq[(Long, java.sql.Timestamp)] =
+      (0 until n).flatMap(i => baseClicks.map { case (u, ts) =>
+        (u, new java.sql.Timestamp(ts.getTime + i * evSpanMs)) })
+    def timeExtendedBuys(n: Int): IndexedSeq[(Long, java.sql.Timestamp, Double)] =
+      (0 until n).flatMap(i => baseBuys.map { case (u, ts, v) =>
+        (u, new java.sql.Timestamp(ts.getTime + i * evSpanMs), v) })
+    val volumeE6: Seq[(Int, RunStats)] =
+      if (!axes("e6")) Seq.empty
+      else (1 +: copies).map { n =>
+        val (lc, rc) = (timeExtendedClicks(n), timeExtendedBuys(n))
+        val stats = (1 to reps).map { _ =>
+          val s = replay2(lc, rc, if (spanBatches) 10 * n else 10,
+            graft.streaming.StreamBenchShapes.intervalJoinQuery)
+          settle(); s
+        }.minBy(_.wallSec)
+        System.err.println(f"[sscale] e6  ${n}%3dx rows=${lc.length}%8d " +
+          f"wall=${stats.wallSec}%7.2fs addBatch=${stats.addBatchMs}%7dms " +
+          f"commit=${stats.commitMs}%7dms stateRowsMax=${stats.maxStateRows}%8d " +
+          f"stateMB=${stats.maxStateBytes / 1e6}%8.1f")
+        (n, stats)
+      }
 
     // churn: one micro-batch per cohort; reps=1 — the state-row curve is
     // deterministic and is the datum (wall time is secondary here)
@@ -332,7 +409,8 @@ object StreamScaleProbe {
       }
     val sections = Seq(
       axisJson("e3_volume", volumeE3), axisJson("e5_volume", volumeE5),
-      axisJson("e3_users", usersE3), churnJson).filter(_.nonEmpty)
+      axisJson("e3_users", usersE3), axisJson("e6_volume", volumeE6),
+      churnJson).filter(_.nonEmpty)
     // sections may ALL be empty (axes filtered out): the separating
     // comma belongs to the join, never the fixed prefix, or the line
     // ends ",}" and the whole run's output is unparseable

@@ -111,7 +111,8 @@ object StreamScaleProbe {
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt).sorted
     val churnUsers = sys.env.getOrElse("SPARK_GRAFT_CHURN_USERS", "500").toInt
     val axes = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_AXES",
-      "volume,users,churn,e6").split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet
+      "volume,users,churn,e4,e6")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -325,6 +326,15 @@ object StreamScaleProbe {
     val usersE3 =
       if (axes("users")) runScales[StreamOps.Event](userOverlaidEvents,
         (r, b) => best(r, b, sessionizeBench)) else Seq.empty
+    // e4 volume: the windowed-aggregation state shape (hourly tumbling
+    // windows + watermark). State rows = open windows, bounded by the
+    // window/watermark span — flat under time-extension in span-batches
+    // mode, batch-span-bounded otherwise (same artifact family as e5)
+    val volumeE4 =
+      if (axes("e4")) runScales[StreamOps.Event](timeExtendedEvents,
+        (r, b) => best(r, b,
+          (ds: Dataset[StreamOps.Event]) => StreamOps.hourlyRollup(ds.toDF())))
+      else Seq.empty
 
     // e6 volume axis: the stream-stream interval join (the bench's
     // heaviest streaming entry) over time-extended click/buy copies —
@@ -409,8 +419,8 @@ object StreamScaleProbe {
       }
     val sections = Seq(
       axisJson("e3_volume", volumeE3), axisJson("e5_volume", volumeE5),
-      axisJson("e3_users", usersE3), axisJson("e6_volume", volumeE6),
-      churnJson).filter(_.nonEmpty)
+      axisJson("e3_users", usersE3), axisJson("e4_volume", volumeE4),
+      axisJson("e6_volume", volumeE6), churnJson).filter(_.nonEmpty)
     // sections may ALL be empty (axes filtered out): the separating
     // comma belongs to the join, never the fixed prefix, or the line
     // ends ",}" and the whole run's output is unparseable

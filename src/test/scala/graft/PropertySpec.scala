@@ -312,6 +312,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("value-domain trim equals the row-rank trim on random data (a13 rewrite)") {
+    // the round-12 a13 plan rewrote a row_number trim into a
+    // (group, cents) bucket trim on the argument that every output is
+    // tie-independent; the sf0.001 oracle pins one dataset — this pins
+    // the equivalence across seeded random data with DELIBERATELY heavy
+    // duplicate prices, including at the trim boundary (the exact case
+    // the tie argument is about)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    (1 to 5).foreach { caseNo =>
+      val n = 40 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        // few distinct prices (heavy ties) across 2 groups
+        (if (rnd.nextBoolean()) "A" else "R", i.toLong, i % 7,
+          (1 + rnd.nextInt(12)) * 10.0 + (if (rnd.nextBoolean()) 0.07 else 0.0))
+      }
+      val df = rows.toDF("flag", "ok", "ln", "price")
+        .select(col("flag"), col("ok"), col("ln"),
+          round(col("price") * 100).cast("long").as("cents"))
+
+      // reference: the r11 row-rank form, verbatim semantics
+      val wOrd = Window.partitionBy("flag").orderBy(col("cents"), col("ok"), col("ln"))
+      val wAll = Window.partitionBy("flag")
+      val ranked = df
+        .select(col("flag"), col("cents"),
+          row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") > floor(col("n") * 5 / 100) &&
+          col("rn") <= col("n") - floor(col("n") * 5 / 100))
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_kept"), (min("cents") / 100.0).as("lo"),
+          (max("cents") / 100.0).as("hi"),
+          round(sum("cents") / 100.0 / count(lit(1)), 6).as("trimmed_mean"))
+        .orderBy("flag").collect().toSeq
+
+      // the r12 value-domain form (same shape as SparkEntry's a13)
+      val wCum = Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val k = floor(col("n") * 5 / 100)
+      val bucketed = df
+        .groupBy("flag", "cents").agg(count(lit(1)).as("cnt"))
+        .select(col("flag"), col("cents"), col("cnt"),
+          sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+        .select(col("flag"), col("cents"),
+          greatest(lit(0L), least(col("cum"), col("n") - k) -
+            greatest(col("cum") - col("cnt"), k)).as("kept"))
+        .filter(col("kept") > 0)
+        .groupBy("flag")
+        .agg(sum("kept").as("n_kept"), (min("cents") / 100.0).as("lo"),
+          (max("cents") / 100.0).as("hi"),
+          round(sum(col("cents") * col("kept")) / 100.0 / sum("kept"), 6)
+            .as("trimmed_mean"))
+        .orderBy("flag").collect().toSeq
+
+      assert(ranked == bucketed, s"case=$caseNo n=$n")
+    }
+  }
+
   test("histogram quantiles bracket the exact quantile within one bin") {
     import org.apache.spark.sql.functions.col
     val xs = Seq.fill(300)(rnd.nextDouble() * 1000.0)

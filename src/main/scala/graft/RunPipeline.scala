@@ -193,6 +193,30 @@ object RunPipeline {
     val n = spark.table("rollup").count()
     val top = spark.table("rollup").orderBy(col("hour_us")).limit(3).collect()
     println(s"[streaming] hourly rollup rows=$n first=${top.mkString(" ")}")
+
+    // second leg: bounded-state sessionization over the same file stream
+    // — the event-time-watermark mode (gap rule drives the state
+    // timeout; keys removed at flush), i.e. the production shape the
+    // state-scale probe measures. The watermark-advance batch after the
+    // file's data batch flushes every session whose end+gap the
+    // watermark passed, so a bounded replay emits all but the tail.
+    import spark.implicits._
+    val events = stream
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[graft.streaming.StreamOps.Event]
+    val q2 = graft.streaming.StreamOps
+      .sessionize(events, timestampIds = true,
+        eventTimeWatermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    val stateRows =
+      q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q2.stop()
+    val ns = spark.table("sessions").count()
+    require(ns > 0, "sessionize leg emitted no sessions")
+    println(s"[streaming] sessions rows=$ns state_rows=$stateRows " +
+      s"(open sessions only — evicted keys are removed, not marked)")
     spark.stop()
   }
 }

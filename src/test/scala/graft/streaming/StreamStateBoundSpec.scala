@@ -87,6 +87,40 @@ class StreamStateBoundSpec extends SparkSpec {
       s"counter mode retains one record per user ever seen, got ${rows6.last}")
   }
 
+  test("counter mode + event-time eviction: dormant marker survives the flush, ids stay dense") {
+    import spark.implicits._
+    // the counter-mode contract under the event-time clock: a watermark
+    // flush emits the open session but KEEPS the counter as a dormant
+    // marker (state rows do not drop), so a user returning after
+    // eviction continues 1,2,3... instead of restarting at 1 and
+    // colliding with an already-emitted (user, session_id) key
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(id: Long, user: Long, min: Long): Event =
+      Event(user, id, new Timestamp(t0 + min * 60000L), 1.0)
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMin,
+        eventTimeWatermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("scnt").outputMode("append")
+      .start()
+    try {
+      input.addData(ev(1, 7, 0), ev(2, 7, 5))
+      q.processAllAvailable()
+      input.addData(ev(3, 9, 200)) // watermark -> flush user 7's session 1
+      q.processAllAvailable()
+      val afterFlush = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      input.addData(ev(4, 7, 400)) // user 7 returns after eviction
+      input.addData(ev(5, 9, 800)) // watermark far past user 7's return
+      q.processAllAvailable()
+      val out = spark.table("scnt").as[Session].collect()
+        .filter(_.user_id == 7L).sortBy(_.start_us)
+      assert(out.map(_.session_id).toSeq == Seq(1L, 2L),
+        s"dense ids must continue across the flush, got ${out.toSeq}")
+      // the marker holds state for user 7 even though its session closed
+      assert(afterFlush >= 2, s"dormant marker must persist, state=$afterFlush")
+    } finally q.stop()
+  }
+
   test("event-time eviction emits exactly the gap-rule sessions with monotonic ids") {
     import spark.implicits._
     // one user, two sessions split by a > gap quiet period, then a third

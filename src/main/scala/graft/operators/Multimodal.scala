@@ -211,15 +211,20 @@ object Multimodal {
     }
   }
 
-  /** REAL image resize, mapPartitions form: payloads that decode (PNG/
-    * JPEG/GIF behind the [[readImage]] dimension guard) and exceed the
+  /** REAL image resize, mapPartitions form: STILL payloads that decode
+    * (PNG/JPEG behind the [[readImage]] dimension guard) and exceed the
     * `imageBox` bounding square are rescaled with a bilinear
     * `Graphics2D` transform to fit the box (aspect preserved, never
-    * upscaled) and re-encoded as PNG — the lossless JDK-native codec,
-    * so a resized payload re-decodes through [[decodeFeatures]] with
-    * the target dimensions.
+    * upscaled, alpha preserved) and re-encoded as PNG — the lossless
+    * JDK-native codec, so a resized payload re-decodes through
+    * [[decodeFeatures]] with the target dimensions. GIF payloads pass
+    * through untransformed: the container may be animated, and the only
+    * thing this path could emit is a frame-0 still — silently
+    * discarding frames is corruption, not resizing, so multi-frame
+    * media is left to [[sampleFrames]]/[[decodeFeatures]] and a GIF's
+    * bytes are (documentedly) not size-bounded here.
     *
-    * The size contract is modality-shaped, and every row is bounded:
+    * The size contract for the bounded modalities:
     *   - image rows are bounded by the BOX — at most
     *     `max(targetBytes, ~4·imageBox² + slack)` bytes, the cost of a
     *     lossless encode of a box-fit raster. An in-box image bloated
@@ -260,16 +265,21 @@ object Multimodal {
         res
       }
 
-    // bilinear rescale to fit `box` (never upscales) + PNG re-encode.
-    // None when ImageIO has no PNG writer (cannot happen on a stock JDK,
-    // but the fallback must exist).
+    // bilinear rescale to fit `box` (never upscales) + PNG re-encode,
+    // in ARGB when the source carries alpha — flattening a transparent
+    // PNG to an RGB raster would black-fill its transparency, which is
+    // data corruption, not resizing. None when ImageIO has no PNG
+    // writer (cannot happen on a stock JDK, but the fallback must
+    // exist).
     def encodeScaled(img: java.awt.image.BufferedImage, box: Int): Option[Array[Byte]] = {
       val w = img.getWidth; val h = img.getHeight
       val scale = math.min(1.0, box.toDouble / math.max(w, h))
       val tw = math.max(1, math.round(w * scale).toInt)
       val th = math.max(1, math.round(h * scale).toInt)
       val out = new java.awt.image.BufferedImage(tw, th,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+        if (img.getColorModel.hasAlpha)
+          java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
       try {
         g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -298,6 +308,14 @@ object Multimodal {
         val out =
           if (bytes == null) null
           else readImage(bytes) match {
+            // GIFs pass through UNTRANSFORMED: the container may be
+            // animated, and a frame-0 re-encode (all this path could
+            // produce) would silently discard every other frame — a
+            // downstream sampleFrames would then see a still where the
+            // source had frames. Multi-frame resize is out of this
+            // operator's scope; the documented trade is that a GIF's
+            // bytes are not size-bounded here.
+            case Some(("gif", _)) => bytes
             case Some((_, img)) =>
               if (img.getWidth <= imageBox && img.getHeight <= imageBox &&
                   bytes.length <= imageByteCeiling) bytes

@@ -21,6 +21,13 @@ import graft.streaming.StreamOps
   *     users xN at constant wall span. State should scale ~linearly
   *     with the concurrency, which is the other half of the claim:
   *     state follows concurrent-active keys in BOTH directions.
+  *   - `e4_volume` / `e6_volume`: the remaining bench entries under the
+  *     same time-extended growth — e4's tumbling-window aggregation
+  *     (state = open windows, bounded by the window/watermark span) and
+  *     e6's stream-stream interval join (two-input lockstep replay;
+  *     state = rows buffered inside the two-sided watermark horizon).
+  *     With e3/e5 these give every Bench streaming entry a measured
+  *     volume curve.
   *   - `session_churn`: the designed contrast measured directly — W
   *     cohorts of K users each, active in disjoint time windows
   *     (users-ever-seen = W*K grows; concurrent-active = K constant),
@@ -53,7 +60,13 @@ import graft.streaming.StreamOps
   * (default 8), SPARK_GRAFT_STATE_STORE (rocksdb|hdfs),
   * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CHURN_COHORTS (default
   * "5,50"), SPARK_GRAFT_CHURN_USERS (cohort size, default 500),
-  * SPARK_GRAFT_STREAM_SCALE_AXES (default "volume,users,churn").
+  * SPARK_GRAFT_STREAM_SCALE_AXES (default "volume,users,churn,e4,e6"),
+  * SPARK_GRAFT_STREAM_SCALE_SPAN_BATCHES=1 (batch COUNT scales with the
+  * copies at constant event-time span per batch — the trigger-interval
+  * << horizon deployment shape; REQUIRED for any state-peak claim, else
+  * the peak measures rows-per-batch, not the horizon),
+  * SPARK_GRAFT_BOUNDED_MEM (default true; false isolates block-cache
+  * pressure in a superlinear compute segment).
   *
   * A measurement tool, not part of any pipeline or the bench artifact.
   */
@@ -216,17 +229,14 @@ object StreamScaleProbe {
     /** min-wall rep of a replay (same min-of-reps contract as the batch
       * probe); state-size fields come from the min rep too — they are
       * deterministic across reps, so the choice only matters for bytes.
+      * ONE definition for every axis (single- and two-input alike): a
+      * change to the rep/settle discipline must reach them all at once.
       */
-    def best(rows: => IndexedSeq[StreamOps.Event], nBatches: Int,
-        mk: Dataset[StreamOps.Event] => Dataset[_]): RunStats = {
-      val r = (1 to reps).map { _ => val s = replay(rows, nBatches, mk); settle(); s }
-      r.minBy(_.wallSec)
-    }
-    def bestDocs(rows: => IndexedSeq[StreamOps.Doc], nBatches: Int,
-        mk: Dataset[StreamOps.Doc] => Dataset[_]): RunStats = {
-      val r = (1 to reps).map { _ => val s = replay(rows, nBatches, mk); settle(); s }
-      r.minBy(_.wallSec)
-    }
+    def bestOf(run: => RunStats): RunStats =
+      (1 to reps).map { _ => val s = run; settle(); s }.minBy(_.wallSec)
+    def best[T](rows: IndexedSeq[T], nBatches: Int,
+        mk: Dataset[T] => Dataset[_])(implicit enc: Encoder[T]): RunStats =
+      bestOf(replay(rows, nBatches, mk))
 
     // ---- base inputs (outside every timed region) ----
     val baseEvents = graft.streaming.StreamBenchShapes.loadEvents(spark, sfDir)
@@ -288,7 +298,7 @@ object StreamScaleProbe {
 
     // warmup (not timed): small replay compiles the streaming plans
     best(baseEvents.take(2000), 3, sessionizeBench)
-    bestDocs(baseDocs.take(300), 3, neardedup)
+    best(baseDocs.take(300), 3, neardedup)
     if (axes("e6")) {
       val warmEvents = baseEvents.take(1000)
       replay2(graft.streaming.StreamBenchShapes.clicksOf(warmEvents),
@@ -305,12 +315,16 @@ object StreamScaleProbe {
     // batch probe's same-query-more-data discipline.
     val spanBatches =
       sys.env.get("SPARK_GRAFT_STREAM_SCALE_SPAN_BATCHES").contains("1")
-    def runScales[T](mkRows: Int => IndexedSeq[T],
-        runOne: (IndexedSeq[T], Int) => RunStats): Seq[(Int, RunStats)] =
+    // one per-scale loop for EVERY axis: builds rows, picks the batch
+    // count (span-batches or fixed 10), reports one LABELED stderr line
+    // per point — four visually identical unlabeled logs were
+    // misattributable across axes
+    def runScales[T](label: String, mkRows: Int => T, count: T => Int,
+        runOne: (T, Int) => RunStats): Seq[(Int, RunStats)] =
       (1 +: copies).map { n =>
         val rows = mkRows(n)
         val s = runOne(rows, if (spanBatches) 10 * n else 10)
-        System.err.println(f"[sscale] ${n}%3dx rows=${rows.length}%8d " +
+        System.err.println(f"[sscale] $label%-9s ${n}%3dx rows=${count(rows)}%8d " +
           f"wall=${s.wallSec}%7.2fs addBatch=${s.addBatchMs}%7dms " +
           f"commit=${s.commitMs}%7dms stateRowsMax=${s.maxStateRows}%8d " +
           f"stateMB=${s.maxStateBytes / 1e6}%8.1f")
@@ -318,20 +332,24 @@ object StreamScaleProbe {
       }
 
     val volumeE3 =
-      if (axes("volume")) runScales[StreamOps.Event](timeExtendedEvents,
+      if (axes("volume")) runScales[IndexedSeq[StreamOps.Event]]("e3_volume",
+        timeExtendedEvents, _.length,
         (r, b) => best(r, b, sessionizeBench)) else Seq.empty
     val volumeE5 =
-      if (axes("volume")) runScales[StreamOps.Doc](timeExtendedDocs,
-        (r, b) => bestDocs(r, b, neardedup)) else Seq.empty
+      if (axes("volume")) runScales[IndexedSeq[StreamOps.Doc]]("e5_volume",
+        timeExtendedDocs, _.length,
+        (r, b) => best(r, b, neardedup)) else Seq.empty
     val usersE3 =
-      if (axes("users")) runScales[StreamOps.Event](userOverlaidEvents,
+      if (axes("users")) runScales[IndexedSeq[StreamOps.Event]]("e3_users",
+        userOverlaidEvents, _.length,
         (r, b) => best(r, b, sessionizeBench)) else Seq.empty
     // e4 volume: the windowed-aggregation state shape (hourly tumbling
     // windows + watermark). State rows = open windows, bounded by the
     // window/watermark span — flat under time-extension in span-batches
     // mode, batch-span-bounded otherwise (same artifact family as e5)
     val volumeE4 =
-      if (axes("e4")) runScales[StreamOps.Event](timeExtendedEvents,
+      if (axes("e4")) runScales[IndexedSeq[StreamOps.Event]]("e4_volume",
+        timeExtendedEvents, _.length,
         (r, b) => best(r, b,
           (ds: Dataset[StreamOps.Event]) => StreamOps.hourlyRollup(ds.toDF())))
       else Seq.empty
@@ -354,19 +372,11 @@ object StreamScaleProbe {
         (u, new java.sql.Timestamp(ts.getTime + i * evSpanMs), v) })
     val volumeE6: Seq[(Int, RunStats)] =
       if (!axes("e6")) Seq.empty
-      else (1 +: copies).map { n =>
-        val (lc, rc) = (timeExtendedClicks(n), timeExtendedBuys(n))
-        val stats = (1 to reps).map { _ =>
-          val s = replay2(lc, rc, if (spanBatches) 10 * n else 10,
-            graft.streaming.StreamBenchShapes.intervalJoinQuery)
-          settle(); s
-        }.minBy(_.wallSec)
-        System.err.println(f"[sscale] e6  ${n}%3dx rows=${lc.length}%8d " +
-          f"wall=${stats.wallSec}%7.2fs addBatch=${stats.addBatchMs}%7dms " +
-          f"commit=${stats.commitMs}%7dms stateRowsMax=${stats.maxStateRows}%8d " +
-          f"stateMB=${stats.maxStateBytes / 1e6}%8.1f")
-        (n, stats)
-      }
+      else runScales[(IndexedSeq[(Long, java.sql.Timestamp)],
+          IndexedSeq[(Long, java.sql.Timestamp, Double)])]("e6_volume",
+        n => (timeExtendedClicks(n), timeExtendedBuys(n)), _._1.length,
+        { case ((lc, rc), b) => bestOf(replay2(lc, rc, b,
+          graft.streaming.StreamBenchShapes.intervalJoinQuery)) })
 
     // churn: one micro-batch per cohort; reps=1 — the state-row curve is
     // deterministic and is the datum (wall time is secondary here)

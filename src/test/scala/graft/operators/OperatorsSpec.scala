@@ -650,6 +650,37 @@ class OperatorsSpec extends SparkSpec {
     assert(resized.length < 6000, s"bloat must be stripped, got ${resized.length}")
     val (k, re) = Multimodal.readImage(resized).get
     assert(k == "png" && re.getWidth == 8 && re.getHeight == 4)
+
+    // a (potentially animated) GIF is NEVER re-encoded by resize — even
+    // towing junk past the byte ceiling — because a frame-0 re-encode
+    // would silently discard frames; it rides through byte-identical
+    // and a downstream sampleFrames still sees every frame
+    val gifBloated = gif ++ Array.fill(200000)('A'.toByte)
+    val gifOut = Multimodal.resizePayload(
+      Multimodal.asAssets(Seq((0L, gifBloated)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "video"),
+      targetBytes = 32, imageBox = 2).collect().head
+      .getAs[Array[Byte]]("payload")
+    assert(gifOut.toSeq == gifBloated.toSeq, "GIF must pass through resize")
+
+    // transparency survives the re-encode: an over-box ARGB PNG keeps
+    // its alpha channel (an RGB flatten would black-fill it)
+    val argb = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      argb.setRGB(x, y, if (x < 16) 0x00000000 else 0xffff0000) // half clear
+    val abos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(argb, "png", abos))
+    val alphaOut = Multimodal.resizePayload(
+      Multimodal.asAssets(Seq((0L, abos.toByteArray)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "image"),
+      targetBytes = 32, imageBox = 16).collect().head
+      .getAs[Array[Byte]]("payload")
+    val (_, aimg) = Multimodal.readImage(alphaOut).get
+    assert(aimg.getWidth == 16 && aimg.getColorModel.hasAlpha,
+      "resized PNG must keep its alpha channel")
+    assert(((aimg.getRGB(1, 8) >>> 24) & 0xff) < 16,
+      "transparent pixels must stay transparent after resize")
   }
 
   test("multimodal asset stats") {

@@ -712,20 +712,68 @@ object SparkEntry {
 
     // Ranking-function suite: rank / dense_rank / ntile / lead over a
     // per-segment value order with deterministic tie-breaks.
+    //
+    // Scale form (round 12, same defect class as a13): the direct
+    // window partitions by c_mktsegment — 5 groups, so 5 tasks carry
+    // every row's sort regardless of cluster size. The ORDER BY
+    // (acctbal DESC, custkey ASC) is a TOTAL order (custkey is unique),
+    // which collapses every ranking function to arithmetic on the
+    // global row_number rn: rank = dense_rank = rn (no two rows tie on
+    // the full tuple), ntile/percent_rank/cume_dist are formulas of
+    // (rn, n), and lead/lag are order-neighbors. rn itself decomposes
+    // into per-(segment, acctbal) windows (high-cardinality partitions,
+    // tie-group-sized sorts) plus a SPINE window over the DISTINCT
+    // acctbal values per segment (value-domain-sized, near-constant as
+    // rows grow): rn = (rows in strictly-greater values) + (position
+    // among this value's ties). Order-neighbors cross value-group
+    // boundaries via the spine's lead/lag of each group's first/last
+    // key. The unchanged direct-window oracle pins equivalence;
+    // PropertySpec pins it on random tie-heavy data.
     "w13_ranking_suite" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      t(s, dir, "customer").select(
-        col("c_custkey"), col("c_mktsegment"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        lead("c_custkey", 1).over(w).as("next_custkey"),
-        lag("c_custkey", 1).over(w).as("prev_custkey"),
-        // exact rationals of (rank-1)/(n-1) and rank/n: identical
-        // doubles on any engine, rounded only as belt-and-braces
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val wVal = Window.partitionBy("c_mktsegment", "c_acctbal")
+        .orderBy(col("c_custkey").asc)
+      val wValAll = Window.partitionBy("c_mktsegment", "c_acctbal")
+      val rows = cust.select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(wVal).cast("long").as("rv"),
+        count(lit(1)).over(wValAll).as("cv"),
+        lead("c_custkey", 1).over(wVal).as("next_in"),
+        lag("c_custkey", 1).over(wVal).as("prev_in"))
+      val wSpine = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc)
+      val wSpineCum = wSpine
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeg = Window.partitionBy("c_mktsegment")
+      val spine = cust.groupBy("c_mktsegment", "c_acctbal")
+        .agg(count(lit(1)).as("cnt"),
+          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          (sum("cnt").over(wSpineCum) - col("cnt")).as("cum_prev"),
+          sum("cnt").over(wSeg).as("n"),
+          lead("min_ck", 1).over(wSpine).as("next_grp_first"),
+          lag("max_ck", 1).over(wSpine).as("prev_grp_last"))
+      val rn = col("cum_prev") + col("rv")
+      // Spark/DuckDB ntile: n%k buckets of size n/k+1 first, n/k after
+      val bs = floor(col("n") / 4)
+      val rem = col("n") % 4
+      val cut = rem * (bs + 1)
+      rows.join(spine, Seq("c_mktsegment", "c_acctbal"))
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          rn.as("rnk"), rn.as("drnk"),
+          when(rn <= cut, floor((rn - 1) / (bs + 1)) + 1)
+            .otherwise(rem + floor((rn - 1 - cut) / bs) + 1)
+            .cast("long").as("quartile"),
+          when(col("rv") < col("cv"), col("next_in"))
+            .otherwise(col("next_grp_first")).as("next_custkey"),
+          when(col("rv") > 1, col("prev_in"))
+            .otherwise(col("prev_grp_last")).as("prev_custkey"),
+          round(when(col("n") === 1, lit(0.0))
+            .otherwise((rn - 1).cast("double") / (col("n") - 1)), 6)
+            .as("pct_rank"),
+          round(rn.cast("double") / col("n"), 6).as("cume"))
     }),
 
     // Time-RANGE window frame (vs the row frames everywhere else): each

@@ -160,7 +160,8 @@ object ScaleProbe {
       "w5_covar_chunked" -> Seq("lineitem"),
       "a13_trimmed_stats" -> Seq("lineitem"),
       "j13_range_join" -> Seq("orders", "lineitem"),
-      "t13_heavy_hitters" -> Seq("documents"))
+      "t13_heavy_hitters" -> Seq("documents"),
+      "w13_ranking_suite" -> Seq("customer"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct

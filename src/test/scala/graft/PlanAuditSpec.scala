@@ -183,6 +183,21 @@ class PlanAuditSpec extends SparkSpec {
       s"a13 regressed to ranking raw rows (3-task sort at scale):\n$p")
   }
 
+  test("ranking suite decomposes: no segment-global ranking window") {
+    // w13's round-12 rewrite (same defect class as a13): the direct
+    // form ranked every customer in a window partitioned by the 5
+    // market segments — 5 tasks regardless of cluster size. The
+    // decomposed plan may only window per (segment, acctbal) tie group
+    // and over the distinct-value spine; ntile is the direct form's
+    // marker function (the rewrite computes it arithmetically), and the
+    // spine must partial-aggregate
+    val p = plan("w13_ranking_suite")
+    assert(!p.contains("ntile"),
+      s"w13 regressed to the segment-global ranking window:\n$p")
+    assert(p.contains("partial_count"),
+      s"w13's spine must partial-aggregate:\n$p")
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

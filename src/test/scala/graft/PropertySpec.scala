@@ -369,6 +369,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decomposed ranking suite equals the direct window on random tie-heavy data (w13 rewrite)") {
+    // the w13 rewrite rests on the total-order collapse (rank =
+    // dense_rank = row_number; ntile/pct/cume are formulas of (rn, n);
+    // neighbors stitch across value groups via the spine) — pinned here
+    // against the direct window on data built to stress it: few
+    // distinct balances (heavy ties), several segments, tiny and odd
+    // group sizes so every ntile remainder branch fires
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    (1 to 5).foreach { caseNo =>
+      val n = 10 + rnd.nextInt(200)
+      val segs = Vector("AUTO", "HOUSE", "SHIP")
+      val df = (0 until n).map { i =>
+        (i.toLong, segs(rnd.nextInt(segs.size)),
+          (rnd.nextInt(8) * 125 - 300).toDouble / 100.0) // heavy ties
+      }.toDF("ck", "seg", "bal")
+
+      val w = Window.partitionBy("seg").orderBy(col("bal").desc, col("ck").asc)
+      val direct = df.select(col("ck"), col("seg"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead("ck", 1).over(w).as("next_ck"),
+        lag("ck", 1).over(w).as("prev_ck"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("seg", "ck").collect().toSeq
+
+      val wVal = Window.partitionBy("seg", "bal").orderBy(col("ck").asc)
+      val wValAll = Window.partitionBy("seg", "bal")
+      val rows = df.select(col("ck"), col("seg"), col("bal"),
+        row_number().over(wVal).cast("long").as("rv"),
+        count(lit(1)).over(wValAll).as("cv"),
+        lead("ck", 1).over(wVal).as("next_in"),
+        lag("ck", 1).over(wVal).as("prev_in"))
+      val wSpine = Window.partitionBy("seg").orderBy(col("bal").desc)
+      val wSpineCum = wSpine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeg = Window.partitionBy("seg")
+      val spine = df.groupBy("seg", "bal")
+        .agg(count(lit(1)).as("cnt"), min("ck").as("min_ck"), max("ck").as("max_ck"))
+        .select(col("seg"), col("bal"),
+          (sum("cnt").over(wSpineCum) - col("cnt")).as("cum_prev"),
+          sum("cnt").over(wSeg).as("n"),
+          lead("min_ck", 1).over(wSpine).as("next_grp_first"),
+          lag("max_ck", 1).over(wSpine).as("prev_grp_last"))
+      val rn = col("cum_prev") + col("rv")
+      val bs = floor(col("n") / 4)
+      val rem = col("n") % 4
+      val cut = rem * (bs + 1)
+      val decomposed = rows.join(spine, Seq("seg", "bal"))
+        .select(col("ck"), col("seg"),
+          rn.as("rnk"), rn.as("drnk"),
+          when(rn <= cut, floor((rn - 1) / (bs + 1)) + 1)
+            .otherwise(rem + floor((rn - 1 - cut) / bs) + 1)
+            .cast("long").as("quartile"),
+          when(col("rv") < col("cv"), col("next_in"))
+            .otherwise(col("next_grp_first")).as("next_ck"),
+          when(col("rv") > 1, col("prev_in"))
+            .otherwise(col("prev_grp_last")).as("prev_ck"),
+          round(when(col("n") === 1, lit(0.0))
+            .otherwise((rn - 1).cast("double") / (col("n") - 1)), 6)
+            .as("pct_rank"),
+          round(rn.cast("double") / col("n"), 6).as("cume"))
+        .orderBy("seg", "ck").collect().toSeq
+
+      assert(direct == decomposed, s"case=$caseNo n=$n")
+    }
+  }
+
   test("histogram quantiles bracket the exact quantile within one bin") {
     import org.apache.spark.sql.functions.col
     val xs = Seq.fill(300)(rnd.nextDouble() * 1000.0)

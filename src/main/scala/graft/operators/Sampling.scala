@@ -107,23 +107,50 @@ object Sampling {
     * the md5 hash of their key (stable lottery, key as tie-break) and
     * only the first `n` survive.
     *
-    * Scale shape: one hash-shuffle on the group column plus a
-    * per-partition sort — the same cost as any groupBy. A single hot
-    * group (one giant domain) serializes into one task's sort, but the
-    * sort key is 16 bytes/row and spills; for pathological domains,
-    * pre-filter with [[hashSample]] to approximately the cap first, then
-    * apply the exact cap to the survivors.
+    * Scale shape (round 12 — the a13/w13 decomposition applied a third
+    * time): the obvious `row_number` over `partitionBy(group)` puts a
+    * hot group's ENTIRE row set through one task's sort. Instead the
+    * hash is range-bucketed by its top bits (buckets are monotone in
+    * hash order), a per-(group, bucket) partial-agg spine cumulates
+    * counts in bucket order, buckets wholly past the cap drop BEFORE
+    * any sort, and the survivors rank inside their bucket only —
+    * `cum_prev + local_rank <= n` keeps exactly the rows the global
+    * rank would (bucket ranges partition the hash order), with the
+    * per-group sort split `buckets` ways and bounded by the pre-filter
+    * to ~cap + one bucket's width. The spine is #groups × buckets rows
+    * — broadcast-sized.
     */
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
-      n: Int): DataFrame = {
+      n: Int, buckets: Int = 1024): DataFrame = {
     require(n > 0, "cap must be positive")
-    require(!df.columns.contains("_caprk"), "input must not contain _caprk")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-      .orderBy(Dedup.hash60("cap", col(keyCol).cast("string")).asc,
-        col(keyCol).asc)
-    df.withColumn("_caprk", row_number().over(w))
-      .filter(col("_caprk") <= n)
-      .drop("_caprk")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      "buckets must be a power of two (hash-prefix ranges)")
+    val tmp = Seq("_caph", "_capb", "_capp", "_caprk")
+    require(!df.columns.exists(tmp.contains), s"input must not contain $tmp")
+    // hash60 is [0, 2^60): top-bit buckets are contiguous hash ranges
+    val shift = 60 - java.lang.Long.numberOfTrailingZeros(buckets.toLong).toInt
+    val withH = df
+      .withColumn("_caph", Dedup.hash60("cap", col(keyCol).cast("string")))
+      .withColumn("_capb", shiftright(col("_caph"), shift))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy("_capb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val spine = withH.groupBy(col(groupCol), col("_capb"))
+      .agg(count(lit(1)).as("_capc"))
+      .select(col(groupCol), col("_capb"),
+        (sum("_capc").over(wCum) - col("_capc")).as("_capp"))
+      .filter(col("_capp") < n) // buckets at/past the crossing never sort
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_capb"))
+      .orderBy(col("_caph").asc, col(keyCol).asc)
+    withH
+      .join(broadcast(spine), Seq(groupCol, "_capb"))
+      .withColumn("_caprk", row_number().over(wLocal))
+      .filter(col("_capp") + col("_caprk") <= n)
+      // the using-join moved groupCol to the front: restore the caller's
+      // schema exactly (column order is part of the operator's contract)
+      .select(df.columns.map(col): _*)
   }
 
   /** Per-group keep *thresholds* for temperature-based source mixing

@@ -198,6 +198,22 @@ class PlanAuditSpec extends SparkSpec {
       s"w13's spine must partial-aggregate:\n$p")
   }
 
+  test("per-source cap ranks inside hash buckets, never a whole group") {
+    // capPerGroup's round-12 decomposition: the ranking window must
+    // carry the _capb bucket column (group-only partitioning would put
+    // a hot domain's whole row set through one task again), and the
+    // spine must partial-aggregate
+    val p = plan("x4_source_cap")
+    val rankWindows = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("row_number"))
+      .toSeq
+    assert(rankWindows.nonEmpty, s"x4 lost its ranking window:\n$p")
+    assert(rankWindows.forall(_.contains("_capb")),
+      s"x4's rank window must be bucket-partitioned:\n${rankWindows.mkString("\n")}")
+    assert(p.contains("partial_count"),
+      s"x4's bucket spine must partial-aggregate:\n$p")
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -369,6 +369,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed per-group cap equals the direct row_number cap (capPerGroup rewrite)") {
+    // the bucketed form keeps exactly the rows the global
+    // (hash, key)-rank would: bucket ranges partition the hash order, so
+    // cum_prev + local_rank IS the global rank. Random cases cover
+    // groups under the cap (all kept), far over it (crossing bucket
+    // mid-range), and tiny bucket counts (crossing at bucket 0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    (1 to 4).foreach { caseNo =>
+      val n = 1 + rnd.nextInt(40)
+      val bks = Seq(4, 64, 1024)(rnd.nextInt(3))
+      val rows = (0 until 300 + rnd.nextInt(500)).map { i =>
+        (i.toLong, Seq("web", "book", "code")(rnd.nextInt(3)))
+      }
+      val df = rows.toDF("id", "src")
+      val w = Window.partitionBy(col("src"))
+        .orderBy(graft.operators.Dedup.hash60("cap", col("id").cast("string")).asc,
+          col("id").asc)
+      val direct = df.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= n).drop("_rk")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val bucketed = graft.operators.Sampling.capPerGroup(df, "id", "src", n, bks)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(bucketed == direct, s"case=$caseNo n=$n buckets=$bks")
+    }
+  }
+
   test("decomposed ranking suite equals the direct window on random tie-heavy data (w13 rewrite)") {
     // the w13 rewrite rests on the total-order collapse (rank =
     // dense_rank = row_number; ntile/pct/cume are formulas of (rn, n);

@@ -534,21 +534,16 @@ object SparkEntry {
     // (docs/SCALING.md); the oracle (still the row-rank SQL) pins the
     // rewrite's equivalence.
     "a13_trimmed_stats" -> ((s, dir) => {
-      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("l_returnflag")
       val k = floor(col("n") * 5 / 100)
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
-        .select(col("l_returnflag"), col("cents"), col("cnt"),
-          sum("cnt").over(wCum).as("cum"),
-          sum("cnt").over(wAll).as("n"))
+      Windows.valueSpine(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          Seq("l_returnflag"), "cents", ascending = true)
         .select(col("l_returnflag"), col("cents"),
           greatest(lit(0L),
-            least(col("cum"), col("n") - k) -
-              greatest(col("cum") - col("cnt"), k)).as("kept"))
+            least(col("cum_prev") + col("cnt"), col("n") - k) -
+              greatest(col("cum_prev"), k)).as("kept"))
         .filter(col("kept") > 0)
         .groupBy("l_returnflag")
         .agg(sum("kept").as("n_kept"),
@@ -743,15 +738,12 @@ object SparkEntry {
         lag("c_custkey", 1).over(wVal).as("prev_in"))
       val wSpine = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc)
-      val wSpineCum = wSpine
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wSeg = Window.partitionBy("c_mktsegment")
-      val spine = cust.groupBy("c_mktsegment", "c_acctbal")
-        .agg(count(lit(1)).as("cnt"),
-          min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+      val spine = Windows.valueSpine(cust, Seq("c_mktsegment"), "c_acctbal",
+          ascending = false,
+          Seq("min_ck" -> min(col("c_custkey")),
+            "max_ck" -> max(col("c_custkey"))))
         .select(col("c_mktsegment"), col("c_acctbal"),
-          (sum("cnt").over(wSpineCum) - col("cnt")).as("cum_prev"),
-          sum("cnt").over(wSeg).as("n"),
+          col("cum_prev"), col("n"),
           lead("min_ck", 1).over(wSpine).as("next_grp_first"),
           lag("max_ck", 1).over(wSpine).as("prev_grp_last"))
       val rn = col("cum_prev") + col("rv")

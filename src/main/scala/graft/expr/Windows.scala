@@ -33,6 +33,42 @@ object Windows {
   /** A trailing row frame of exactly `n` rows ending at the current row. */
   def trailing(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
 
+  /** Distinct-VALUE spine — the shared core of the round-12 rank
+    * decompositions (a13 trimmed stats, w13 ranking suite,
+    * `Sampling.capPerGroup`): per (group, value) row counts with the
+    * cumulative count of strictly-earlier values in the given order and
+    * the group total. A row's global rank within its group then splits
+    * into `cum_prev(value) + rank-within-value` — the heavy phase is a
+    * map-side-combinable aggregate ∝ rows, the spine window runs over
+    * the VALUE DOMAIN (distinct values per group, near-constant as rows
+    * grow), and only value-sized tie groups ever sort together. This is
+    * what removes the "row_number over a low-cardinality partition"
+    * shape, whose parallelism is capped at the group count regardless
+    * of cluster size (measured: a13's 3-task sort was 1.2-superlinear
+    * and 36× slower at the probe's 100× point — docs/SCALING.md).
+    *
+    * Output: groupCols ++ (valueCol, cnt, cum_prev, n) ++ one column
+    * per `extraAggs` (name, aggregate) entry — e.g. w13 carries each
+    * value group's min/max key for lead/lag stitching.
+    */
+  def valueSpine(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      valueCol: String, ascending: Boolean,
+      extraAggs: Seq[(String, Column)] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val aggs = count(lit(1)).as("cnt") +:
+      extraAggs.map { case (nm, c) => c.as(nm) }
+    df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+      .select((groupCols :+ valueCol).map(col) ++ Seq(
+        col("cnt"),
+        (sum("cnt").over(wCum) - col("cnt")).as("cum_prev"),
+        sum("cnt").over(wAll).as("n")) ++
+        extraAggs.map { case (nm, _) => col(nm) }: _*)
+  }
+
   /** W1: `pct_change().over(keys)` — null on each key's first row
     * (reference `pipelines/returns_flow.py:14-24`). `try_divide` so a zero
     * previous value yields null (the engine's DuckDB-aligned policy)

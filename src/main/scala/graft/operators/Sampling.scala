@@ -132,14 +132,10 @@ object Sampling {
     val withH = df
       .withColumn("_caph", Dedup.hash60("cap", col(keyCol).cast("string")))
       .withColumn("_capb", shiftright(col("_caph"), shift))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy("_capb")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val spine = withH.groupBy(col(groupCol), col("_capb"))
-      .agg(count(lit(1)).as("_capc"))
-      .select(col(groupCol), col("_capb"),
-        (sum("_capc").over(wCum) - col("_capc")).as("_capp"))
+    val spine = graft.expr.Windows
+      .valueSpine(withH.select(col(groupCol), col("_capb")),
+        Seq(groupCol), "_capb", ascending = true)
+      .select(col(groupCol), col("_capb"), col("cum_prev").as("_capp"))
       .filter(col("_capp") < n) // buckets at/past the crossing never sort
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("_capb"))

@@ -916,15 +916,43 @@ object SparkEntry {
 
     // Per-language exact length percentiles (linear interpolation — the
     // same definition as DuckDB's quantile_cont).
+    // Scale form (round 12, fourth valueSpine application): Spark's
+    // percentile() buffers EVERY group value in its aggregation buffer —
+    // per-group memory ∝ rows, the aggregate-shaped cousin of the
+    // row_number-over-few-groups defect. The exact interpolated
+    // percentile is an order statistic plus a linear blend, and order
+    // statistics decompose over the value spine: rank r's value is the
+    // first spine row whose cumulative count reaches r. Values are
+    // document lengths (bounded integral domain), so the spine is
+    // value-domain-sized and the heavy phase is a partial-agg ∝ rows.
+    // The unchanged quantile_cont oracle pins the interpolation.
     "t6_length_percentiles" -> ((s, dir) => {
-      t(s, dir, "documents")
+      val qs = Seq(0.5, 0.9, 0.99)
+      val base = t(s, dir, "documents")
         .withColumn("lang", TextAnalysis.langId(col("text")))
-        .withColumn("n", length(col("text")).cast("long"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          expr("round(percentile(n, 0.5), 6)").as("p50"),
-          expr("round(percentile(n, 0.9), 6)").as("p90"),
-          expr("round(percentile(n, 0.99), 6)").as("p99"))
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+      Windows.valueSpine(base, Seq("lang"), "len", ascending = true)
+        .select(col("lang"), col("len"),
+          (col("cum_prev") + col("cnt")).as("cum"), col("n"),
+          explode(array(qs.map(lit(_)): _*)).as("q"))
+        // p = (N-1)·q; the blend runs between the values at 1-based
+        // ranks floor(p)+1 and floor(p)+2 (clamped to N)
+        .withColumn("p", (col("n") - 1).cast("double") * col("q"))
+        .withColumn("i0", floor(col("p")).cast("long") + 1)
+        .withColumn("i1", least(floor(col("p")).cast("long") + 2, col("n")))
+        .groupBy("lang", "q")
+        .agg(max("n").as("n_docs"), max("p").as("pp"),
+          min(when(col("cum") >= col("i0"), col("len"))).as("xlo"),
+          min(when(col("cum") >= col("i1"), col("len"))).as("xhi"))
+        .select(col("lang"), col("n_docs"), col("q"),
+          round(col("xlo") +
+            (col("pp") - floor(col("pp"))) * (col("xhi") - col("xlo")), 6)
+            .as("res"))
+        .groupBy("lang")
+        .agg(max("n_docs").as("n_docs"),
+          max(when(col("q") === 0.5, col("res"))).as("p50"),
+          max(when(col("q") === 0.9, col("res"))).as("p90"),
+          max(when(col("q") === 0.99, col("res"))).as("p99"))
     }),
 
     // Quality scoring: length/punct/stopword features + composite score.

@@ -198,6 +198,18 @@ class PlanAuditSpec extends SparkSpec {
       s"w13's spine must partial-aggregate:\n$p")
   }
 
+  test("length percentiles take the spine path, not the buffering aggregate") {
+    // t6's round-12 rewrite: Spark's percentile() holds every group
+    // value in its aggregation buffer (per-group memory ∝ rows); the
+    // spine form must stay — no percentile aggregate in the plan, and
+    // the spine partial-aggregates
+    val p = plan("t6_length_percentiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"t6 regressed to the buffering percentile aggregate:\n$p")
+    assert(p.contains("partial_count"),
+      s"t6's spine must partial-aggregate:\n$p")
+  }
+
   test("per-source cap ranks inside hash buckets, never a whole group") {
     // capPerGroup's round-12 decomposition: the ranking window must
     // carry the _capb bucket column (group-only partitioning would put

@@ -369,6 +369,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spine percentiles equal Spark's buffering percentile() on random data (t6 rewrite)") {
+    // the spine form replaces the O(group-rows) aggregation buffer with
+    // order statistics over the value domain; its interpolation must
+    // reproduce percentile()'s to 6 d.p. across random integral data
+    // with heavy ties and exact-boundary group sizes (N odd/even, N=1)
+    import org.apache.spark.sql.functions._
+    (1 to 4).foreach { caseNo =>
+      val groups = Seq("a", "b", "c")
+      val rows = groups.flatMap { g =>
+        val sz = Seq(1, 2, 10 + rnd.nextInt(90), 11)(rnd.nextInt(4))
+        Seq.fill(sz)((g, (rnd.nextInt(40) * 7).toLong)) // heavy ties
+      }
+      val df = rows.toDF("g", "len")
+      val qs = Seq(0.5, 0.9, 0.99)
+      val direct = df.groupBy("g").agg(
+          expr("round(percentile(len, 0.5), 6)").as("p50"),
+          expr("round(percentile(len, 0.9), 6)").as("p90"),
+          expr("round(percentile(len, 0.99), 6)").as("p99"))
+        .orderBy("g").collect().toSeq
+      val spined = graft.expr.Windows.valueSpine(df, Seq("g"), "len", ascending = true)
+        .select(col("g"), col("len"),
+          (col("cum_prev") + col("cnt")).as("cum"), col("n"),
+          explode(array(qs.map(lit(_)): _*)).as("q"))
+        .withColumn("p", (col("n") - 1).cast("double") * col("q"))
+        .withColumn("i0", floor(col("p")).cast("long") + 1)
+        .withColumn("i1", least(floor(col("p")).cast("long") + 2, col("n")))
+        .groupBy("g", "q")
+        .agg(max("p").as("pp"),
+          min(when(col("cum") >= col("i0"), col("len"))).as("xlo"),
+          min(when(col("cum") >= col("i1"), col("len"))).as("xhi"))
+        .select(col("g"), col("q"),
+          round(col("xlo") +
+            (col("pp") - floor(col("pp"))) * (col("xhi") - col("xlo")), 6)
+            .as("res"))
+        .groupBy("g")
+        .agg(max(when(col("q") === 0.5, col("res"))).as("p50"),
+          max(when(col("q") === 0.9, col("res"))).as("p90"),
+          max(when(col("q") === 0.99, col("res"))).as("p99"))
+        .orderBy("g").collect().toSeq
+      assert(spined == direct, s"case=$caseNo")
+    }
+  }
+
   test("bucketed per-group cap equals the direct row_number cap (capPerGroup rewrite)") {
     // the bucketed form keeps exactly the rows the global
     // (hash, key)-rank would: bucket ranges partition the hash order, so

@@ -471,11 +471,16 @@ object SparkEntry {
         coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"))
     }),
 
-    // Fuzzy (edit-distance <= 1) self-match on supplier names:
-    // length-band blocking + banded levenshtein verification — the
-    // entity-resolution shape, never an all-pairs scan.
+    // Fuzzy (edit-distance <= 1) self-match on supplier names via
+    // deletion-neighborhood (FastSS/SymSpell) blocking + banded
+    // levenshtein verification — the entity-resolution shape, never an
+    // all-pairs scan. Content-keyed blocking, because supplier names are
+    // FIXED-FORMAT (all 18 chars): length-band blocking degenerates to
+    // one bucket there and candidates grow quadratically — measured in
+    // docs/SCALING.md (band plan 53s vs this plan 7.7s at 30x; 16s at
+    // 100x, fit exponent 0.54).
     "f2_fuzzy_pairs" -> ((s, dir) => {
-      Fuzzy.editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
+      Fuzzy.deletePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           col("dist").cast("long").as("dist"))
         .orderBy("a", "b")

@@ -65,7 +65,9 @@ object ScaleProbe {
     "documents" -> Seq("doc_id" -> bigStride),
     "lineitem" -> Seq("l_orderkey" -> bigStride, "l_suppkey" -> smallStride),
     "orders" -> Seq("o_orderkey" -> bigStride, "o_custkey" -> smallStride),
-    "customer" -> Seq("c_custkey" -> smallStride))
+    "customer" -> Seq("c_custkey" -> smallStride),
+    "supplier" -> Seq("s_suppkey" -> smallStride),
+    "embeddings" -> Seq("vec_id" -> bigStride))
 
   /** Days each copy's dates shift under the date-shift variant: larger
     * than the base data's ~7-year date span, so copies occupy disjoint
@@ -107,6 +109,36 @@ object ScaleProbe {
           .withColumn("o_custkey", col("o_custkey") + lit(i * smallStride))
       case "customer" =>
         df.withColumn("c_custkey", col("c_custkey") + lit(i * smallStride))
+      case "supplier" =>
+        // names get a per-copy suffix whose pairwise cross-copy edit
+        // distance exceeds the f2 threshold (1): "_3x3" vs "_7x7" differ
+        // in two positions, and suffixes of different digit counts differ
+        // in length by 2. An unsalted replica would pair every name with
+        // its N-1 identical clones (output xN^2 — the replica cliff);
+        // the salt keeps within-copy structure identical while the
+        // LENGTH distribution stays as degenerate as TPC-H's fixed-format
+        // names really are (all 18 chars per copy), which is exactly the
+        // adversarial case for length-band blocking.
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(i * smallStride))
+          .withColumn("s_name",
+            if (i == 0) col("s_name")
+            else concat(col("s_name"), lit(s"_${i}x$i")))
+      case "embeddings" =>
+        // per-copy ORTHOGONAL scramble (cyclic coordinate shift + a +-1
+        // sign diagonal): within-copy pairwise cosines are preserved
+        // exactly (the near-dup/neighbor structure scales xN at constant
+        // shape), while cross-copy vectors decorrelate to ~N(0, 1/dim)
+        // cosines — a replica corpus would make every vector cosine-1.0
+        // with its N-1 clones, the same xN^2 cliff as unsalted text.
+        val scrambled =
+          if (i == 0) col("embedding")
+          else expr(
+            s"""transform(sequence(0, size(embedding) - 1), j ->
+               |  element_at(embedding,
+               |    pmod(j + ${i * 7}, size(embedding)) + 1) *
+               |  cast(1 - 2 * pmod(j * $i + $i, 2) as float))""".stripMargin)
+        df.select((col("vec_id") + lit(i * bigStride)).as("vec_id"),
+          scrambled.as("embedding"), col("label"))
       case other => sys.error(s"no scale transform for table $other")
     }
   }
@@ -161,7 +193,15 @@ object ScaleProbe {
       "a13_trimmed_stats" -> Seq("lineitem"),
       "j13_range_join" -> Seq("orders", "lineitem"),
       "t13_heavy_hitters" -> Seq("documents"),
-      "w13_ranking_suite" -> Seq("customer"))
+      "w13_ranking_suite" -> Seq("customer"),
+      // round-12 late additions: the remaining >=1s bench entries
+      // without a dynamic datum. f2's blocking is probed before AND
+      // after the deletion-neighborhood rewrite; d5/n5 ride the
+      // orthogonal embedding scramble above.
+      "f2_fuzzy_pairs" -> Seq("supplier"),
+      "t12_repetition" -> Seq("documents"),
+      "d5_dedup_embcos" -> Seq("embeddings"),
+      "n5_ann_pq" -> Seq("embeddings"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct

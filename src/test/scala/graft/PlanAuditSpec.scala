@@ -226,6 +226,20 @@ class PlanAuditSpec extends SparkSpec {
       s"x4's bucket spine must partial-aggregate:\n$p")
   }
 
+  test("fuzzy pairs block on deletion variants, not length bands") {
+    // f2's round-12 rewrite: supplier names are fixed-format (all 18
+    // chars), so length-band blocking is ONE bucket and candidates grow
+    // quadratically (measured: 53s vs 7.7s at 30x, docs/SCALING.md).
+    // The plan must join on the deletion-variant content key and the
+    // length-band key must not reappear
+    val p = plan("f2_fuzzy_pairs")
+    assert(p.contains("_vkey"),
+      s"f2 must block on the deletion-variant key:\n$p")
+    assert(!p.contains("_blk"),
+      s"f2 regressed to length-band blocking (one bucket on " +
+        s"fixed-format names):\n$p")
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -508,6 +508,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deletion-neighborhood pairs equal length-band pairs on random strings (f2 rewrite)") {
+    // both blockings are complete candidate generators for the same
+    // verified predicate, so the PAIR SETS must be identical — checked
+    // on short strings over a 3-letter alphabet (dense near-matches,
+    // including exact duplicates and empty strings) at every supported
+    // distance, where the two plans share no blocking logic at all
+    import org.apache.spark.sql.functions.col
+    (1 to 4).foreach { caseNo =>
+      val n = 30 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        val len = rnd.nextInt(7) // 0..6, "" included
+        (i.toLong, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+      }
+      val df = rows.toDF("id", "s")
+      (0 to 2).foreach { d =>
+        def collect(out: org.apache.spark.sql.DataFrame) =
+          out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+            .sorted.toSeq
+        val banded = collect(
+          graft.operators.Fuzzy.editDistancePairs(df, "id", "s", d))
+        val deleted = collect(
+          graft.operators.Fuzzy.deletePairs(df, "id", "s", d))
+        assert(deleted == banded, s"case=$caseNo d=$d n=$n")
+      }
+    }
+  }
+
   test("histogram quantiles bracket the exact quantile within one bin") {
     import org.apache.spark.sql.functions.col
     val xs = Seq.fill(300)(rnd.nextDouble() * 1000.0)

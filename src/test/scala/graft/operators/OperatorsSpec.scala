@@ -1010,6 +1010,36 @@ class OperatorsSpec extends SparkSpec {
     assert(Fuzzy.editDistancePairs(sourced, "id", "name", 1, Seq("src")).count() == 0)
   }
 
+  test("deletion-neighborhood pairs: finds exactly the close pairs, incl. fixed-length corpora") {
+    val rows = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "abc"), (5L, "abcd"), (6L, "xyz"), (7L, "completely unrelated"))
+      .toDF("id", "name")
+    def pairs(d: Int) = Fuzzy.deletePairs(rows, "id", "name", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(1) == Set((1L, 2L, 1), (2L, 3L, 1), (4L, 5L, 1)))
+    assert(pairs(2).map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)))
+    // d=0 degenerates to exact-duplicate pairs (identity variant only)
+    val dups = Fuzzy.deletePairs(
+      Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "name"),
+      "id", "name", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dups.toSeq == Seq((1L, 2L, 0)))
+    // the motivating case for the blocking: a fixed-format corpus where
+    // every string has the same length (length bands are one bucket) —
+    // content keys must still isolate the single near pair
+    val fixed = (0 until 50).map(i => (i.toLong, f"Code#$i%04d-X")).toDF("id", "name")
+    val out = Fuzzy.deletePairs(fixed, "id", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // distance-1 pairs among zero-padded serials: those differing in one
+    // digit position, e.g. 0001~0002 (sub), 0001~0011, ... compute oracle
+    val exp = (for {
+      a <- 0 until 50; b <- a + 1 until 50
+      if f"$a%04d".zip(f"$b%04d").count { case (x, y) => x != y } == 1
+    } yield (a.toLong, b.toLong)).toSet
+    assert(out == exp)
+  }
+
   test("temperature sampling: rarest source keeps all, head downsampled, deterministic") {
     val df = ((0 until 900).map(i => (i.toLong, "big")) ++
       (900 until 1000).map(i => (i.toLong, "small")))

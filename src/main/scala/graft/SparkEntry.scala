@@ -1071,6 +1071,29 @@ object SparkEntry {
         "vec_id", "embedding", 64, 4, 8, 0.4)
     }),
 
+    // Embedding near-dup at NEAR-DUP parameters (threshold 0.9, 3 bands
+    // x 16 bits) — the scale path d5's 4x8-bit blocking does not have.
+    // With 16-bit band keys the random-collision floor is 3/2^16 ≈
+    // 4.6e-5 of all pairs — below any real near-dup density — so
+    // candidates track true near-dups instead of the corpus's pair
+    // count squared (d5's floor is 4/2^8 ≈ 1.6e-2, measured quadratic
+    // in docs/SCALING.md). The base corpus is isotropic Gaussian and
+    // has no cosine-0.9 pairs at any probed size, so the query PLANTS
+    // them deterministically: every 50th vector re-enters the corpus
+    // under id + 2e9 with coordinate (vec_id mod 64) sign-flipped —
+    // cos = 1 - 2*v_j^2/|v|^2 ≈ 0.97, so planted pairs sit above the
+    // threshold (a ~7% chi-squared tail falls below and is correctly
+    // excluded by the exact verification on both engines).
+    "d5b_neardup_embcos" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+            expr("transform(embedding, (x, j) -> IF(j = vec_id % 64, -x, x))")
+              .as("embedding")))
+      Dedup.embCosinePairs(planted, "vec_id", "embedding", 64, 3, 16, 0.9)
+    }),
+
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
     "n1_ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1386,7 +1409,16 @@ object SparkEntry {
     // asymmetric-distance top-10 per query (every 97th vector queries).
     "n5_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Pq.adcTopK(emb, emb.filter(col("vec_id") % 97 === 0),
+      // FIXED query panel (ids < 2000 covers every vector at the graded
+      // SFs — bit-identical output there — and pins the panel on scaled
+      // corpora): ADC is a per-query corpus scan by design (the PQ
+      // paper's Θ(panel·corpus) cost model), so a panel that grows with
+      // the corpus makes TOTAL work quadratic — measured to 27.7s at
+      // 30× and a heap OOM at 100× before this pin (docs/SCALING.md).
+      // Corpus growth belongs to the per-query axis; panel growth is a
+      // serving-rate axis, priced per query.
+      Pq.adcTopK(emb,
+          emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2000),
           "vec_id", "embedding", 4, 16, 10)
         .orderBy("query_id", "rank")
     }),
@@ -1790,6 +1822,34 @@ object SparkEntry {
        |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b
        |        WHERE na.n > 0 AND nb.n > 0)
        |SELECT a, b, cos FROM cos WHERE cos >= 0.4""".stripMargin
+
+  /** SQL mirror of the d5b planted near-dup query (64-dim, 3 bands x 16
+    * bits, cosine >= 0.9): same deterministic planting (every 50th
+    * vector cloned under id + 2e9 with coordinate id%64 sign-flipped),
+    * same banded candidates, same exact verification.
+    */
+  private def embCosNearDupSql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |x0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |clone AS (SELECT vec_id + 2000000000 AS id,
+       |          list(CASE WHEN i - 1 = vec_id % 64 THEN -v ELSE v END ORDER BY i) AS e
+       |          FROM x0 WHERE vec_id % 50 = 0 GROUP BY vec_id),
+       |v AS (SELECT id, e FROM base UNION ALL SELECT id, e FROM clone),
+       |code AS (SELECT id, ${srpCodeSql(48)} AS code FROM v),
+       |x AS (SELECT id, unnest(e) AS v, generate_subscripts(e, 1) AS i FROM v),
+       |nrm AS (SELECT id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+       |ch AS (SELECT id, code, unnest(range(0, 3)) AS band FROM code),
+       |ck AS (SELECT id, band, (code >> (16*band)) & 65535 AS ckey FROM ch),
+       |cand AS (SELECT DISTINCT xk.id AS a, yk.id AS b FROM ck xk
+       |         JOIN ck yk ON xk.band = yk.band AND xk.ckey = yk.ckey AND xk.id < yk.id),
+       |dots AS (SELECT c.a, c.b, sum(xa.v*xb.v) AS dot FROM cand c
+       |         JOIN x xa ON xa.id = c.a JOIN x xb ON xb.id = c.b AND xb.i = xa.i
+       |         GROUP BY 1, 2),
+       |cos AS (SELECT a, b, round(dot/(na.n*nb.n), 6) AS cos
+       |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b
+       |        WHERE na.n > 0 AND nb.n > 0)
+       |SELECT a, b, cos FROM cos WHERE cos >= 0.9""".stripMargin
 
   /** SQL mirror of [[Similarity.lshTopK]] (8 planes, top-5): bucket-equal
     * candidates, exact cosine rank within the bucket.
@@ -2485,6 +2545,7 @@ object SparkEntry {
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_dedup_simhash" -> simHashSql,
     "d5_dedup_embcos" -> embCosSql,
+    "d5b_neardup_embcos" -> embCosNearDupSql,
     "n2_ann_lsh" -> annLshSql,
     "n3_ann_ivf" -> annIvfSql,
     "n1_ann_cosine_topk" ->
@@ -2787,7 +2848,7 @@ object SparkEntry {
         |codes AS (SELECT id, sub, cid FROM (
         |    SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn FROM a2)
         |  WHERE rn = 1),
-        |q AS (SELECT id FROM v WHERE id % 97 = 0),
+        |q AS (SELECT id FROM v WHERE id % 97 = 0 AND id < 2000),
         |lut AS (SELECT comp.id AS qid, comp.sub, fcen.cid,
         |    ${roundSql("sum((x - c) * (x - c))", 9)} AS d
         |  FROM comp JOIN q ON comp.id = q.id

@@ -323,9 +323,18 @@ object Dedup {
     * `threshold` on the candidates only.
     *
     * Same scale shape as [[minHashLsh]]: linear scans + hash-shuffle band
-    * joins instead of the all-pairs cross join; band width trades recall
-    * for candidate-set size. Real near-dup deployments run high thresholds
-    * (≥0.9) where narrow bands keep recall near 1.
+    * joins instead of the all-pairs cross join. Band parameters carry the
+    * scale contract: random pairs collide on some band at ~bands/2^bits
+    * of ALL pairs — a QUADRATIC candidate floor whose constant the key
+    * width sets — so `bitsPerBand` must be wide enough that the floor
+    * sits below the corpus's true near-dup density (measured both ways
+    * in docs/SCALING.md: 4×8 bits ≈ 1.6e-2 of pairs, quadratic at 68s
+    * by 30× corpus growth; 3×16 bits ≈ 4.6e-5, linear compute to 100×).
+    * Wide bands need high thresholds to keep recall (per-band collision
+    * for a true pair at cosine s is (1-arccos(s)/π)^bits), which is the
+    * near-dup regime (≥0.9) — low-threshold similarity JOINS are not
+    * LSH-friendly at any width and stay quadratic-output on
+    * unstructured corpora.
     */
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double,

@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: train/encode are one narrow component explode joined to
   * the broadcast codebook (k multiplies per component — the standard PQ
   * encode cost) plus one map-side-combinable argmin/mean aggregation; ADC
-  * joins the tiny per-query LUT (queries · m · k rows) to the encoded
-  * database by (subspace, code) — shuffle bounded by queries × database
-  * CODES, never raw vectors.
+  * BROADCASTS the per-query LUT (queries · m · k rows — the panel is the
+  * small side by contract) against the encoded database, so corpus codes
+  * never shuffle for the scan and the m·k-key join cannot skew; the scan
+  * is Θ(panel · corpus) code lookups — the PQ paper's own cost model,
+  * linear in the corpus at fixed panel — and the final ranking's
+  * `row_number <= k` pattern engages Catalyst's InferWindowGroupLimit
+  * (partial per-partition top-k before the qid shuffle, plan-pinned), so
+  * no task ever sorts one query's whole scored corpus.
   */
 object Pq {
 
@@ -91,15 +96,25 @@ object Pq {
       .join(broadcast(cb), Seq("sub", "j"))
       .groupBy("qid", "sub", "cid")
       .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 9).as("d"))
-    val adist = codes.join(lut, Seq("sub", "cid"))
+    // the LUT is model-state-sized (queries · m · k rows — the panel is
+    // the small side by contract), so it ships BROADCAST: the corpus
+    // codes never shuffle for the scan, and the (sub, cid) join — whose
+    // key space is only m·k values, a guaranteed-skew disaster as a
+    // shuffle join — stays map-side. The scan itself is the PQ paper's
+    // own cost model: Θ(panel · corpus) code lookups, linear in the
+    // corpus at fixed panel (measured, docs/SCALING.md).
+    val adist = codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy("qid", "id")
       .agg(round(sum(col("d")), 6).as("adist"))
       .filter(col("qid") =!= col("id"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
-    adist.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
+    // ranking tail: the row_number <= k pattern engages Catalyst's
+    // InferWindowGroupLimit (partial per-partition top-k before the qid
+    // shuffle — see Similarity.topKPerGroup's doc; pinned in
+    // PlanAuditSpec), so the low-cardinality qid panel never means a
+    // corpus-sized single-task sort
+    Similarity.topKPerGroup(adist, Seq(col("adist")), col("id"), topK, "rank")
       .select(col("qid").as("query_id"), col("id").as("vec_id"),
-        col("adist"), col("rank"))
+        col("adist"), col("rank").cast("long").as("rank"))
   }
 
   /** (id, sub, j, x) component stream: one narrow explode; subspace and

@@ -22,6 +22,35 @@ object Similarity {
   /** Elementwise double cast. */
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Top-k rows per qid under (order, tie-broken by `tieCol`), with the
+    * rank emitted as `rankName` — the shared ranking tail of every
+    * searcher here.
+    *
+    * Query panels are LOW-cardinality by design (tens of qids over the
+    * whole corpus), so a per-qid window looks like the
+    * row_number-over-few-groups defect class (a13/w13/x4/t6,
+    * docs/SCALING.md). It is NOT, because of the `row_number <= k`
+    * filter pattern: Catalyst's `InferWindowGroupLimit` rewrites it to
+    * a PARTIAL per-input-partition top-k before the qid shuffle plus a
+    * FINAL one after, so every sort stays partition-local and at most
+    * partitions·k rows per qid ever meet — the two-phase decomposition,
+    * for free. `PlanAuditSpec` pins the `WindowGroupLimit … Partial`
+    * node in all four ANN plans so a pattern change that silently
+    * disengages the rewrite (e.g. ranking without the limit filter)
+    * fails the suite instead of re-opening the class.
+    */
+  private[operators] def topKPerGroup(df: DataFrame, order: Seq[Column],
+      tieCol: Column, k: Int, rankName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(order :+ tieCol.asc: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** The shared (qid, cid, cos) → top-k tail: rank on (cos desc, cid). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    topKPerGroup(scored, Seq(col("cos").desc), col("cid"), k, "rn")
+      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+
   /** Dot product of two equal-length array columns —
     * [[graft.expr.catalyst.DotProduct]], a whole-stage-codegen'd loop with
     * the same left-to-right summation order (bit-identical results) as the
@@ -53,10 +82,7 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 hyperplane component for (plane p, dim d): the low
@@ -125,10 +151,7 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     // (qid, cid) pairs are already unique: each corpus vector lives in
     // exactly one inverted list and probed centroids are distinct
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates limited to the query's SRP bucket,
@@ -149,9 +172,6 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rn").cast("long").as("rank"))
+    rankTopK(scored, k)
   }
 }

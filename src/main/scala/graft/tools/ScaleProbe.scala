@@ -201,6 +201,7 @@ object ScaleProbe {
       "f2_fuzzy_pairs" -> Seq("supplier"),
       "t12_repetition" -> Seq("documents"),
       "d5_dedup_embcos" -> Seq("embeddings"),
+      "d5b_neardup_embcos" -> Seq("embeddings"),
       "n5_ann_pq" -> Seq("embeddings"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,

@@ -240,6 +240,24 @@ class PlanAuditSpec extends SparkSpec {
         s"fixed-format names):\n$p")
   }
 
+  test("ANN top-k rankings keep Catalyst's partial window-group limit") {
+    // query panels are LOW-cardinality by design (tens of qids over the
+    // whole corpus), so a per-qid ranking window WOULD be the few-groups
+    // window class (a13/w13/x4/t6, docs/SCALING.md) — except the
+    // row_number <= k filter pattern lets InferWindowGroupLimit insert a
+    // PARTIAL per-input-partition top-k before the qid exchange, keeping
+    // every sort partition-local. That rewrite is the load-bearing part:
+    // a refactor that breaks the pattern (ranking without the limit
+    // filter, a non-rank window function) silently re-opens the class,
+    // so the Partial node is pinned here
+    Seq("n1_ann_cosine_topk", "n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+          s"$q lost the partial window-group limit:\n$p")
+      }
+  }
+
   test("pack sequences never windows the corpus on a single partition") {
     val p = plan("x6_pack_sequences")
     // every Window over the document stream must carry a partition spec

@@ -180,6 +180,47 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0)._3 > 0.99)
   }
 
+  test("wide-band near-dup (d5b shape): planted clones found, no false positives") {
+    // the d5b query's shape: a corpus with DETERMINISTICALLY planted
+    // near-clones (one sign-flipped coordinate -> cos ~= 1 - 2/dim),
+    // blocked on 3 bands x 16 bits at threshold 0.9. Wide bands keep
+    // the random-collision floor (3/2^16 of pairs) below the planted
+    // density, so candidates track true near-dups — the scale property
+    // measured in docs/SCALING.md
+    val rnd = new scala.util.Random(17)
+    val base = (0L until 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) => if (j == (i % 64).toInt) -x else x })
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Dedup.embCosinePairs(vecs, "vec_id", "embedding", 64, 3, 16, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact ground truth: cosine over ALL pairs (brute force)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) { case ((s, x2, y2), (x, y)) =>
+        (s + x.toDouble * y, x2 + x.toDouble * x, y2 + y.toDouble * y)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val all = (base ++ planted).toMap
+    val truth = (for {
+      (i, vi) <- all; (j, vj) <- all if i < j
+      if math.rint(cos(vi, vj) * 1e6) / 1e6 >= 0.9
+    } yield (i, j)).toSet
+    // no false positives, exact cosines, and every hit is a planted pair
+    out.foreach { case (a, b, c) =>
+      assert(truth.contains((a, b)), s"($a,$b) not a true >=0.9 pair")
+      assert(b == a - 1000L + 2000L || b == a + 1000L, s"($a,$b) not planted-shaped")
+      assert(math.abs(c - math.rint(cos(all(a), all(b)) * 1e6) / 1e6) < 1e-9)
+    }
+    // 3x16-bit bands at cos~0.97 recall ~60% per pair; 30 planted pairs
+    // make <30% vanishingly unlikely — a recall collapse means the
+    // banding broke
+    assert(truth.nonEmpty)
+    assert(out.length.toDouble / truth.size >= 0.3,
+      s"recall ${out.length}/${truth.size} collapsed")
+  }
+
   test("as-of join picks the latest at-or-before value per key") {
     val clicks = Seq(("u1", 5L, 1L), ("u1", 10L, 2L), ("u1", 20L, 3L), ("u2", 7L, 4L))
       .toDF("user", "t", "eid")

@@ -213,6 +213,19 @@ object ScaleProbe {
     // Executor processes don't inherit the sbt fork's classpath or
     // JDK17 add-opens, so both are passed explicitly.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Executor processes resolve a RELATIVE extraClassPath against their
+    // WORKER dir, not the driver's cwd — the app classes silently vanish
+    // from executors, and the failure mode is not a clean ClassNotFound:
+    // codegen-inlined expressions keep working (generated Java is
+    // self-contained) while any plan whose expressions reach executors
+    // un-inlined (interpreted filter predicates captured in task
+    // closures) dies with "cannot assign SerializedLambda to field
+    // MapPartitionsRDD.f" ClassCastExceptions. Diagnosed round 12
+    // (docs/SCALING.md caveats); fail loudly instead.
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
+      require(new java.io.File(cp).isAbsolute,
+        s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
+    }
     var builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)

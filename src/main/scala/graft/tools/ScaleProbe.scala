@@ -69,6 +69,14 @@ object ScaleProbe {
     "supplier" -> Seq("s_suppkey" -> smallStride),
     "embeddings" -> Seq("vec_id" -> bigStride))
 
+  /** Dimension tables copied ONCE into every scaled dir, never unioned:
+    * the fact transforms preserve their foreign keys (s_nationkey is
+    * untouched by the supplier salt), so ×N facts over 1× dims is the
+    * correct growth model — a dim replicated ×N would duplicate join
+    * keys and multiply every match.
+    */
+  private[tools] val dimTables: Set[String] = Set("nation", "region")
+
   /** Days each copy's dates shift under the date-shift variant: larger
     * than the base data's ~7-year date span, so copies occupy disjoint
     * date windows.
@@ -202,7 +210,15 @@ object ScaleProbe {
       "t12_repetition" -> Seq("documents"),
       "d5_dedup_embcos" -> Seq("embeddings"),
       "d5b_neardup_embcos" -> Seq("embeddings"),
-      "n5_ann_pq" -> Seq("embeddings"))
+      "n5_ann_pq" -> Seq("embeddings"),
+      // the last >=1s stragglers: the classic TPC-H join suite (facts
+      // scale xN over once-copied dims) and the plain windowed
+      // covariance (the documented non-scale-path twin of w5_covar_
+      // chunked — probed to show WHY the chunked form exists)
+      "q21_late_supplier" -> Seq("supplier", "lineitem", "orders", "nation"),
+      "q7_nation_volume" -> Seq("supplier", "lineitem", "orders", "customer", "nation"),
+      "q11_important_stock" -> Seq("lineitem"),
+      "w5_rolling_covar" -> Seq("lineitem"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct
@@ -282,9 +298,11 @@ object ScaleProbe {
       if (missing.isEmpty) return
       missing.foreach { t =>
         val base = graft.catalog.Tables.load(spark, sfDir, t)
-        (0 until n).map(i => copyTransform(t, base, i, dateShift))
-          .reduce(_.union(_))
-          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        val scaled =
+          if (dimTables(t)) base // dims are copied once, never unioned
+          else (0 until n).map(i => copyTransform(t, base, i, dateShift))
+            .reduce(_.union(_))
+        scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
         System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
       }
       java.nio.file.Files.write(marker,

@@ -45,6 +45,32 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Bench's task-metric trio, probe-sized: cluster-wide shuffle-write
+    * and disk-spill sums plus the max single-task execution-memory
+    * high-water mark, snapshotted per rep behind a listener-bus drain.
+    * This is what turns "the super-linear top segment is the shared
+    * heap, not the plan" from an argument into a column of data: a
+    * memory-pressure segment shows spill/peak climbing with scale, a
+    * plan defect shows shuffle rows climbing super-linearly.
+    */
+  private final class Metrics extends org.apache.spark.scheduler.SparkListener {
+    private val shuffle = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peak = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+        peak.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    def reset(): Unit = { shuffle.set(0); spill.set(0); peak.set(0) }
+    def snapMb(): (Double, Double, Double) =
+      (shuffle.get / 1e6, spill.get / 1e6, peak.get / 1e6)
+  }
+
   /** Tables the probed queries read, with their per-copy transform.
     * Key offsets use strides far above any sf0.1 key range.
     */
@@ -257,6 +283,8 @@ object ScaleProbe {
       builder = builder.config("spark.executor.memory", m))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
 
     // Key ranges of the BASE data must fit under the copy strides, or
     // copies silently collide (see offsetCols). One agg per table, once.
@@ -327,15 +355,21 @@ object ScaleProbe {
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def minOfReps(name: String, dir: String): Double = {
+    // (sec, shuffleMb, spillMb, peakTaskMemMb) of the MIN-time rep; -1s
+    // iff every rep failed. Metrics snapshot behind a listener-bus drain
+    // so async task-end events are counted before the reset.
+    def minOfReps(name: String, dir: String): (Double, Double, Double, Double) = {
       val ts = (1 to reps).map { _ =>
+        metrics.reset()
         val t = try timeIt(materialize(name, dir))
                 catch { case e: Throwable =>
                   System.err.println(s"[scale] $name @ $dir FAILED: $e"); -1.0 }
-        settle(); t
+        org.apache.spark.graftbench.ListenerDrain.drain(spark.sparkContext, 5000)
+        val (sh, sp, pk) = metrics.snapMb()
+        settle(); (t, sh, sp, pk)
       }
-      val ok = ts.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
+      val ok = ts.filter(_._1 >= 0)
+      if (ok.isEmpty) (-1.0, -1.0, -1.0, -1.0) else ok.minBy(_._1)
     }
 
     // codegen/JVM warmup (not timed), smallest sf
@@ -344,20 +378,26 @@ object ScaleProbe {
     }
 
     val scales: Seq[(Int, String)] = (1, sfDir) +: copies.map(n => (n, scaledDir(n)))
-    val results: Seq[(String, Seq[(Int, Double)])] = queryNames.map { name =>
-      val pts = scales.map { case (n, dir) =>
-        val t = minOfReps(name, dir)
-        System.err.println(f"[scale] $name ${n}%2dx -> $t%7.2fs")
-        (n, t)
+    val results: Seq[(String, Seq[(Int, (Double, Double, Double, Double))])] =
+      queryNames.map { name =>
+        val pts = scales.map { case (n, dir) =>
+          val m = minOfReps(name, dir)
+          System.err.println(
+            f"[scale] $name ${n}%2dx -> ${m._1}%7.2fs  shuffle=${m._2}%8.1fMB spill=${m._3}%7.1fMB peakTask=${m._4}%6.1fMB")
+          (n, m)
+        }
+        name -> pts
       }
-      name -> pts
-    }
 
     val qJson = results.map { case (name, pts) =>
-      val secs = pts.map { case (n, t) => s""""$n":${f"$t%.3f"}""" }
-        .mkString("{", ",", "}")
-      val exp = exponent(pts).map(e => f"$e%.3f").getOrElse("null")
-      s""""$name":{"sec":$secs,"exponent":$exp}"""
+      def series(pick: ((Double, Double, Double, Double)) => Double, fmt: String) =
+        pts.map { case (n, m) => s""""$n":${fmt.format(pick(m))}""" }
+          .mkString("{", ",", "}")
+      val exp = exponent(pts.map { case (n, m) => (n, m._1) })
+        .map(e => f"$e%.3f").getOrElse("null")
+      s""""$name":{"sec":${series(_._1, "%.3f")},"exponent":$exp,""" +
+        s""""shuffle_mb":${series(_._2, "%.1f")},"spill_mb":${series(_._3, "%.1f")},""" +
+        s""""peak_task_mem_mb":${series(_._4, "%.1f")}}"""
     }.mkString("{", ",", "}")
     println(
       s"""{"metric":"scale_probe","base_sf":"$sfDir","copies":${copies.mkString("[", ",", "]")},"reps":$reps,"date_shift":$dateShift,"queries":$qJson}""")

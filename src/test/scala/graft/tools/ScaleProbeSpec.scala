@@ -1,0 +1,104 @@
+package graft.tools
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Guards for the scale probe's MEASUREMENT math and growth-model
+  * invariants: these feed the committed exponents in docs/SCALING.md,
+  * and a silent regression here corrupts future scaling data rather
+  * than failing a query (the class the round-11 advice items were
+  * about: marker short-circuits, stride collisions, fit-over-fewer-
+  * points).
+  */
+class ScaleProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exponent: exact power laws recover their slope; degenerate series refuse") {
+    def fit(pts: (Int, Double)*): Option[Double] = ScaleProbe.exponent(pts)
+    // t = c * n^k for k in {0.5, 1, 2} on the probe's own scale points
+    Seq(0.5, 1.0, 2.0).foreach { k =>
+      val pts = Seq(1, 3, 10, 30, 100).map(n => (n, 2.5 * math.pow(n, k)))
+      val e = fit(pts: _*).get
+      assert(math.abs(e - k) < 1e-9, s"k=$k fit=$e")
+    }
+    // failed points (-1) and zero-times are excluded from the fit,
+    // never log'd into NaN
+    assert(math.abs(fit((1, 2.0), (10, -1.0), (100, 20.0)).get - 0.5) < 1e-9)
+    assert(fit((1, 2.0), (10, -1.0)).isEmpty) // one valid point: no fit
+    assert(fit((1, 2.0)).isEmpty)
+    assert(fit((1, 2.0), (1, 4.0)).isEmpty) // zero x-variance: no slope
+  }
+
+  test("copy transforms are deterministic and keep copies key-disjoint") {
+    val docs = Seq((1L, "alpha beta", "en", "web", 10L),
+      (2L, "gamma", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = ScaleProbe.copyTransform("documents", docs, 3).collect().toSeq
+    val b = ScaleProbe.copyTransform("documents", docs, 3).collect().toSeq
+    assert(a == b) // no RNG anywhere in the growth model
+    // copy keys land in disjoint stride windows
+    val ids = (0 until 3).flatMap(i =>
+      ScaleProbe.copyTransform("documents", docs, i)
+        .select("doc_id").collect().map(_.getLong(0)))
+    assert(ids.distinct.size == ids.size)
+  }
+
+  test("supplier salt: cross-copy names stay >= 2 edits apart at equal within-copy structure") {
+    val sup = Seq((1L, "Supplier#000000001"), (2L, "Supplier#000000002"))
+      .toDF("s_suppkey", "s_name")
+    def names(i: Int): Seq[String] =
+      ScaleProbe.copyTransform("supplier", sup, i)
+        .select("s_name").collect().map(_.getString(0)).toSeq
+    val n0 = names(0); val n3 = names(3); val n7 = names(7)
+    // within-copy structure identical: all names share one length per copy
+    assert(n3.map(_.length).distinct.size == 1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // cross-copy pairs (even of the SAME base name) exceed the f2
+    // threshold of 1 — no synthetic cross-copy matches
+    for (x <- n0 ++ n3; y <- n7) assert(lev(x, y) >= 2, s"$x ~ $y")
+  }
+
+  test("embedding scramble: within-copy cosines exact, cross-copy decorrelated") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), "l"))
+      .toDF("vec_id", "embedding", "label")
+    def emb(i: Int): Map[Long, Array[Float]] =
+      ScaleProbe.copyTransform("embeddings", vecs, i)
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, x2, y2), (x, y)) =>
+          (s + x.toDouble * y, x2 + x.toDouble * x, y2 + y.toDouble * y)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val e0 = emb(0); val e5 = emb(5)
+    val stride = 5L * 10_000_000L
+    // the scramble is an isometry: within-copy pairwise cosines match
+    // copy 0's exactly (the near-dup/neighbor structure scales xN at
+    // constant shape)
+    for (i <- 0L until 5L; j <- (i + 1) until 5L)
+      assert(math.abs(cos(e5(i + stride), e5(j + stride)) -
+        cos(e0(i), e0(j))) < 1e-6)
+    // cross-copy cosines are Gaussian-small, never the replica's 1.0
+    val crossMax = (0L until 40L).map(i => cos(e0(i), e5(i + stride))).max
+    assert(crossMax < 0.75, s"crossMax=$crossMax — replica cliff returning")
+  }
+
+  test("dims never overlap the offset/union machinery") {
+    assert(ScaleProbe.dimTables.intersect(ScaleProbe.offsetCols.keySet).isEmpty)
+    // a dim reaching copyTransform is a wiring bug, not a silent union
+    intercept[RuntimeException] {
+      ScaleProbe.copyTransform("nation", Seq((1L, "x")).toDF("n_nationkey", "n_name"), 1)
+    }
+  }
+}

@@ -268,10 +268,17 @@ object ScaleProbe {
       require(new java.io.File(cp).isAbsolute,
         s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
     }
+    // SPARK_GRAFT_SCALE_PARTS decouples shuffle partitions from thread
+    // count: at a FIXED partition count every shuffled partition grows
+    // ∝ corpus, so per-task sort/agg memory grows with scale for ANY
+    // plan — the cure is partition count scaling with data, and this
+    // knob measures which plans CAN take that cure (thousands of
+    // independent groups) vs which cannot (a group-count ceiling)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", cpus)
     var builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -38,6 +38,19 @@ object SparkEntry {
   def querySubset(env: Option[String]): Option[Set[String]] =
     env.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+  /** n5's FIXED query-panel pin: the ADC scan is Θ(panel·corpus) by
+    * design, so the panel must NOT grow with the corpus (the r11 entry's
+    * did, and went quadratic → OOM at the 100x probe). The pin only
+    * delivers that contract while every graded SF's vec_id stays BELOW
+    * it (then `vec_id < pin` selects the whole id range identically in
+    * Spark and the DuckDB oracle); if a larger SF were ever added with
+    * max vec_id ≥ the pin, both engines would silently shrink the panel
+    * relative to the corpus and the oracle could not catch the workload
+    * change — PlanAuditSpec asserts the invariant against the actual
+    * testdata so growth fails loudly (r12 advice).
+    */
+  private[graft] val n5PanelPin = 2000L
+
   /** Discounted-revenue in exact integer units (cents x (100-disc_pct));
     * divide by 1e4 after aggregation. Shared by q7/q14/q19.
     */
@@ -1418,7 +1431,7 @@ object SparkEntry {
       // Corpus growth belongs to the per-query axis; panel growth is a
       // serving-rate axis, priced per query.
       Pq.adcTopK(emb,
-          emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2000),
+          emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < n5PanelPin),
           "vec_id", "embedding", 4, 16, 10)
         .orderBy("query_id", "rank")
     }),
@@ -2848,7 +2861,7 @@ object SparkEntry {
         |codes AS (SELECT id, sub, cid FROM (
         |    SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub ORDER BY d, cid) AS rn FROM a2)
         |  WHERE rn = 1),
-        |q AS (SELECT id FROM v WHERE id % 97 = 0 AND id < 2000),
+        |q AS (SELECT id FROM v WHERE id % 97 = 0 AND id < $n5PanelPin),
         |lut AS (SELECT comp.id AS qid, comp.sub, fcen.cid,
         |    ${roundSql("sum((x - c) * (x - c))", 9)} AS d
         |  FROM comp JOIN q ON comp.id = q.id

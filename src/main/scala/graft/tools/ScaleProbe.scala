@@ -160,17 +160,28 @@ object ScaleProbe {
       case "embeddings" =>
         // per-copy ORTHOGONAL scramble (cyclic coordinate shift + a +-1
         // sign diagonal): within-copy pairwise cosines are preserved
-        // exactly (the near-dup/neighbor structure scales xN at constant
-        // shape), while cross-copy vectors decorrelate to ~N(0, 1/dim)
-        // cosines — a replica corpus would make every vector cosine-1.0
-        // with its N-1 clones, the same xN^2 cliff as unsalted text.
+        // exactly for ANY shift/sign choice (permutation x diagonal is
+        // an isometry — the near-dup/neighbor structure scales xN at
+        // constant shape), while cross-copy vectors decorrelate to
+        // ~N(0, 1/dim) cosines — a replica corpus would make every
+        // vector cosine-1.0 with its N-1 clones, the same xN^2 cliff as
+        // unsalted text. Shift AND the full per-coordinate sign vector
+        // are murmur3-derived from (copy, coordinate): the original
+        // (7i mod dim, i mod 2) pair had period dim in i, so at dim=64
+        // copies 64..99 exactly replicated copies 0..35 — the replica
+        // cliff returning silently at the 100x probes (r12 advice).
+        // Hash-derived sign vectors of distinct copies differ on ~half
+        // the coordinates, so cross-copy cosines stay Gaussian-small
+        // even where shifts collide; ScaleProbeSpec pins decorrelation
+        // across the full probed copy range (0 vs 64, 5 vs 69, 0 vs 99).
         val scrambled =
           if (i == 0) col("embedding")
           else expr(
             s"""transform(sequence(0, size(embedding) - 1), j ->
                |  element_at(embedding,
-               |    pmod(j + ${i * 7}, size(embedding)) + 1) *
-               |  cast(1 - 2 * pmod(j * $i + $i, 2) as float))""".stripMargin)
+               |    pmod(j + pmod(hash($i), size(embedding)),
+               |         size(embedding)) + 1) *
+               |  cast(1 - 2 * pmod(hash($i, j), 2) as float))""".stripMargin)
         df.select((col("vec_id") + lit(i * bigStride)).as("vec_id"),
           scrambled.as("embedding"), col("label"))
       case other => sys.error(s"no scale transform for table $other")

@@ -253,9 +253,36 @@ class PlanAuditSpec extends SparkSpec {
     Seq("n1_ann_cosine_topk", "n2_ann_lsh", "n3_ann_ivf", "n5_ann_pq")
       .foreach { q =>
         val p = plan(q)
-        assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-          s"$q lost the partial window-group limit:\n$p")
+        // the Partial mode must be on the WindowGroupLimit node ITSELF
+        // (same plan line): two independent whole-plan substring checks
+        // would pass on a Final-mode-only limit plus any unrelated
+        // "Partial" text elsewhere, defeating the pin (r12 advice)
+        assert(p.linesIterator.exists(l =>
+            l.contains("WindowGroupLimit") && l.contains("Partial")),
+          s"$q lost the PARTIAL-mode window-group limit node:\n$p")
       }
+  }
+
+  test("n5's fixed panel pin stays above every graded SF's vec_id range") {
+    // the ADC scan is Θ(panel·corpus) by design, so the n5 panel is
+    // PINNED (`vec_id < n5PanelPin`): the pin covers the whole id range
+    // at every graded SF, making the pinned query bit-identical to an
+    // unpinned one there while freezing the panel on scaled corpora. If
+    // a larger SF ever pushes max vec_id to the pin, BOTH engines would
+    // silently shrink the panel relative to the corpus — a workload
+    // change the oracle comparison cannot see because it mirrors the
+    // same pin. This guard makes that growth fail loudly instead
+    // (r12 advice).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val mx = graft.catalog.Tables.load(spark, dir, "embeddings")
+        .agg(org.apache.spark.sql.functions.max("vec_id"))
+        .collect().head.getLong(0)
+      assert(mx < SparkEntry.n5PanelPin,
+        s"$dir embeddings max vec_id $mx >= n5PanelPin " +
+          s"${SparkEntry.n5PanelPin}: the fixed panel no longer covers " +
+          "the graded id range — raise the pin and re-check the oracle")
+    }
   }
 
   test("pack sequences never windows the corpus on a single partition") {

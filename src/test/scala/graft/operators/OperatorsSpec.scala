@@ -210,7 +210,10 @@ class OperatorsSpec extends SparkSpec {
     // no false positives, exact cosines, and every hit is a planted pair
     out.foreach { case (a, b, c) =>
       assert(truth.contains((a, b)), s"($a,$b) not a true >=0.9 pair")
-      assert(b == a - 1000L + 2000L || b == a + 1000L, s"($a,$b) not planted-shaped")
+      // planted pairs are exactly (base id, base id + 1000); the old
+      // second disjunct was algebraically identical to this one (r12
+      // advice), so it checked nothing and is dropped
+      assert(b == a + 1000L, s"($a,$b) not planted-shaped")
       assert(math.abs(c - math.rint(cos(all(a), all(b)) * 1e6) / 1e6) < 1e-9)
     }
     // 3x16-bit bands at cos~0.97 recall ~60% per pair; 30 planted pairs

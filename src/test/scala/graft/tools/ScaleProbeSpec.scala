@@ -94,6 +94,42 @@ class ScaleProbeSpec extends SparkSpec {
     assert(crossMax < 0.75, s"crossMax=$crossMax — replica cliff returning")
   }
 
+  test("embedding scramble decorrelates across the FULL probed copy range") {
+    // the r12 transform derived its shift from (7i mod dim) and its sign
+    // from (i mod 2): period dim=64 in i, so copy 64 applied the IDENTICAL
+    // transform as copy 0 and the 100x probes (copies 0..99) carried ~36
+    // copies' worth of exact cross-copy replicas — cosine-1.0 pairs the
+    // salt exists to prevent, silently inflating d5b/n5's 100x points
+    // (r12 advice, medium). The hash-derived transform must decorrelate
+    // every pair across the probed range, emphatically including the
+    // old period's collisions (0 vs 64, 5 vs 69) and the range ends.
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat), "l"))
+      .toDF("vec_id", "embedding", "label")
+    def emb(c: Int): Map[Long, Array[Float]] =
+      ScaleProbe.copyTransform("embeddings", vecs, c)
+        .collect().map(r => (r.getLong(0) % 10_000_000L,
+          r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, x2, y2), (x, y)) =>
+          (s + x.toDouble * y, x2 + x.toDouble * x, y2 + y.toDouble * y)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val copiesProbed = Seq(0, 1, 5, 63, 64, 69, 99)
+    val es = copiesProbed.map(c => c -> emb(c)).toMap
+    for {
+      a <- copiesProbed; b <- copiesProbed if a < b
+    } {
+      val pairMax = (0L until 30L).map(i => math.abs(cos(es(a)(i), es(b)(i)))).max
+      assert(pairMax < 0.75,
+        s"copies $a vs $b: max |cos|=$pairMax — transform collision " +
+          "(the period-64 replica cliff)")
+    }
+  }
+
   test("dims never overlap the offset/union machinery") {
     assert(ScaleProbe.dimTables.intersect(ScaleProbe.offsetCols.keySet).isEmpty)
     // a dim reaching copyTransform is a wiring bug, not a silent union

@@ -16,6 +16,32 @@ import org.apache.spark.sql.functions._
   * 100 TB-safe shape for temporal containment. Pick `binDays` near the
   * median interval length: wider bins inflate the filter's false-candidate
   * rate, narrower bins inflate interval replication.
+  *
+  * ==Which growth regime are you in? (read before scaling this up)==
+  * The plan above is linear in INPUT — but the OUTPUT is the true match
+  * count, and that is a property of the workload, measured both ways at
+  * 1x-100x in docs/SCALING.md:
+  *   - '''Date-extended growth''' (new data arrives with new dates, the
+  *     time axis stretches; per-point interval multiplicity constant):
+  *     this plan is flat-to-linear end to end (measured top segment
+  *     0.80 at 100x). Time-series data at 100 TB grows this way; no
+  *     action needed.
+  *   - '''Densification''' (interval COUNT grows inside a fixed time
+  *     window): every point matches ~N intervals, so output pairs grow
+  *     ~N^2 — no join plan can beat the size of its own output
+  *     (measured: 217s at 100x, exponent 2.09 over the top segment —
+  *     the same class as an all-pairs similarity join). Diagnose by
+  *     trending `output rows / points`: if it grows with volume, you
+  *     are here, and the cure is to shrink the OUTPUT, not the join:
+  *     (a) if downstream only needs per-point aggregates over matching
+  *     intervals, aggregate per (`_bin`-granularity) group before the
+  *     containment filter fans out — reduction below the pair blowup;
+  *     (b) bound matches per point (top-k by recency/priority via a
+  *     point-keyed window AFTER the bin equi-join — the per-group sort
+  *     is bounded by a single point's candidates, not the corpus);
+  *     (c) coalesce overlapping same-key intervals first (densifying
+  *     intervals usually overlap; a sort + merge per key collapses
+  *     them to O(distinct spans)).
   */
 object RangeJoin {
 

@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SCALE_COPIES (default "3,10"), SPARK_GRAFT_SCALE_QUERIES
   * (default: the six heaviest distinct batch shapes),
   * SPARK_GRAFT_SCALE_OUT (scratch root, default /tmp/graft_scale),
-  * SPARK_GRAFT_SCALE_REPS (default 2), SPARK_GRAFT_CPUS (default 32).
+  * SPARK_GRAFT_SCALE_REPS (default 2), SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_ADVISORY_MB (AQE advisory partition size — the
+  * spill-onset lever; see the main-body comment).
   *
   * A measurement tool, not part of any pipeline or the bench artifact.
   */
@@ -188,6 +190,115 @@ object ScaleProbe {
     }
   }
 
+  /** Tables each probe-able query reads — the definition of the "heavy
+    * family" for both this probe and Bench's SPARK_GRAFT_BENCH_SCALE
+    * mode (which sweeps exactly the queries mapped here against the
+    * same scaled scratch corpus).
+    */
+  private[graft] val tablesFor: Map[String, Seq[String]] = Map(
+    "d3_dedup_minhash" -> Seq("documents"),
+    "d6_dedup_clusters" -> Seq("documents"),
+    "d9_incremental_neardup" -> Seq("documents"),
+    "x6_pack_sequences" -> Seq("documents"),
+    "w6_rolling_ols_native" -> Seq("lineitem"),
+    "l5_qp_weights" -> Seq("orders", "customer"),
+    // round-12 additions: the remaining heavy shapes without a
+    // dynamic datum (r11 verdict item 5). Note the l_returnflag-
+    // partitioned windows (w5 chunked, a13 trimmed): the group COUNT
+    // is constant (3 flags) while rows-per-group grow xN — the
+    // chunking/trim designs exist exactly for that regime, so these
+    // probes measure the worst case, not the friendly one.
+    "l5_qp_certificate" -> Seq("orders", "customer"),
+    "w5_covar_chunked" -> Seq("lineitem"),
+    "a13_trimmed_stats" -> Seq("lineitem"),
+    "j13_range_join" -> Seq("orders", "lineitem"),
+    "t13_heavy_hitters" -> Seq("documents"),
+    "w13_ranking_suite" -> Seq("customer"),
+    // round-12 late additions: the remaining >=1s bench entries
+    // without a dynamic datum. f2's blocking is probed before AND
+    // after the deletion-neighborhood rewrite; d5/n5 ride the
+    // orthogonal embedding scramble above.
+    "f2_fuzzy_pairs" -> Seq("supplier"),
+    "t12_repetition" -> Seq("documents"),
+    "d5_dedup_embcos" -> Seq("embeddings"),
+    "d5b_neardup_embcos" -> Seq("embeddings"),
+    "n5_ann_pq" -> Seq("embeddings"),
+    // the last >=1s stragglers: the classic TPC-H join suite (facts
+    // scale xN over once-copied dims) and the plain windowed
+    // covariance (the documented non-scale-path twin of w5_covar_
+    // chunked — probed to show WHY the chunked form exists)
+    "q21_late_supplier" -> Seq("supplier", "lineitem", "orders", "nation"),
+    "q7_nation_volume" -> Seq("supplier", "lineitem", "orders", "customer", "nation"),
+    "q11_important_stock" -> Seq("lineitem"),
+    "w5_rolling_covar" -> Seq("lineitem"))
+
+  /** Key ranges of the BASE data must fit under the copy strides, or
+    * copies silently collide (see offsetCols). One agg per table, once.
+    * A silent collision would merge groups across copies and corrupt
+    * the measured exponent without any visible failure — checked
+    * against the ACTUAL max because SPARK_GRAFT_SF_DIR lets the base be
+    * any SF (at sf>=2 l_orderkey already exceeds 10M).
+    */
+  private[graft] def assertStrides(spark: SparkSession, sfDir: String,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val checks = offsetCols.getOrElse(t, Seq.empty)
+      if (checks.nonEmpty) {
+        val maxes = graft.catalog.Tables.load(spark, sfDir, t)
+          .agg(checks.map { case (c, _) => max(col(c)).cast("long").as(c) }.head,
+            checks.drop(1).map { case (c, _) => max(col(c)).cast("long").as(c) }: _*)
+          .collect().head
+        checks.zipWithIndex.foreach { case ((c, stride), i) =>
+          val mx = maxes.getLong(i)
+          require(mx < stride,
+            s"base $t.$c max $mx >= copy stride $stride: scaled copies " +
+              "would collide on keys and corrupt the measured exponent — " +
+              "raise the stride for this base SF")
+        }
+      }
+    }
+
+  private[graft] def scaledDirName(outRoot: String, n: Int,
+      dateShift: Boolean): String =
+    s"${outRoot}_${n}x${if (dateShift) "_ds" else ""}"
+
+  /** Builds (or incrementally completes) the N-times scaled scratch dir
+    * for `tables` and returns its path. Scaled dirs are built once and
+    * reused across runs; the marker file RECORDS WHICH TABLES were
+    * built (one name per line), so a later run needing a table the
+    * first run didn't build rebuilds just the missing ones instead of
+    * short-circuiting on the marker's existence and silently fitting
+    * exponents over fewer points. Generation cost stays outside every
+    * timed region either way. Shared by the probe and Bench's
+    * SPARK_GRAFT_BENCH_SCALE mode.
+    */
+  private[graft] def ensureScaled(spark: SparkSession, sfDir: String, n: Int,
+      outRoot: String, tables: Seq[String], dateShift: Boolean): String = {
+    val dir = scaledDirName(outRoot, n, dateShift)
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
+    val built: Set[String] =
+      if (java.nio.file.Files.exists(marker)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(marker).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+      } else Set.empty
+    val missing = tables.filterNot(built)
+    if (missing.isEmpty) return dir
+    missing.foreach { t =>
+      val base = graft.catalog.Tables.load(spark, sfDir, t)
+      val scaled =
+        if (dimTables(t)) base // dims are copied once, never unioned
+        else (0 until n).map(i => copyTransform(t, base, i, dateShift))
+          .reduce(_.union(_))
+      scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
+    }
+    java.nio.file.Files.write(marker,
+      (built ++ missing).toSeq.sorted.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    dir
+  }
+
   /** ln-ln least-squares slope over (copies, seconds) points — the
     * observed scaling exponent. Requires >= 2 valid points.
     */
@@ -220,42 +331,6 @@ object ScaleProbe {
       "d3_dedup_minhash,d6_dedup_clusters,d9_incremental_neardup," +
         "w6_rolling_ols_native,l5_qp_weights,x6_pack_sequences")
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-    val tablesFor: Map[String, Seq[String]] = Map(
-      "d3_dedup_minhash" -> Seq("documents"),
-      "d6_dedup_clusters" -> Seq("documents"),
-      "d9_incremental_neardup" -> Seq("documents"),
-      "x6_pack_sequences" -> Seq("documents"),
-      "w6_rolling_ols_native" -> Seq("lineitem"),
-      "l5_qp_weights" -> Seq("orders", "customer"),
-      // round-12 additions: the remaining heavy shapes without a
-      // dynamic datum (r11 verdict item 5). Note the l_returnflag-
-      // partitioned windows (w5 chunked, a13 trimmed): the group COUNT
-      // is constant (3 flags) while rows-per-group grow xN — the
-      // chunking/trim designs exist exactly for that regime, so these
-      // probes measure the worst case, not the friendly one.
-      "l5_qp_certificate" -> Seq("orders", "customer"),
-      "w5_covar_chunked" -> Seq("lineitem"),
-      "a13_trimmed_stats" -> Seq("lineitem"),
-      "j13_range_join" -> Seq("orders", "lineitem"),
-      "t13_heavy_hitters" -> Seq("documents"),
-      "w13_ranking_suite" -> Seq("customer"),
-      // round-12 late additions: the remaining >=1s bench entries
-      // without a dynamic datum. f2's blocking is probed before AND
-      // after the deletion-neighborhood rewrite; d5/n5 ride the
-      // orthogonal embedding scramble above.
-      "f2_fuzzy_pairs" -> Seq("supplier"),
-      "t12_repetition" -> Seq("documents"),
-      "d5_dedup_embcos" -> Seq("embeddings"),
-      "d5b_neardup_embcos" -> Seq("embeddings"),
-      "n5_ann_pq" -> Seq("embeddings"),
-      // the last >=1s stragglers: the classic TPC-H join suite (facts
-      // scale xN over once-copied dims) and the plain windowed
-      // covariance (the documented non-scale-path twin of w5_covar_
-      // chunked — probed to show WHY the chunked form exists)
-      "q21_late_supplier" -> Seq("supplier", "lineitem", "orders", "nation"),
-      "q7_nation_volume" -> Seq("supplier", "lineitem", "orders", "customer", "nation"),
-      "q11_important_stock" -> Seq("lineitem"),
-      "w5_rolling_covar" -> Seq("lineitem"))
     val neededTables =
       queryNames.flatMap(n => tablesFor.getOrElse(n,
         sys.error(s"no table mapping for query $n"))).distinct
@@ -286,6 +361,15 @@ object ScaleProbe {
     // knob measures which plans CAN take that cure (thousands of
     // independent groups) vs which cannot (a group-count ceiling)
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", cpus)
+    // SPARK_GRAFT_ADVISORY_MB lowers AQE's advisory partition size (the
+    // default 64MB coalescing is what overrode SPARK_GRAFT_SCALE_PARTS
+    // in footnote 5's measurement): smaller post-shuffle partitions =
+    // more, smaller aggregate working sets sharing the one local heap —
+    // the deployment lever for spill ONSET segments (q11's 100x point),
+    // demonstrated rather than argued
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+      .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"SPARK_GRAFT_ADVISORY_MB must be a positive int, got '$t'")))
     var builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
@@ -299,64 +383,17 @@ object ScaleProbe {
       builder = builder.config("spark.executor.extraJavaOptions", o))
     sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
       builder = builder.config("spark.executor.memory", m))
+    advisoryMb.foreach(mb => builder = builder
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
-    // Key ranges of the BASE data must fit under the copy strides, or
-    // copies silently collide (see offsetCols). One agg per table, once.
-    neededTables.foreach { t =>
-      val checks = offsetCols.getOrElse(t, Seq.empty)
-      if (checks.nonEmpty) {
-        val maxes = graft.catalog.Tables.load(spark, sfDir, t)
-          .agg(checks.map { case (c, _) => max(col(c)).cast("long").as(c) }.head,
-            checks.drop(1).map { case (c, _) => max(col(c)).cast("long").as(c) }: _*)
-          .collect().head
-        checks.zipWithIndex.foreach { case ((c, stride), i) =>
-          val mx = maxes.getLong(i)
-          require(mx < stride,
-            s"base $t.$c max $mx >= copy stride $stride: scaled copies " +
-              "would collide on keys and corrupt the measured exponent — " +
-              "raise the stride for this base SF")
-        }
-      }
-    }
-
-    // scaled dirs are built once and reused across runs; the marker file
-    // RECORDS WHICH TABLES were built (one name per line), so a later
-    // run needing a table the first run didn't build rebuilds just the
-    // missing ones instead of short-circuiting on the marker's existence
-    // and silently fitting the exponent over fewer points. Generation
-    // cost stays outside every timed region either way.
-    def scaledDir(n: Int): String =
-      s"${outRoot}_${n}x${if (dateShift) "_ds" else ""}"
-    def buildScaled(n: Int): Unit = {
-      val dir = scaledDir(n)
-      val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
-      val built: Set[String] =
-        if (java.nio.file.Files.exists(marker)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.readAllLines(marker).asScala
-            .map(_.trim).filter(_.nonEmpty).toSet
-        } else Set.empty
-      val missing = neededTables.filterNot(built)
-      if (missing.isEmpty) return
-      missing.foreach { t =>
-        val base = graft.catalog.Tables.load(spark, sfDir, t)
-        val scaled =
-          if (dimTables(t)) base // dims are copied once, never unioned
-          else (0 until n).map(i => copyTransform(t, base, i, dateShift))
-            .reduce(_.union(_))
-        scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
-        System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
-      }
-      java.nio.file.Files.write(marker,
-        (built ++ missing).toSeq.sorted.mkString("\n").getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-      ()
-    }
-    copies.foreach(buildScaled)
+    assertStrides(spark, sfDir, neededTables)
+    def scaledDir(n: Int): String = scaledDirName(outRoot, n, dateShift)
+    copies.foreach(n =>
+      ensureScaled(spark, sfDir, n, outRoot, neededTables, dateShift))
 
     // same materialization + cache hygiene as graft.Bench: noop sink so
     // nothing is pruned, caches AND localCheckpoint-persisted RDDs

@@ -208,6 +208,59 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(JsonMethods.parse(s2) != JNothing)
   }
 
+  test("stream_calib: warm-only mean, failed-run filtering, field emission") {
+    // the counted series excludes the warmup (one-time streaming-plan
+    // compilation — the batch calib's cold-start exclusion, same
+    // rationale) and failed runs never contribute
+    assert(math.abs(Bench.streamCalibMeanSec(Seq(1.5, 1.7)) - 1.6) < 1e-12)
+    assert(Bench.streamCalibMeanSec(Seq(-1.0, 2.0)) == 2.0)
+    assert(Bench.streamCalibMeanSec(Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.streamCalibMeanSec(Seq.empty) == -1.0)
+    // detail field: parses, carries warmup + series + mean + ratio
+    val d = Bench.streamCalibDetailJson(3.2, Seq(1.5, 1.7))
+    assert(d.startsWith(","), "field must splice after a previous field")
+    val j = JsonMethods.parse("{" + d.drop(1) + "}")
+    assert((j \ "stream_calib" \ "warmup_sec") == JDouble(3.2))
+    assert((j \ "stream_calib" \ "mean_sec") == JDouble(1.6))
+    val JDouble(r) = (j \ "stream_calib" \ "ratio_vs_nominal"): @unchecked
+    assert(math.abs(r - 1.6 / Bench.streamCalibNominalSec) < 0.01)
+    // no calib ran -> no field at all
+    assert(Bench.streamCalibDetailJson(-1.0, Seq.empty) == "")
+    // a series whose every run failed still emits (mean -1) but no ratio
+    assert(Bench.streamCalibDetailJson(-1.0, Seq(-1.0))
+      .contains("\"mean_sec\":-1.000"))
+    assert(!Bench.streamCalibDetailJson(-1.0, Seq(-1.0))
+      .contains("ratio_vs_nominal"))
+    // compact line: mean + ratio travel next to stream_parts...
+    val s = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 12.3,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf, streamCalibMean = 1.6)
+    val jc = JsonMethods.parse(s)
+    assert((jc \ "stream_calib_mean") == JDouble(1.6))
+    val JDouble(rc) = (jc \ "stream_calib_ratio"): @unchecked
+    assert(math.abs(rc - 1.6 / Bench.streamCalibNominalSec) < 0.01)
+    // ...and are absent when no streaming calib ran (sentinel -1)
+    val s2 = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 0.0,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf)
+    assert(!s2.contains("stream_calib"))
+    // the calib input is part of the nominal's definition: a size change
+    // without a re-pin corrupts every cross-round streaming comparison
+    assert(Bench.streamCalibEvents.length == 3000,
+      "streamCalibEvents changed — re-measure and re-pin streamCalibNominalSec")
+  }
+
+  test("bench_scale travels in the compact line and is absent by default") {
+    // a scale-mode sweep's `value` sums only the heavy family at N x the
+    // base sf — comparing it against a full-sweep value would read as a
+    // catastrophic regression, so the artifact must self-describe
+    val s = Bench.compactArtifact(Seq(("w5_covar_chunked", 12.6)), 12.6, 0.0,
+      "rocksdb", calib, "BENCH_SCALE10.json", Nil, "/tmp/graft_scale_10x",
+      benchScale = Some(10))
+    assert((JsonMethods.parse(s) \ "bench_scale") == JInt(10))
+    val s2 = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 0.0,
+      "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf)
+    assert(!s2.contains("bench_scale"))
+  }
+
   test("minUnconfirmed matches noisyRepCount and skips corroborated mins") {
     // the targeted-extra-rep trigger and the reported noisy_reps count
     // share one predicate: a min with a second rep within 2x is

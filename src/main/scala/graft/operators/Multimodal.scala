@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * magic bytes say PNG or JPEG are decoded with `javax.imageio` (in
   * every JDK — no extra dependency) into width/height/pixel statistics
   * plus a normalized luminance histogram. [[resizePayload]] really
-  * rescales decodable images (Graphics2D bilinear + PNG re-encode) and
-  * [[sampleFrames]] really extracts frames from multi-frame GIFs.
+  * rescales decodable images (Graphics2D bilinear + PNG re-encode;
+  * animated GIFs frame-by-frame with disposal compositing, delays and
+  * loop count preserved) and [[sampleFrames]] really extracts frames
+  * from multi-frame GIFs.
   * Payloads of any other modality (audio/video codecs genuinely absent
   * here, plain text) fall back to deterministic byte-level forms — the
   * same output shape, so downstream schema does not fork on modality.
@@ -21,7 +23,12 @@ import org.apache.spark.sql.types._
   * payload bytes never hit the driver, each partition streams its rows
   * once, and results come back columnar.
   */
-object Multimodal {
+// Serializable: resizePayload's mapPartitions closure calls resizeGif
+// with default arguments, and scalac materializes default-getter calls
+// through a captured module reference — task closures then carry the
+// module (deserialized back to the MODULE$ singleton via the standard
+// readResolve, so this costs nothing and shares no state)
+object Multimodal extends Serializable {
 
   /** Wrap a text/bytes source as a multimodal asset table. */
   def asAssets(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column,
@@ -217,12 +224,15 @@ object Multimodal {
     * `Graphics2D` transform to fit the box (aspect preserved, never
     * upscaled, alpha preserved) and re-encoded as PNG — the lossless
     * JDK-native codec, so a resized payload re-decodes through
-    * [[decodeFeatures]] with the target dimensions. GIF payloads pass
-    * through untransformed: the container may be animated, and the only
-    * thing this path could emit is a frame-0 still — silently
-    * discarding frames is corruption, not resizing, so multi-frame
-    * media is left to [[sampleFrames]]/[[decodeFeatures]] and a GIF's
-    * bytes are (documentedly) not size-bounded here.
+    * [[decodeFeatures]] with the target dimensions. GIF payloads whose
+    * frame 0 exceeds the box (or whose bytes exceed the image ceiling)
+    * take the MULTI-FRAME path ([[resizeGif]]): frames composited per
+    * the GIF disposal semantics, each composite box-fit, the animation
+    * re-encoded with per-frame delays and loop count preserved. A GIF
+    * resizeGif declines (more than [[maxResizeGifFrames]] frames, over
+    * the summed pixel budget, poison frame) rides through untransformed
+    * — the documented unbounded escape, narrowed to ineligible
+    * containers.
     *
     * The size contract for the bounded modalities:
     *   - image rows are bounded by the BOX — at most
@@ -235,6 +245,10 @@ object Multimodal {
     *     strided byte cap would be garbage-not-an-image, so it is the
     *     last resort only when no box down to 8px encodes under the
     *     ceiling.
+    *   - resized GIF rows are bounded by the box TIMES the frame cap
+    *     (palettized frames at ≤ box² pixels each, at most
+    *     maxResizeGifFrames of them); only resize-ineligible GIFs keep
+    *     their source size.
     *   - non-image payloads (and images the guard refuses) take the
     *     opaque fallback: a strided byte downsample to at most
     *     `targetBytes` (pass-through when already small enough) — a
@@ -265,29 +279,13 @@ object Multimodal {
         res
       }
 
-    // bilinear rescale to fit `box` (never upscales) + PNG re-encode,
-    // in ARGB when the source carries alpha — flattening a transparent
-    // PNG to an RGB raster would black-fill its transparency, which is
-    // data corruption, not resizing. None when ImageIO has no PNG
-    // writer (cannot happen on a stock JDK, but the fallback must
-    // exist).
+    // PNG re-encode of the box-fit rescale ([[scaleToBox]]). None when
+    // ImageIO has no PNG writer (cannot happen on a stock JDK, but the
+    // fallback must exist).
     def encodeScaled(img: java.awt.image.BufferedImage, box: Int): Option[Array[Byte]] = {
-      val w = img.getWidth; val h = img.getHeight
-      val scale = math.min(1.0, box.toDouble / math.max(w, h))
-      val tw = math.max(1, math.round(w * scale).toInt)
-      val th = math.max(1, math.round(h * scale).toInt)
-      val out = new java.awt.image.BufferedImage(tw, th,
-        if (img.getColorModel.hasAlpha)
-          java.awt.image.BufferedImage.TYPE_INT_ARGB
-        else java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, tw, th, null)
-      } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
-      if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
+      if (javax.imageio.ImageIO.write(scaleToBox(img, box), "png", bos))
+        Some(bos.toByteArray)
       else None
     }
 
@@ -308,14 +306,19 @@ object Multimodal {
         val out =
           if (bytes == null) null
           else readImage(bytes) match {
-            // GIFs pass through UNTRANSFORMED: the container may be
-            // animated, and a frame-0 re-encode (all this path could
-            // produce) would silently discard every other frame — a
-            // downstream sampleFrames would then see a still where the
-            // source had frames. Multi-frame resize is out of this
-            // operator's scope; the documented trade is that a GIF's
-            // bytes are not size-bounded here.
-            case Some(("gif", _)) => bytes
+            // GIFs take the MULTI-FRAME path: every frame composited
+            // per the disposal semantics, box-fit, and re-encoded as an
+            // animated GIF with delays and loop count preserved — a
+            // frame-0 still would silently discard animation, which is
+            // corruption, not resizing. When resizeGif declines (frame
+            // count past the re-encode buffer cap, pixel budget, poison
+            // frame), the payload rides through UNTRANSFORMED — never
+            // strided (the documented unbounded escape, now narrowed to
+            // the ineligible containers only)
+            case Some(("gif", img)) =>
+              if (img.getWidth <= imageBox && img.getHeight <= imageBox &&
+                  bytes.length <= imageByteCeiling) bytes
+              else resizeGif(bytes, imageBox).getOrElse(bytes)
             case Some((_, img)) =>
               if (img.getWidth <= imageBox && img.getHeight <= imageBox &&
                   bytes.length <= imageByteCeiling) bytes
@@ -339,6 +342,214 @@ object Multimodal {
       }
     }
   }
+
+  /** Bilinear rescale to fit the `box` bounding square (aspect
+    * preserved, never upscaled), in ARGB when the source carries alpha —
+    * flattening transparency to an RGB raster would black-fill it, which
+    * is data corruption, not resizing. Always allocates a NEW image
+    * (callers composite onto mutable canvases).
+    */
+  private[operators] def scaleToBox(img: java.awt.image.BufferedImage,
+      box: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val scale = math.min(1.0, box.toDouble / math.max(w, h))
+    val tw = math.max(1, math.round(w * scale).toInt)
+    val th = math.max(1, math.round(h * scale).toInt)
+    val out = new java.awt.image.BufferedImage(tw, th,
+      if (img.getColorModel.hasAlpha)
+        java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** One GIF frame's geometry + timing from the ImageIO metadata tree:
+    * patch offsets (frames may be sub-rect patches of the logical
+    * screen), graphic-control delay (centiseconds) and disposal method.
+    */
+  private final case class GifFrameMeta(
+      x: Int, y: Int, delayCs: Int, disposal: String)
+
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+      i: Int): GifFrameMeta = {
+    val root = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    def first(tag: String): Option[javax.imageio.metadata.IIOMetadataNode] = {
+      val ns = root.getElementsByTagName(tag)
+      if (ns.getLength > 0)
+        Some(ns.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+      else None
+    }
+    def intAttr(n: javax.imageio.metadata.IIOMetadataNode, a: String): Int =
+      n.getAttribute(a).toIntOption.getOrElse(0)
+    val (x, y) = first("ImageDescriptor")
+      .map(d => (intAttr(d, "imageLeftPosition"), intAttr(d, "imageTopPosition")))
+      .getOrElse((0, 0))
+    val (delay, disposal) = first("GraphicControlExtension")
+      .map(g => (intAttr(g, "delayTime"),
+        Option(g.getAttribute("disposalMethod")).filter(_.nonEmpty)
+          .getOrElse("none")))
+      .getOrElse((0, "none"))
+    GifFrameMeta(x, y, delay, disposal)
+  }
+
+  /** Frames an animated GIF re-encode may buffer: the resize holds one
+    * logical-screen canvas plus every SCALED frame (≤ ~4·box² bytes
+    * each), so the cap bounds re-encode memory; a GIF past it rides
+    * through untransformed (the documented escape — truncating frames
+    * would be corruption, not resizing).
+    */
+  private[operators] val maxResizeGifFrames = 64
+
+  /** Multi-frame GIF resize: composites each frame patch onto the
+    * logical screen per the GIF disposal semantics (none/doNotDispose
+    * accumulate; restoreToBackgroundColor clears the patch rect;
+    * restoreToPrevious restores the pre-frame canvas), box-fits every
+    * composited frame ([[scaleToBox]]), and re-encodes an animated GIF
+    * that preserves frame count, per-frame delays, and the source's
+    * ApplicationExtensions (NETSCAPE loop count). Written frames are
+    * FULL logical screens with disposal restoreToBackgroundColor —
+    * compositing is resolved at re-encode, trading the source's patch
+    * optimization for fidelity of what each frame DISPLAYS.
+    *
+    * None (caller passes the payload through) when: not a readable GIF,
+    * zero or more than `maxFrames` frames, the SUMMED frame pixels
+    * exceed `maxPixels` (one budget for the whole container — total
+    * decode work stays bounded exactly like a still's), the composited
+    * logical screen exceeds it, or the platform has no GIF writer.
+    * A frame that fails mid-decode aborts to None rather than emitting
+    * an animation with silently missing frames.
+    */
+  private[operators] def resizeGif(bytes: Array[Byte], box: Int,
+      maxFrames: Int = maxResizeGifFrames,
+      maxPixels: Long = maxDecodePixels): Option[Array[Byte]] =
+    imageKind(bytes).filter(_ == "gif").flatMap { _ =>
+      // seekForwardOnly=false: getNumImages(true) scans the stream and
+      // the compositing pass then re-reads frames in order
+      withImageReader(bytes, seekForwardOnly = false) { reader =>
+        val n = reader.getNumImages(true)
+        val dims =
+          if (n <= 0 || n > maxFrames) None
+          else Some((0 until n).map(i =>
+            (reader.getWidth(i).toLong, reader.getHeight(i).toLong)))
+        dims.filter { ds =>
+          ds.forall { case (w, h) => w > 0 && h > 0 } &&
+            ds.map { case (w, h) => w * h }.sum <= maxPixels
+        }.flatMap { _ =>
+          val metas = (0 until n).map(gifFrameMeta(reader, _))
+          // logical screen = max patch extent (header-declared screen
+          // sizes can under-report; patches define what is displayed)
+          val sw = (0 until n).map(i => metas(i).x + reader.getWidth(i)).max
+          val sh = (0 until n).map(i => metas(i).y + reader.getHeight(i)).max
+          if (sw.toLong * sh > maxPixels) None
+          else try {
+            val canvas = new java.awt.image.BufferedImage(sw, sh,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val scaled = (0 until n).map { i =>
+              val patch = reader.read(i) // poison frame -> catch below
+              val before =
+                if (metas(i).disposal == "restoreToPrevious") {
+                  val c = new java.awt.image.BufferedImage(sw, sh,
+                    java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                  val g = c.createGraphics()
+                  try g.drawImage(canvas, 0, 0, null) finally g.dispose()
+                  c
+                } else null
+              val g = canvas.createGraphics()
+              try g.drawImage(patch, metas(i).x, metas(i).y, null)
+              finally g.dispose()
+              val frame = scaleToBox(canvas, box)
+              metas(i).disposal match {
+                case "restoreToBackgroundColor" =>
+                  val g2 = canvas.createGraphics()
+                  try {
+                    g2.setComposite(java.awt.AlphaComposite.Clear)
+                    g2.fillRect(metas(i).x, metas(i).y,
+                      patch.getWidth, patch.getHeight)
+                  } finally g2.dispose()
+                case "restoreToPrevious" =>
+                  val g2 = canvas.createGraphics()
+                  try {
+                    g2.setComposite(java.awt.AlphaComposite.Src)
+                    g2.drawImage(before, 0, 0, null)
+                  } finally g2.dispose()
+                case _ => () // none / doNotDispose: accumulate
+              }
+              frame
+            }
+            // the source's ApplicationExtensions (NETSCAPE loop count),
+            // rebuilt node-by-node for the writer's tree
+            val appExts = {
+              val exts = reader.getImageMetadata(0)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .getElementsByTagName("ApplicationExtension")
+              (0 until exts.getLength).map { k =>
+                val e = exts.item(k)
+                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                (e.getAttribute("applicationID"),
+                  e.getAttribute("authenticationCode"), e.getUserObject)
+              }
+            }
+            val writers =
+              javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+            if (!writers.hasNext) None
+            else {
+              val writer = writers.next()
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              try {
+                writer.setOutput(ios)
+                writer.prepareWriteSequence(null)
+                scaled.zipWithIndex.foreach { case (frame, i) =>
+                  val spec = javax.imageio.ImageTypeSpecifier
+                    .createFromRenderedImage(frame)
+                  val md = writer.getDefaultImageMetadata(spec,
+                    writer.getDefaultWriteParam)
+                  val fmt = "javax_imageio_gif_image_1.0"
+                  val root = md.getAsTree(fmt)
+                    .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                  val gce = new javax.imageio.metadata.IIOMetadataNode(
+                    "GraphicControlExtension")
+                  gce.setAttribute("disposalMethod", "restoreToBackgroundColor")
+                  gce.setAttribute("userInputFlag", "FALSE")
+                  gce.setAttribute("transparentColorFlag", "FALSE")
+                  gce.setAttribute("delayTime", metas(i).delayCs.toString)
+                  gce.setAttribute("transparentColorIndex", "0")
+                  root.appendChild(gce)
+                  if (i == 0 && appExts.nonEmpty) {
+                    val exts = new javax.imageio.metadata.IIOMetadataNode(
+                      "ApplicationExtensions")
+                    appExts.foreach { case (id, auth, payload) =>
+                      val e = new javax.imageio.metadata.IIOMetadataNode(
+                        "ApplicationExtension")
+                      e.setAttribute("applicationID", id)
+                      e.setAttribute("authenticationCode", auth)
+                      e.setUserObject(payload)
+                      exts.appendChild(e)
+                    }
+                    root.appendChild(exts)
+                  }
+                  md.setFromTree(fmt, root)
+                  writer.writeToSequence(
+                    new javax.imageio.IIOImage(frame, null, md), null)
+                }
+                writer.endWriteSequence()
+              } finally {
+                try ios.close() finally writer.dispose()
+              }
+              Some(bos.toByteArray)
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+    }
 
   /** Per-frame stats of a multi-frame GIF: (frame index, width, height,
     * mean luminance) for each requested index that exists and decodes.

@@ -370,6 +370,14 @@ object ScaleProbe {
     val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
       .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
         s"SPARK_GRAFT_ADVISORY_MB must be a positive int, got '$t'")))
+    // SPARK_GRAFT_MAX_PARTITION_MB shrinks INPUT splits — the map-side
+    // twin of the two knobs above: a near-unique-key aggregate's partial
+    // hash map buffers ~its input split's rows, so map-side spill is
+    // cured by split size (at a deployment: executor count), not by
+    // reduce partition count
+    val maxPartitionMb = sys.env.get("SPARK_GRAFT_MAX_PARTITION_MB")
+      .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"SPARK_GRAFT_MAX_PARTITION_MB must be a positive int, got '$t'")))
     var builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
@@ -385,6 +393,8 @@ object ScaleProbe {
       builder = builder.config("spark.executor.memory", m))
     advisoryMb.foreach(mb => builder = builder
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
+    maxPartitionMb.foreach(mb => builder = builder
+      .config("spark.sql.files.maxPartitionBytes", s"${mb}m"))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new Metrics

@@ -695,17 +695,23 @@ class OperatorsSpec extends SparkSpec {
     val (k, re) = Multimodal.readImage(resized).get
     assert(k == "png" && re.getWidth == 8 && re.getHeight == 4)
 
-    // a (potentially animated) GIF is NEVER re-encoded by resize — even
-    // towing junk past the byte ceiling — because a frame-0 re-encode
-    // would silently discard frames; it rides through byte-identical
-    // and a downstream sampleFrames still sees every frame
+    // an over-box GIF towing junk goes through the MULTI-FRAME resize:
+    // every frame survives (a frame-0 still would be corruption), the
+    // trailing junk is stripped by the re-encode, and dims are box-fit
     val gifBloated = gif ++ Array.fill(200000)('A'.toByte)
     val gifOut = Multimodal.resizePayload(
       Multimodal.asAssets(Seq((0L, gifBloated)).toDF("doc_id", "payload"),
         "doc_id", col("payload"), "video"),
       targetBytes = 32, imageBox = 2).collect().head
       .getAs[Array[Byte]]("payload")
-    assert(gifOut.toSeq == gifBloated.toSeq, "GIF must pass through resize")
+    assert(Multimodal.imageKind(gifOut).contains("gif"))
+    assert(gifOut.length < 2000, "junk past the GIF terminator must be stripped")
+    val gifFrames = Multimodal.gifFrameStats(gifOut, Seq(0, 1)).get
+    assert(gifFrames.map(_._1) == Seq(0, 1), "both frames must survive resize")
+    assert(gifFrames.forall { case (_, w, h, _) => w == 2 && h == 2 })
+    // ...but a GIF past the frame cap is resize-INELIGIBLE and rides
+    // through byte-identical (truncating frames would be corruption)
+    assert(Multimodal.resizeGif(gif, 2, maxFrames = 1).isEmpty)
 
     // transparency survives the re-encode: an over-box ARGB PNG keeps
     // its alpha channel (an RGB flatten would black-fill it)
@@ -725,6 +731,103 @@ class OperatorsSpec extends SparkSpec {
       "resized PNG must keep its alpha channel")
     assert(((aimg.getRGB(1, 8) >>> 24) & 0xff) < 16,
       "transparent pixels must stay transparent after resize")
+  }
+
+  test("multimodal resizeGif: animation, timing and patch compositing preserved") {
+    // a 3-frame 20x12 GIF with per-frame delays (10/20/30 cs), a
+    // NETSCAPE loop extension, and frame 2 written as a HALF-WIDTH
+    // PATCH at x=10 (disposal none, so it composites over frame 1) —
+    // the three fidelity axes resize must preserve: frame count,
+    // per-frame timing, and what each frame DISPLAYS (not its raw patch)
+    def solid(w: Int, h: Int, gray: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      img
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val frames = Seq((solid(20, 12, 40), 10, 0), (solid(20, 12, 80), 20, 0),
+      (solid(10, 12, 200), 30, 10)) // (image, delayCs, xOffset)
+    frames.zipWithIndex.foreach { case ((img, delay, xOff), i) =>
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delay.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      if (xOff != 0) {
+        val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", xOff.toString)
+        desc.setAttribute("imageTopPosition", "0")
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        root.appendChild(desc)
+      }
+      if (i == 0) {
+        val exts = new javax.imageio.metadata.IIOMetadataNode("ApplicationExtensions")
+        val e = new javax.imageio.metadata.IIOMetadataNode("ApplicationExtension")
+        e.setAttribute("applicationID", "NETSCAPE")
+        e.setAttribute("authenticationCode", "2.0")
+        e.setUserObject(Array[Byte](1, 0, 0)) // loop forever
+        exts.appendChild(e)
+        root.appendChild(exts)
+      }
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    val out = Multimodal.resizeGif(gif, box = 10).get
+    assert(Multimodal.imageKind(out).contains("gif"))
+    // frame count + box-fit dims (20x12 -> 10x6), frames are FULL
+    // logical screens after compositing
+    val stats = Multimodal.gifFrameStats(out, Seq(0, 1, 2)).get
+    assert(stats.map(_._1) == Seq(0, 1, 2))
+    assert(stats.forall { case (_, w, h, _) => w == 10 && h == 6 })
+    // frame 2's raw patch was solid 200 — its COMPOSITE is gray 80 on
+    // the left half (frame 1 shows through under disposal none) and
+    // 200 on the right: mean 140. The source's raw frame 2 reads 200;
+    // the resized output's frame 2 must read the composite.
+    val srcStats = Multimodal.gifFrameStats(gif, Seq(2)).get
+    assert(math.abs(srcStats.head._4 - 200) < 2.0, "premise: raw patch is 200")
+    assert(math.abs(stats(0)._4 - 40) < 2.0)
+    assert(math.abs(stats(1)._4 - 80) < 2.0)
+    assert(math.abs(stats(2)._4 - 140) < 4.0,
+      s"frame 2 must be the composite, got mean ${stats(2)._4}")
+    // per-frame delays and the loop extension survive the re-encode
+    val iis2 = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(out))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis2).next()
+    reader.setInput(iis2, false, false)
+    def frameTree(i: Int) = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val delays = (0 until 3).map { i =>
+      frameTree(i).getElementsByTagName("GraphicControlExtension").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .getAttribute("delayTime").toInt
+    }
+    assert(delays == Seq(10, 20, 30), s"delays must survive: $delays")
+    val apps = frameTree(0).getElementsByTagName("ApplicationExtension")
+    val hasLoop = (0 until apps.getLength).exists { k =>
+      apps.item(k).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .getAttribute("applicationID") == "NETSCAPE"
+    }
+    reader.dispose(); iis2.close()
+    assert(hasLoop, "NETSCAPE loop extension must survive the re-encode")
   }
 
   test("multimodal asset stats") {

@@ -130,6 +130,64 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("tablesFor stays in sync with the query registry and the transforms") {
+    // tablesFor defines the heavy family for BOTH the probe and Bench's
+    // SPARK_GRAFT_BENCH_SCALE mode: a renamed query would silently drop
+    // out of the 10x sweep (scale mode filters by membership, it does
+    // not error), shrinking the graded artifact without any failure
+    val missing = ScaleProbe.tablesFor.keySet -- graft.SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"tablesFor names unknown queries: $missing")
+    // every mapped table must have a growth transform (offset/salt) or
+    // be a once-copied dim — anything else would sys.error mid-build
+    val tables = ScaleProbe.tablesFor.values.flatten.toSet
+    val untransformable =
+      tables -- ScaleProbe.offsetCols.keySet -- ScaleProbe.dimTables
+    assert(untransformable.isEmpty,
+      s"mapped tables without a copy transform: $untransformable")
+  }
+
+  test("ensureScaled builds xN tables, copies dims once, and completes incrementally") {
+    val sfDir = java.nio.file.Files.createTempDirectory("graft_scale_spec_sf")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_scale_spec_out")
+      .resolve("scale").toString
+    try {
+      Seq((1L, "alpha beta", "en", "web", 10L), (2L, "gamma", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+      Seq((0L, "AMERICA")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$sfDir/region.parquet")
+      val dir = ScaleProbe.ensureScaled(spark, sfDir.toString, 3, outRoot,
+        Seq("documents"), dateShift = false)
+      // x3 rows in disjoint key windows
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assert(docs.count() == 6)
+      assert(docs.select("doc_id").distinct().count() == 6)
+      // marker records WHAT was built...
+      def marker: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+      }
+      assert(marker == Set("documents"))
+      // ...so a later run needing MORE tables builds just the missing one
+      // (the r11 short-circuit class: a bare existence check would skip)
+      val dir2 = ScaleProbe.ensureScaled(spark, sfDir.toString, 3, outRoot,
+        Seq("documents", "region"), dateShift = false)
+      assert(dir2 == dir)
+      assert(marker == Set("documents", "region"))
+      // dims are copied ONCE, never unioned — a x3 dim would duplicate
+      // join keys and multiply every match
+      assert(spark.read.parquet(s"$dir/region.parquet").count() == 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(sfDir.toFile)
+      rm(new java.io.File(outRoot).getParentFile)
+    }
+  }
+
   test("dims never overlap the offset/union machinery") {
     assert(ScaleProbe.dimTables.intersect(ScaleProbe.offsetCols.keySet).isEmpty)
     // a dim reaching copyTransform is a wiring bug, not a silent union

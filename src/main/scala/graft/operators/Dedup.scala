@@ -351,32 +351,57 @@ object Dedup {
     * +N²). The 16-bit default is sized for the graded SFs and the
     * probe's 100×; a 10⁸-vector deployment wants ~28–32-bit bands (or
     * the [[graft.operators.Similarity]] IVF route when the workload is
-    * top-k search rather than a pair emit).
+    * top-k search rather than a pair emit). [[suggestedBandBits]] is
+    * the rule as code, and widths past 63 packed bits RUN: the
+    * implementation switches to per-band keys from the same plane
+    * family (see the branch below).
     */
   def embCosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bitsPerBand: Int, threshold: Double,
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
-    require(bands * bitsPerBand <= 63, "code must fit a long")
-    // materialize only (id, code, nrm) — a few bytes per vector — for the
-    // band self-join and the norm lookups; the verification joins re-read
-    // full vectors from the source (a persisted copy of every embedding
-    // would not fit at corpus scale). Eager localCheckpoint, not a lazy
-    // cache: the band side and the norm lookup are BOTH consumed by the
-    // one final job, and a lazy cache with two same-job consumers
-    // race-computes the SRP projection twice (the repo-wide rule).
-    val coded = df.select(col(idCol).as("id"),
-        Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"),
-        Similarity.l2Norm(col(vecCol)).as("nrm"))
-      .localCheckpoint(true)
-    val mask = (1L << bitsPerBand) - 1
-    val chunks = coded.selectExpr("id",
-      s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
+    require(bitsPerBand >= 1 && bitsPerBand <= 62,
+      "a band key must fit a non-negative long")
+    // materialize only (id, band keys, nrm) — a few bytes per vector —
+    // for the band self-join and the norm lookups; the verification
+    // joins re-read full vectors from the source (a persisted copy of
+    // every embedding would not fit at corpus scale). Eager
+    // localCheckpoint, not a lazy cache: the band side and the norm
+    // lookup are BOTH consumed by the one final job, and a lazy cache
+    // with two same-job consumers race-computes the SRP projection
+    // twice (the repo-wide rule).
+    //
+    // Narrow widths (bands·bits ≤ 63, the graded configurations) pack
+    // every band into ONE srpCode long and slice; the corpus-sizing
+    // rule above calls for widths past that (e.g. 3×28 bits at 10⁸
+    // vectors), where each band's key is computed independently from
+    // the SAME globally-indexed plane family (srpBandCode) — identical
+    // bucketing wherever both forms are representable (spec-pinned),
+    // one projection pass either way.
+    val (chunks, norms) =
+      if (bands * bitsPerBand <= 63) {
+        val coded = df.select(col(idCol).as("id"),
+            Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"),
+            Similarity.l2Norm(col(vecCol)).as("nrm"))
+          .localCheckpoint(true)
+        val mask = (1L << bitsPerBand) - 1
+        (coded.selectExpr("id",
+          s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)"),
+          coded.select("id", "nrm"))
+      } else {
+        val coded = df.select(col(idCol).as("id"),
+            array((0 until bands).map(b => Similarity.srpBandCode(
+              col(vecCol), dim, b * bitsPerBand, bitsPerBand)): _*).as("codes"),
+            Similarity.l2Norm(col(vecCol)).as("nrm"))
+          .localCheckpoint(true)
+        (coded.select(col("id"), posexplode(col("codes")).as(Seq("band", "ckey"))),
+          coded.select("id", "nrm"))
+      }
     val cand = bandedPairs(chunks, Seq("band", "ckey"), hotBandWidth)
     // zero-norm vectors have undefined cosine (0/0 = NaN, which Spark
     // orders ABOVE any threshold) — they can never be near-dups, so they
     // are excluded before the division
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(coded.select("id", "nrm"), "id")
+      .join(norms, "id")
       .filter(col("nrm") > 0)
     cand
       .join(vecs.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
@@ -384,6 +409,25 @@ object Dedup {
       .select(col("a"), col("b"),
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** The [[embCosinePairs]] corpus-sizing rule as code: the band width
+    * that holds the random-collision floor (≈ n(n−1)/2 · bands / 2^bits
+    * candidate pairs) at or under `budgetPairs` for an `n`-vector
+    * corpus. Clamped to [8, 62] — below 8 bits the floor exceeds any
+    * sane budget only for toy corpora, above 62 a band key no longer
+    * fits a non-negative long (and at such widths IVF is the better
+    * route). Doubling the corpus adds 2 bits; the budget is the
+    * verification work you are willing to pay in cheap dot products
+    * (e.g. ~10·n keeps verification ∝ corpus).
+    */
+  def suggestedBandBits(n: Long, bands: Int, budgetPairs: Long): Int = {
+    require(n > 1 && bands >= 1 && budgetPairs >= 1,
+      "need a corpus of >= 2, >= 1 band, and a positive pair budget")
+    val need = math.ceil(
+      math.log(n.toDouble * (n - 1) / 2.0 * bands / budgetPairs) /
+        math.log(2.0)).toInt
+    math.min(62, math.max(8, need))
   }
 
   /** SimHash near-dup pairs: band the 60 bits into 4 chunks of 15; pairs

@@ -115,6 +115,20 @@ object Similarity {
       when(round(proj, 9) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** One BAND's SRP key: `bits` sign bits from the globally-indexed
+    * plane family starting at `planeOffset`. For planeOffset = b·bits
+    * this is exactly bits [b·bits, (b+1)·bits) of [[srpCode]]'s packed
+    * long — same planes, same rounding — so band keys computed per band
+    * (the wide-band path, where bands·bits no longer fits one long)
+    * bucket identically to slices of the packed code wherever both are
+    * representable.
+    */
+  def srpBandCode(v: Column, dim: Int, planeOffset: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val proj = dot(v, typedlit(planeSigns(planeOffset + j, dim).map(_.toDouble)))
+      when(round(proj, 9) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF-style approximate top-k (coarse quantization): every corpus
     * vector is assigned to its nearest centroid; each query probes its
     * `nprobe` nearest centroids and ranks exact cosine only within those

@@ -1398,6 +1398,61 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Densification-capped range join (RangeJoin cure (b), oracle-backed):
+    // same intervals as j13, but each lineitem point keeps only its 3
+    // most-recent containing intervals — output ≤ 3·|points| by
+    // construction no matter how densely intervals pile into the window
+    // (the regime docs/SCALING.md measured at exponent 2.09 uncapped).
+    // The rank is a STRUCT (recency, interval id) so the per-point
+    // ordering is total and both engines cap identically; the rank≤k
+    // filter engages Catalyst's partial window-group limit (spec-pinned)
+    // so per-point sorts stay partition-local. The point key includes
+    // (sd, cents) because this testdata DUPLICATES (l_orderkey,
+    // l_linenumber) (~12k keys at sf0.01) — a non-unique cap key makes
+    // which-duplicate-gets-which-rank engine-order-dependent (the trap
+    // pointInIntervalTopK's doc names); with the value columns in the
+    // key, any residual duplicates are value-identical and the kept
+    // AGGREGATE is deterministic in both engines.
+    "j13b_range_join_topk" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("pk"), col("l_linenumber").as("pl"),
+          to_date(col("l_shipdate")).as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      RangeJoin.pointInIntervalTopK(pts, iv, "sd", "lo", "hi", 30,
+          Seq("pk", "pl", "sd", "cents"),
+          struct((-datediff(col("lo"), to_date(lit("1970-01-01")))).as("r"),
+            col("o_orderkey").as("t")), 3)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("cents")) / 100.0).as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Interval coalescing (RangeJoin cure (c), oracle-backed): merge each
+    // customer's overlapping order-coverage intervals into distinct spans
+    // — the pre-join normalization that turns a densified interval side
+    // into O(distinct spans). Dates emitted as epoch-day ints so the
+    // hash compare never depends on engine date formatting.
+    "j13c_interval_coalesce" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      RangeJoin.coalesceIntervals(iv, Seq("o_custkey"), "lo", "hi")
+        .select(col("o_custkey"),
+          datediff(col("lo"), to_date(lit("1970-01-01"))).cast("long").as("lo_d"),
+          datediff(col("hi"), to_date(lit("1970-01-01"))).cast("long").as("hi_d"),
+          col("n_merged"))
+        .orderBy("o_custkey", "lo_d", "hi_d")
+    }),
+
     // Bloom-pruned selective join: a bloom filter over the filtered dim's
     // keys prunes fact rows before the join; false positives are removed
     // by the exact join, so the oracle is the plain join — the bloom
@@ -2799,6 +2854,34 @@ object SparkEntry {
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
         |FROM iv JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j13b_range_join_topk" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |j AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      PARTITION BY l.l_orderkey, l.l_linenumber,
+        |        CAST(l.l_shipdate AS DATE), CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      ORDER BY iv.lo DESC, iv.o_orderkey) AS rn
+        |  FROM iv JOIN lineitem l ON CAST(l.l_shipdate AS DATE) BETWEEN iv.lo AND iv.hi)
+        |SELECT o_orderkey, count(*) AS n_lines, sum(cents)/100.0 AS revenue
+        |FROM j WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j13c_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders),
+        |s AS (SELECT *, max(hi) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach FROM iv),
+        |f AS (SELECT *, CASE WHEN reach IS NULL OR lo > reach THEN 1 ELSE 0 END AS nw FROM s),
+        |g AS (SELECT *, sum(nw) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM f)
+        |SELECT o_custkey, min(lo) - DATE '1970-01-01' AS lo_d,
+        |  max(hi) - DATE '1970-01-01' AS hi_d, count(*) AS n_merged
+        |FROM g GROUP BY o_custkey, span ORDER BY 1, 2, 3""".stripMargin,
     "j14_bloom_join" ->
       """SELECT p_brand,
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,

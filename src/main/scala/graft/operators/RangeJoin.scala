@@ -36,12 +36,13 @@ import org.apache.spark.sql.functions._
   *     (a) if downstream only needs per-point aggregates over matching
   *     intervals, aggregate per (`_bin`-granularity) group before the
   *     containment filter fans out — reduction below the pair blowup;
-  *     (b) bound matches per point (top-k by recency/priority via a
+  *     (b) bound matches per point — [[pointInIntervalTopK]], output
+  *     ≤ k·points by construction (top-k by recency/priority via a
   *     point-keyed window AFTER the bin equi-join — the per-group sort
   *     is bounded by a single point's candidates, not the corpus);
-  *     (c) coalesce overlapping same-key intervals first (densifying
-  *     intervals usually overlap; a sort + merge per key collapses
-  *     them to O(distinct spans)).
+  *     (c) coalesce overlapping same-key intervals first —
+  *     [[coalesceIntervals]] (densifying intervals usually overlap;
+  *     the join then sees O(distinct spans)).
   */
 object RangeJoin {
 
@@ -68,5 +69,92 @@ object RangeJoin {
     pb.join(ib, Seq("_bin"))
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("_bin")
+  }
+
+  /** Densification cure (b), executable: the containment join capped at
+    * the `k` best-ranked intervals per point (ordered by `rank`
+    * ascending, interval start/end as deterministic tie-breaks), so
+    * OUTPUT is ≤ k·|points| no matter how densely intervals pile into
+    * the window — the bound that keeps the ×N-intervals regime from
+    * handing a quadratic row count to everything downstream (measured
+    * in docs/SCALING.md).
+    *
+    * Scale shape: points are REPARTITIONED by the point key BEFORE the
+    * bin equi-join (the interval side broadcasts, so the join preserves
+    * that partitioning), and the `row_number ≤ k` window then reuses it
+    * — no exchange of the joined candidate stream, ever, and the
+    * per-task window sort is the candidate stream ÷ shuffle partitions
+    * rather than ÷ input splits. That division is the load-bearing
+    * part: a scaled corpus packed into few parquet splits would
+    * otherwise funnel the whole candidate enumeration through a
+    * handful of pre-exchange sorts (measured: 12.7 GB of sort spill and
+    * an executor OOM at 30× before this repartition; `PlanAuditSpec`
+    * pins the exchange-free join→window span). Per-task sort input
+    * still grows with per-point match density — inherent to
+    * enumerate-then-cap; [[pointInIntervalTopKSweep]] is the
+    * densification-regime path that never materializes the enumeration.
+    *
+    * `idCols` must uniquely key `points` rows (the per-point cap is
+    * per KEY; duplicate keys would share one budget).
+    */
+  def pointInIntervalTopK(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, binDays: Int,
+      idCols: Seq[String], rank: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(idCols.nonEmpty, "idCols must name the point key")
+    // broadcast is the premise of the exchange-free shape: a shuffled
+    // bin join would partition by _bin (few groups under a fixed date
+    // window) AND break the point-key partitioning the window reuses
+    val joined = pointInInterval(points.repartition(idCols.map(col): _*),
+      broadcast(intervals), ptCol, loCol, hiCol, binDays)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCols.map(col): _*)
+      .orderBy(rank.asc, col(loCol).asc, col(hiCol).asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Densification cure (c), executable: collapse overlapping (or
+    * `gapDays`-adjacent) same-key intervals to their merged spans —
+    * densifying intervals usually overlap, and feeding the containment
+    * join O(distinct spans) instead of O(intervals) removes the pile-up
+    * at the source. Classic sweep: per key, sort by start, a new span
+    * starts where `lo` exceeds the running max of `hi` (+gap), then
+    * group to (min lo, max hi, count).
+    *
+    * Scale shape: one shuffle by key, per-key sort windows (key
+    * cardinality = the join key — users/instruments — so group counts
+    * scale with data while each group's sort stays bounded by that
+    * key's interval count; a single-key corpus would serialize, which
+    * is the inherent shape of merging ONE key's overlapping spans).
+    *
+    * @return `keyCols` + (`loCol`, `hiCol`, `n_merged`), one row per
+    *         merged span.
+    */
+  def coalesceIntervals(intervals: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String, gapDays: Int = 0): DataFrame = {
+    require(gapDays >= 0, "gapDays must be non-negative")
+    require(keyCols.nonEmpty, "keyCols must name the merge key")
+    val keyed = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val byStart = keyed.orderBy(col(loCol).asc, col(hiCol).asc)
+    intervals
+      .filter(col(hiCol) >= col(loCol))
+      // running max of hi over PRECEDING rows only: a row opens a new
+      // span iff its lo clears every earlier interval's reach (+gap)
+      .withColumn("_reach", max(col(hiCol)).over(
+        byStart.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_reach").isNull or
+        (datediff(col(loCol), col("_reach")) > gapDays), 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(
+        byStart.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy((keyCols.map(col) :+ col("_span")): _*)
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol),
+        count(lit(1)).as("n_merged"))
+      .drop("_span")
   }
 }

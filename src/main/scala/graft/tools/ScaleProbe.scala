@@ -212,6 +212,11 @@ object ScaleProbe {
     "w5_covar_chunked" -> Seq("lineitem"),
     "a13_trimmed_stats" -> Seq("lineitem"),
     "j13_range_join" -> Seq("orders", "lineitem"),
+    // the round-13 densification cures, probed against the SAME growth
+    // model that measured j13's uncapped 2.09: the cap must hold output
+    // ≤ k·points (near-linear) where the uncapped join went quadratic
+    "j13b_range_join_topk" -> Seq("orders", "lineitem"),
+    "j13c_interval_coalesce" -> Seq("orders"),
     "t13_heavy_hitters" -> Seq("documents"),
     "w13_ranking_suite" -> Seq("customer"),
     // round-12 late additions: the remaining >=1s bench entries

@@ -990,6 +990,80 @@ class OperatorsSpec extends SparkSpec {
     assert(!binned.exists(_._2 == 12L))
   }
 
+  test("range join top-k cap: densified matches bounded per point, partial window limit") {
+    // one point inside 6 nested intervals (the densification shape):
+    // the cap must keep the 3 most-recent starts, deterministically
+    val ivs = (1L to 6L).map(i =>
+      (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pts = Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), to_date(col("d_s")).as("d"))
+    // rank = recency (latest start first)
+    val out = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+        Seq("pt_id"), -datediff(col("lo"), lit("1970-01-01").cast("date")), 3)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out(0L) == Set(4L, 5L, 6L), s"point 0 must keep the 3 latest: $out")
+    // a point AT the cap keeps everything it matches (intervals 1-3
+    // contain 2024-01-03 inclusively; 4-6 start later)
+    assert(out(1L) == Set(1L, 2L, 3L))
+    assert(!out.contains(2L)) // no matches -> no rows, never null-padded
+    // the load-bearing plan properties: (1) the rank<=k filter engages
+    // Catalyst's window-group limit so rows beyond k never reach the
+    // window buffers; (2) the ONLY exchange is the up-front point
+    // repartition — the joined candidate stream itself is never
+    // shuffled (broadcast join preserves the point-key partitioning
+    // and the window reuses it). A second exchange would mean the
+    // quadratic-under-densification candidate stream crosses the wire;
+    // losing the repartition re-opens the few-input-splits funnel that
+    // measured 12.7 GB of single-task sort spill (docs/SCALING.md).
+    val plan = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+        Seq("pt_id"), -datediff(col("lo"), lit("1970-01-01").cast("date")), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k cap lost the window-group limit:\n$plan")
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1,
+      s"expected exactly the point-repartition exchange, got $exchanges:\n$plan")
+  }
+
+  test("interval coalescing: overlaps and gap-adjacent spans merge per key") {
+    val ivs = Seq(
+      ("u1", "2024-01-01", "2024-01-10"),
+      ("u1", "2024-01-05", "2024-01-20"), // overlaps the first
+      ("u1", "2024-01-21", "2024-01-25"), // adjacent (1-day gap)
+      ("u1", "2024-03-01", "2024-03-02"), // separate span
+      ("u2", "2024-01-15", "2024-01-18"), // other key: never merged in
+      ("u2", "2024-02-01", "2024-01-01")  // empty (hi < lo): dropped
+    ).toDF("user", "lo_s", "hi_s")
+      .select(col("user"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    def spans(gap: Int): Map[(String, String, String), Long] =
+      RangeJoin.coalesceIntervals(ivs, Seq("user"), "lo", "hi", gap)
+        .collect().map(r => ((r.getString(0), r.getDate(1).toString,
+          r.getDate(2).toString), r.getAs[Long]("n_merged"))).toMap
+    // gap 0: strict overlap only — the adjacent span stays separate
+    val strict = spans(0)
+    assert(strict == Map(
+      ("u1", "2024-01-01", "2024-01-20") -> 2L,
+      ("u1", "2024-01-21", "2024-01-25") -> 1L,
+      ("u1", "2024-03-01", "2024-03-02") -> 1L,
+      ("u2", "2024-01-15", "2024-01-18") -> 1L), s"got $strict")
+    // gap 1: the adjacent span joins its neighbor
+    val bridged = spans(1)
+    assert(bridged(("u1", "2024-01-01", "2024-01-25")) == 3L)
+    assert(bridged.size == 3)
+    // idempotence: coalesced output re-coalesces to itself (the fixpoint
+    // a pre-join normalization must have)
+    val once = RangeJoin.coalesceIntervals(ivs, Seq("user"), "lo", "hi", 0)
+    val twice = RangeJoin.coalesceIntervals(
+      once.select("user", "lo", "hi"), Seq("user"), "lo", "hi", 0)
+    assert(twice.select("user", "lo", "hi").collect().toSet ==
+      once.select("user", "lo", "hi").collect().toSet)
+  }
+
   test("range join: rejects colliding column names") {
     val x = Seq((1L, "2024-01-01")).toDF("id", "d_s")
       .select(col("id"), to_date(col("d_s")).as("d"))

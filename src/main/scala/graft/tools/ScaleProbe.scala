@@ -97,6 +97,23 @@ object ScaleProbe {
     "supplier" -> Seq("s_suppkey" -> smallStride),
     "embeddings" -> Seq("vec_id" -> bigStride))
 
+  /** Per-table TRANSFORM VERSION, recorded in the scaled-dir marker as
+    * `table:vN`. Scaled scratch dirs outlive code changes (built once
+    * under /tmp and reused across rounds), so a transform fix would
+    * otherwise be silently undone by dir reuse: the r13 embedding
+    * scramble fix (period-64 replica cliff) changed what
+    * `copyTransform("embeddings", ...)` writes, but any dir built with
+    * the OLD scramble still carried a valid-looking marker and both the
+    * probe and Bench's SPARK_GRAFT_BENCH_SCALE mode would reuse it —
+    * reintroducing the cross-copy cosine-1.0 contamination with no
+    * visible failure. Bump a table's version WHENEVER its branch of
+    * [[copyTransform]] changes what it writes; entries at another
+    * version (including legacy unversioned lines) are treated as
+    * missing and rebuilt in place.
+    */
+  private[tools] val transformVersion: Map[String, Int] =
+    Map("embeddings" -> 2).withDefaultValue(1)
+
   /** Dimension tables copied ONCE into every scaled dir, never unioned:
     * the fact transforms preserve their foreign keys (s_nationkey is
     * untouched by the supplier salt), so ×N facts over 1× dims is the
@@ -270,22 +287,33 @@ object ScaleProbe {
   /** Builds (or incrementally completes) the N-times scaled scratch dir
     * for `tables` and returns its path. Scaled dirs are built once and
     * reused across runs; the marker file RECORDS WHICH TABLES were
-    * built (one name per line), so a later run needing a table the
-    * first run didn't build rebuilds just the missing ones instead of
-    * short-circuiting on the marker's existence and silently fitting
-    * exponents over fewer points. Generation cost stays outside every
-    * timed region either way. Shared by the probe and Bench's
-    * SPARK_GRAFT_BENCH_SCALE mode.
+    * built AT WHICH TRANSFORM VERSION (one `table:vN` line per table),
+    * so a later run needing a table the first run didn't build rebuilds
+    * just the missing ones instead of short-circuiting on the marker's
+    * existence and silently fitting exponents over fewer points — and a
+    * table whose transform has changed since the dir was built (version
+    * mismatch, or a legacy unversioned line) is rebuilt in place
+    * instead of silently reusing stale data (see [[transformVersion]]).
+    * Generation cost stays outside every timed region either way.
+    * Shared by the probe and Bench's SPARK_GRAFT_BENCH_SCALE mode.
     */
   private[graft] def ensureScaled(spark: SparkSession, sfDir: String, n: Int,
       outRoot: String, tables: Seq[String], dateShift: Boolean): String = {
     val dir = scaledDirName(outRoot, n, dateShift)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")
+    // current-version entries only: a `table:v1` line when the code is
+    // at v2 — or a legacy bare `table` line — reads as NOT built
     val built: Set[String] =
       if (java.nio.file.Files.exists(marker)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(marker).asScala
-          .map(_.trim).filter(_.nonEmpty).toSet
+          .map(_.trim).filter(_.nonEmpty)
+          .collect { case line if line.contains(":v") =>
+            val (t, v) = line.splitAt(line.lastIndexOf(":v"))
+            (t, v.stripPrefix(":v").toIntOption)
+          }
+          .collect { case (t, Some(v)) if transformVersion(t) == v => t }
+          .toSet
       } else Set.empty
     val missing = tables.filterNot(built)
     if (missing.isEmpty) return dir
@@ -296,11 +324,13 @@ object ScaleProbe {
         else (0 until n).map(i => copyTransform(t, base, i, dateShift))
           .reduce(_.union(_))
       scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
-      System.err.println(s"[scale] built $dir/$t.parquet (${n}x)")
+      System.err.println(
+        s"[scale] built $dir/$t.parquet (${n}x, v${transformVersion(t)})")
     }
     java.nio.file.Files.write(marker,
-      (built ++ missing).toSeq.sorted.mkString("\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      (built ++ missing).toSeq.sorted
+        .map(t => s"$t:v${transformVersion(t)}").mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
     dir
   }
 

@@ -169,15 +169,33 @@ class ScaleProbeSpec extends SparkSpec {
           java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK")).asScala
           .map(_.trim).filter(_.nonEmpty).toSet
       }
-      assert(marker == Set("documents"))
+      assert(marker == Set("documents:v1"))
       // ...so a later run needing MORE tables builds just the missing one
       // (the r11 short-circuit class: a bare existence check would skip)
       val dir2 = ScaleProbe.ensureScaled(spark, sfDir.toString, 3, outRoot,
         Seq("documents", "region"), dateShift = false)
       assert(dir2 == dir)
-      assert(marker == Set("documents", "region"))
+      assert(marker == Set("documents:v1", "region:v1"))
       // dims are copied ONCE, never unioned — a x3 dim would duplicate
       // join keys and multiply every match
+      assert(spark.read.parquet(s"$dir/region.parquet").count() == 1)
+      // a marker entry at another transform version — or a legacy
+      // unversioned line — is STALE: the table rebuilds in place instead
+      // of silently reusing data a superseded transform wrote (the r13
+      // embedding-scramble fix would otherwise be undone by dir reuse)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_GRAFT_SCALE_OK"),
+        "documents\nregion:v0".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      // plant stale content so the rebuild is observable, not inferred
+      Seq((99L, "stale", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val dir3 = ScaleProbe.ensureScaled(spark, sfDir.toString, 3, outRoot,
+        Seq("documents", "region"), dateShift = false)
+      assert(dir3 == dir)
+      assert(marker == Set("documents:v1", "region:v1"))
+      assert(spark.read.parquet(s"$dir/documents.parquet").count() == 6)
       assert(spark.read.parquet(s"$dir/region.parquet").count() == 1)
     } finally {
       def rm(f: java.io.File): Unit = {

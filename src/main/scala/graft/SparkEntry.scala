@@ -1453,6 +1453,63 @@ object SparkEntry {
         .orderBy("o_custkey", "lo_d", "hi_d")
     }),
 
+    // Densification cure (b), sweep form (oracle-backed): the SAME query
+    // as j13b — same intervals, same rank, same k=3 cap, same final
+    // aggregate — computed through RangeJoin.pointInIntervalTopKSweep's
+    // k-bounded streaming aggregate instead of enumerate-then-cap. Two
+    // independent engine paths (window row_number vs topk_structs fold)
+    // against ONE oracle pins the cap semantics from both sides; the
+    // sweep is the no-broadcast-premise path for interval sides that
+    // grow with the corpus (probed 1x-100x in docs/SCALING.md).
+    "j13d_range_join_sweep" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("pk"), col("l_linenumber").as("pl"),
+          to_date(col("l_shipdate")).as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      RangeJoin.pointInIntervalTopKSweep(pts, iv, "sd", "lo", "hi", 30,
+          Seq("pk", "pl", "sd", "cents"),
+          struct((-datediff(col("lo"), to_date(lit("1970-01-01")))).as("r"),
+            col("o_orderkey").as("t")), 3)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("cents")) / 100.0).as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Densification cure (a), executable (oracle-backed): per-POINT
+    // aggregates over the matching intervals — the fan-out is consumed
+    // by map-side partial aggregation, so nothing bigger than |points|
+    // ever shuffles even where the pair output would be quadratic.
+    // Dates emitted as epoch-day ints so the hash compare never depends
+    // on engine date formatting.
+    "j13e_range_join_agg" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("pk"), col("l_linenumber").as("pl"),
+          to_date(col("l_shipdate")).as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val epoch0 = to_date(lit("1970-01-01"))
+      RangeJoin.pointInIntervalAgg(pts, iv, "sd", "lo", "hi", 30, Seq(
+          count(lit(1)).as("n_iv"),
+          min(datediff(col("lo"), epoch0)).cast("long").as("lo_min_d"),
+          max(datediff(col("hi"), epoch0)).cast("long").as("hi_max_d")))
+        .select(col("pk"), col("pl"),
+          datediff(col("sd"), epoch0).cast("long").as("sd_d"), col("cents"),
+          col("n_iv"), col("lo_min_d"), col("hi_max_d"))
+        .orderBy("pk", "pl", "sd_d", "cents")
+    }),
+
     // Bloom-pruned selective join: a bloom filter over the filtered dim's
     // keys prunes fact rows before the join; false positives are removed
     // by the exact join, so the oracle is the plain join — the bloom
@@ -2882,6 +2939,36 @@ object SparkEntry {
         |SELECT o_custkey, min(lo) - DATE '1970-01-01' AS lo_d,
         |  max(hi) - DATE '1970-01-01' AS hi_d, count(*) AS n_merged
         |FROM g GROUP BY o_custkey, span ORDER BY 1, 2, 3""".stripMargin,
+    // the sweep computes j13b's exact query through the other engine
+    // path (k-bounded aggregate vs window cap) — one oracle, two plans
+    "j13d_range_join_sweep" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |j AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      PARTITION BY l.l_orderkey, l.l_linenumber,
+        |        CAST(l.l_shipdate AS DATE), CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      ORDER BY iv.lo DESC, iv.o_orderkey) AS rn
+        |  FROM iv JOIN lineitem l ON CAST(l.l_shipdate AS DATE) BETWEEN iv.lo AND iv.hi)
+        |SELECT o_orderkey, count(*) AS n_lines, sum(cents)/100.0 AS revenue
+        |FROM j WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j13e_range_join_agg" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0)
+        |SELECT l_orderkey AS pk, l_linenumber AS pl,
+        |  CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS sd_d,
+        |  CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+        |  count(*) AS n_iv,
+        |  min(lo - DATE '1970-01-01') AS lo_min_d,
+        |  max(hi - DATE '1970-01-01') AS hi_max_d
+        |FROM iv JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "j14_bloom_join" ->
       """SELECT p_brand,
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,

@@ -100,6 +100,10 @@ object GraftExtensions {
   private[catalyst] val functions = Seq(
     fn("ewma", classOf[EwmaAgg], ch => EwmaAgg(ch(0), ch(1))),
     fn("simhash_agg", classOf[SimHashAgg], ch => SimHashAgg(ch(0))),
+    // k smallest values per group as an ascending array — the streaming
+    // top-k that never materializes its candidate stream (see TopKAgg)
+    fn("topk_structs", classOf[TopKStructsAgg],
+      ch => TopKStructsAgg(ch(0), ch(1))),
     fn("minhash_agg", classOf[MinHashAgg], ch => MinHashAgg(ch(0), ch(1))),
     fn("graft_dot", classOf[DotProduct], ch => DotProduct(ch(0), ch(1))),
     // word n-gram construction (sliding windows / non-overlapping chunks)

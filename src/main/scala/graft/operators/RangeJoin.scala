@@ -32,14 +32,19 @@ import org.apache.spark.sql.functions._
   *     (measured: 217s at 100x, exponent 2.09 over the top segment —
   *     the same class as an all-pairs similarity join). Diagnose by
   *     trending `output rows / points`: if it grows with volume, you
-  *     are here, and the cure is to shrink the OUTPUT, not the join:
+  *     are here, and the cure is to shrink the OUTPUT, not the join —
+  *     all three cures are executable:
   *     (a) if downstream only needs per-point aggregates over matching
-  *     intervals, aggregate per (`_bin`-granularity) group before the
-  *     containment filter fans out — reduction below the pair blowup;
-  *     (b) bound matches per point — [[pointInIntervalTopK]], output
-  *     ≤ k·points by construction (top-k by recency/priority via a
-  *     point-keyed window AFTER the bin equi-join — the per-group sort
-  *     is bounded by a single point's candidates, not the corpus);
+  *     intervals — [[pointInIntervalAgg]]: partial (map-side)
+  *     aggregation consumes the candidate fan-out into one buffer per
+  *     point before anything shuffles, so output ≤ |points|;
+  *     (b) bound matches per point at k — [[pointInIntervalTopK]]
+  *     (enumerate-then-cap via a point-keyed window; fastest when the
+  *     interval side fits its broadcast budget) or
+  *     [[pointInIntervalTopKSweep]] (a k-bounded streaming aggregate
+  *     that never materializes the candidate stream and needs no
+  *     broadcast — the path for interval sides that grow with the
+  *     corpus); output ≤ k·points by construction either way;
   *     (c) coalesce overlapping same-key intervals first —
   *     [[coalesceIntervals]] (densifying intervals usually overlap;
   *     the join then sees O(distinct spans)).
@@ -71,6 +76,27 @@ object RangeJoin {
       .drop("_bin")
   }
 
+  /** The interval side's broadcast budget: explicit bytes when the
+    * caller passed one (≥ 0), else the session's
+    * `spark.sql.autoBroadcastJoinThreshold` (0 when broadcasting is
+    * disabled there). Compared against the optimizer's size estimate
+    * for the interval plan — for a parquet-backed side that is file
+    * bytes, which only GROWS through filters (no CBO selectivity), so
+    * the gate errs toward NOT broadcasting as the side scales: the
+    * safe direction, since the failure it prevents is a driver/executor
+    * OOM at the 8 GB broadcast ceiling and the cost of a false
+    * negative is one extra exchange.
+    */
+  private def withinBroadcastBudget(intervals: DataFrame,
+      budgetBytes: Long): Boolean = {
+    val budget: BigInt =
+      if (budgetBytes >= 0) BigInt(budgetBytes)
+      else BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        intervals.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))).max(BigInt(0))
+    intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= budget
+  }
+
   /** Densification cure (b), executable: the containment join capped at
     * the `k` best-ranked intervals per point (ordered by `rank`
     * ascending, interval start/end as deterministic tie-breaks), so
@@ -79,20 +105,39 @@ object RangeJoin {
     * handing a quadratic row count to everything downstream (measured
     * in docs/SCALING.md).
     *
-    * Scale shape: points are REPARTITIONED by the point key BEFORE the
-    * bin equi-join (the interval side broadcasts, so the join preserves
-    * that partitioning), and the `row_number ≤ k` window then reuses it
-    * — no exchange of the joined candidate stream, ever, and the
-    * per-task window sort is the candidate stream ÷ shuffle partitions
-    * rather than ÷ input splits. That division is the load-bearing
-    * part: a scaled corpus packed into few parquet splits would
-    * otherwise funnel the whole candidate enumeration through a
-    * handful of pre-exchange sorts (measured: 12.7 GB of sort spill and
-    * an executor OOM at 30× before this repartition; `PlanAuditSpec`
-    * pins the exchange-free join→window span). Per-task sort input
-    * still grows with per-point match density — inherent to
-    * enumerate-then-cap; [[pointInIntervalTopKSweep]] is the
-    * densification-regime path that never materializes the enumeration.
+    * Scale shape, SIZE-GATED on the interval side (see
+    * [[withinBroadcastBudget]]; `broadcastBudgetBytes` < 0 defers to
+    * the session's `spark.sql.autoBroadcastJoinThreshold`):
+    *   - '''Broadcast branch''' (interval side within budget): points
+    *     are REPARTITIONED by the point key BEFORE the bin equi-join
+    *     (the broadcast join preserves that partitioning), and the
+    *     `row_number ≤ k` window then reuses it — no exchange of the
+    *     joined candidate stream, ever, and the per-task window sort is
+    *     the candidate stream ÷ shuffle partitions rather than ÷ input
+    *     splits. That division is the load-bearing part: a scaled
+    *     corpus packed into few parquet splits would otherwise funnel
+    *     the whole candidate enumeration through a handful of
+    *     pre-exchange sorts (measured: 12.7 GB of sort spill and an
+    *     executor OOM at 30× before this repartition; `PlanAuditSpec`
+    *     pins the exchange-free join→window span).
+    *   - '''Shuffled fallback''' (interval side over budget — the
+    *     densification regime's own growth eventually forces this: an
+    *     interval side growing ∝ corpus inside a fixed window would
+    *     otherwise hit the 8 GB broadcast ceiling and die): a plain
+    *     shuffled bin equi-join, then ONE repartition of the capped
+    *     candidate stream by point key feeding the same window. The
+    *     `_bin` exchange has few distinct keys under a fixed window —
+    *     AQE skew-join splitting applies; the candidate stream crosses
+    *     the wire once, which [[pointInIntervalTopKSweep]] avoids
+    *     entirely — prefer the sweep when you are in this branch by
+    *     growth rather than by a one-off large side.
+    *
+    * Both branches engage Catalyst's partial window-group limit, so
+    * rows beyond k are dropped before the final per-group sort. Per-
+    * task sort input still grows with per-point match density —
+    * inherent to enumerate-then-cap; [[pointInIntervalTopKSweep]] is
+    * the densification-regime path that never materializes the
+    * enumeration.
     *
     * `idCols` must uniquely key `points` rows (the per-point cap is
     * per KEY; duplicate keys would share one budget).
@@ -100,20 +145,106 @@ object RangeJoin {
   def pointInIntervalTopK(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, binDays: Int,
       idCols: Seq[String], rank: org.apache.spark.sql.Column,
-      k: Int): DataFrame = {
+      k: Int, broadcastBudgetBytes: Long = -1L): DataFrame = {
     require(k > 0, "k must be positive")
     require(idCols.nonEmpty, "idCols must name the point key")
-    // broadcast is the premise of the exchange-free shape: a shuffled
-    // bin join would partition by _bin (few groups under a fixed date
-    // window) AND break the point-key partitioning the window reuses
-    val joined = pointInInterval(points.repartition(idCols.map(col): _*),
-      broadcast(intervals), ptCol, loCol, hiCol, binDays)
+    val joined =
+      if (withinBroadcastBudget(intervals, broadcastBudgetBytes))
+        // broadcast is the premise of the exchange-free shape: the
+        // point-key repartition survives the join and feeds the window
+        pointInInterval(points.repartition(idCols.map(col): _*),
+          broadcast(intervals), ptCol, loCol, hiCol, binDays)
+      else
+        // over-budget interval side: shuffled bin join, then the ONE
+        // point-key exchange of the (still uncapped) candidate stream
+        pointInInterval(points, intervals, ptCol, loCol, hiCol, binDays)
+          .repartition(idCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCols.map(col): _*)
       .orderBy(rank.asc, col(loCol).asc, col(hiCol).asc)
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
+  }
+
+  /** Densification cure (b), sweep form: the same ≤ k·|points| cap as
+    * [[pointInIntervalTopK]], computed by folding the bin equi-join's
+    * candidate stream into a k-bounded `topk_structs` aggregate
+    * ([[graft.expr.catalyst.TopKStructsAgg]]) instead of
+    * enumerate-then-cap through a window. The candidate enumeration is
+    * never materialized: each (point, interval) candidate is consumed
+    * the moment the join produces it — one comparison against the
+    * point's current worst-of-k, admitted or dropped — and partial
+    * (map-side) aggregation means the only exchange of candidate data
+    * carries at most k intervals per point per map task. No broadcast
+    * premise: the interval side may grow ∝ corpus (the densification
+    * regime) and the plan shape does not change — this is the branch
+    * of the cure family that survives an interval side past any
+    * broadcast budget.
+    *
+    * Ordering matches [[pointInIntervalTopK]] (`rank` asc, then
+    * interval start/end asc), with residual ties broken by the
+    * remaining interval columns — a deterministic total order, so the
+    * kept set never depends on partitioning or arrival order.
+    *
+    * `idCols` must uniquely key `points` rows (the group key is the
+    * full point row; a duplicate-keyed input would split what topK
+    * treats as one budget). Sessions must register `GraftExtensions`
+    * (`topk_structs` resolves there).
+    *
+    * @return one row per kept (point, interval) pair — point columns
+    *         then interval columns, exactly [[pointInIntervalTopK]]'s
+    *         shape.
+    */
+  def pointInIntervalTopKSweep(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, binDays: Int,
+      idCols: Seq[String], rank: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(idCols.nonEmpty, "idCols must name the point key")
+    val ptCols = points.columns.toSeq
+    require(idCols.forall(ptCols.contains),
+      s"idCols must be point columns: ${idCols.filterNot(ptCols.contains)}")
+    val ivCols = intervals.columns.toSeq
+    val joined = pointInInterval(points, intervals, ptCol, loCol, hiCol, binDays)
+    // element = (sort key, payload): lexicographic struct ordering gives
+    // (rank, lo, hi) ascending with the full interval row as tie-break
+    val elem = struct(rank.as("_r"), col(loCol).as("_l"), col(hiCol).as("_h"),
+      struct(ivCols.map(col): _*).as("_iv"))
+    joined
+      .groupBy(ptCols.map(col): _*) // = the point key (idCols unique)
+      .agg(call_function("topk_structs", elem, lit(k)).as("_tk"))
+      .select((ptCols.map(col) :+ explode(col("_tk")).as("_e")): _*)
+      .select(ptCols.map(col) ++
+        ivCols.map(c => col("_e").getField("_iv").getField(c).as(c)): _*)
+  }
+
+  /** Densification cure (a), executable: per-point aggregates over the
+    * matching intervals — for when downstream never needed the pairs,
+    * only a reduction of them (count of containing intervals, sum of a
+    * weight, min start …). The bin equi-join still enumerates
+    * candidates, but partial (map-side) aggregation folds them into
+    * one buffer per point as they are produced, so nothing larger than
+    * |points| rows ever shuffles or materializes — the reduction runs
+    * BELOW the pair blowup, which is what makes this shape linear in
+    * the regime where the pair output is quadratic.
+    *
+    * Points with no matching interval are absent from the result (the
+    * join is inner) — left-join semantics belong to the caller, who
+    * knows the fill values.
+    *
+    * @param aggs aggregate columns over the joined (point + interval)
+    *             columns, e.g. `count(lit(1)).as("n_iv")`.
+    * @return one row per matched point: all point columns + `aggs`.
+    */
+  def pointInIntervalAgg(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, binDays: Int,
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(aggs.nonEmpty, "aggs must name at least one aggregate")
+    val ptCols = points.columns.toSeq
+    pointInInterval(points, intervals, ptCol, loCol, hiCol, binDays)
+      .groupBy(ptCols.map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
   }
 
   /** Densification cure (c), executable: collapse overlapping (or

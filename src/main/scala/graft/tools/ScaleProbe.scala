@@ -234,6 +234,10 @@ object ScaleProbe {
     // ≤ k·points (near-linear) where the uncapped join went quadratic
     "j13b_range_join_topk" -> Seq("orders", "lineitem"),
     "j13c_interval_coalesce" -> Seq("orders"),
+    // round-14: the sweep (cure b without the broadcast premise) and the
+    // per-point aggregate (cure a), probed on the same growth model
+    "j13d_range_join_sweep" -> Seq("orders", "lineitem"),
+    "j13e_range_join_agg" -> Seq("orders", "lineitem"),
     "t13_heavy_hitters" -> Seq("documents"),
     "w13_ranking_suite" -> Seq("customer"),
     // round-12 late additions: the remaining >=1s bench entries

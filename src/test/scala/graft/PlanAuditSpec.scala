@@ -296,4 +296,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(unpartitioned.isEmpty || p.contains("_bt"),
       "corpus-wide unpartitioned window:\n" + windows.mkString("\n"))
   }
+
+  test("range-join densification cures keep their scale shapes") {
+    // j13b (enumerate-then-cap): the cap must be a window-group limit
+    // (rows beyond k dropped before the per-point sort). Unlike the ANN
+    // rankings, the broadcast branch repartitions by point key BEFORE
+    // the join, so there is no exchange between limit and window and
+    // Catalyst inserts the single Final-mode node — still per-partition
+    // bounded, because the partitioning already satisfies the window.
+    // The broadcast-vs-shuffled branch choice is size-gated inside
+    // pointInIntervalTopK and both branches are value- and plan-pinned
+    // in OperatorsSpec; here the QUERY-level shape is pinned so a
+    // SparkEntry rewrite can't silently lose the cap.
+    val b = plan("j13b_range_join_topk")
+    assert(b.contains("WindowGroupLimit"),
+      s"j13b lost the window-group limit:\n$b")
+    // j13d (sweep): the cap must be the k-bounded topk_structs AGGREGATE
+    // with map-side combine (>=2 ObjectHashAggregate: partial + final),
+    // and the candidate stream must never pass through a window — the
+    // whole point of the sweep is that nothing enumerate-then-caps
+    val d = plan("j13d_range_join_sweep")
+    assert(d.contains("topk_structs"), s"j13d lost the sweep aggregate:\n$d")
+    assert(d.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"j13d must partial-aggregate map-side:\n$d")
+    assert(!d.contains("WindowGroupLimit"),
+      s"j13d regressed to enumerate-then-cap:\n$d")
+    // j13e (per-point aggregate): the reduction must run BELOW the pair
+    // blowup — a partial_count on the map side of the point-key exchange
+    val e = plan("j13e_range_join_agg")
+    assert(e.contains("partial_count"),
+      s"j13e's reduction must partial-aggregate below the fan-out:\n$e")
+  }
 }

@@ -1064,6 +1064,98 @@ class OperatorsSpec extends SparkSpec {
       once.select("user", "lo", "hi").collect().toSet)
   }
 
+  test("range join top-k size gate: over-budget side takes the shuffled fallback, same answer") {
+    val ivs = (1L to 6L).map(i =>
+      (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pts = Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), to_date(col("d_s")).as("d"))
+    val rank = -datediff(col("lo"), lit("1970-01-01").cast("date"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bcast = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+      Seq("pt_id"), rank, 3, broadcastBudgetBytes = Long.MaxValue)
+    // budget 0 = nothing broadcasts by OUR hand; pin Catalyst's own
+    // broadcast off too so the fallback plan is the one a big side gets
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+        Seq("pt_id"), rank, 3, broadcastBudgetBytes = 0L)
+      assert(pairs(shuffled) == pairs(bcast))
+      val plan = shuffled.queryExecution.executedPlan.toString
+      // the fallback must still cap below the final sort (partial
+      // window-group limit) and must never broadcast the interval side
+      assert(plan.contains("WindowGroupLimit"), s"fallback lost the cap:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"fallback branch broadcast anyway:\n$plan")
+      // exchanges: the two _bin join sides plus the ONE point-key
+      // repartition the window reuses — a 4th would mean the capped
+      // stream is shuffled twice
+      val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("ReusedExchange"))
+      assert(exchanges == 3, s"expected 3 shuffle exchanges, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // the default gate broadcasts a small in-memory side (the existing
+    // exchange-free pin) — and the stats gate sees the pre-explode plan
+    val defPlan = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+      Seq("pt_id"), rank, 3).queryExecution.executedPlan.toString
+    assert(defPlan.contains("BroadcastExchange"), s"small side not broadcast:\n$defPlan")
+  }
+
+  test("range join top-k sweep: matches the window cap, aggregates instead of windowing") {
+    val ivs = (1L to 6L).map(i =>
+      (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pts = Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), to_date(col("d_s")).as("d"))
+    val rank = -datediff(col("lo"), lit("1970-01-01").cast("date"))
+    val sweep = RangeJoin.pointInIntervalTopKSweep(pts, ivs, "d", "lo", "hi", 7,
+      Seq("pt_id"), rank, 3)
+    // same output shape and same kept set as the window form
+    assert(sweep.columns.toSeq == Seq("pt_id", "d", "iv_id", "lo", "hi"))
+    val win = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
+      Seq("pt_id"), rank, 3)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(sweep) == pairs(win))
+    // the load-bearing plan property: the cap is a k-bounded AGGREGATE
+    // (partial + final ObjectHashAggregate — map-side combine is what
+    // bounds the exchange at k per point per task), and the candidate
+    // stream never passes through a window or its sort
+    val plan = sweep.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_structs"), s"sweep lost the aggregate:\n$plan")
+    assert(
+      plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"sweep must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") &&
+      !plan.linesIterator.exists(_.trim.startsWith("Window")),
+      s"sweep must not window:\n$plan")
+  }
+
+  test("range join per-point aggregate cure matches the naive reduction") {
+    val ivs = (1L to 6L).map(i =>
+      (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pts = Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01"))
+      .toDF("pt_id", "d_s")
+      .select(col("pt_id"), to_date(col("d_s")).as("d"))
+    val out = RangeJoin.pointInIntervalAgg(pts, ivs, "d", "lo", "hi", 7,
+        Seq(count(lit(1)).as("n_iv"), min(col("lo")).as("lo_min")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDate(3).toString))).toMap
+    val naive = pts.crossJoin(ivs)
+      .filter(col("d").between(col("lo"), col("hi")))
+      .groupBy("pt_id").agg(count(lit(1)).as("n"), min(col("lo")).as("lo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDate(2).toString))).toMap
+    assert(out == naive)
+    assert(!out.contains(2L)) // unmatched points are absent, not null-padded
+  }
+
   test("range join: rejects colliding column names") {
     val x = Seq((1L, "2024-01-01")).toDF("id", "d_s")
       .select(col("id"), to_date(col("d_s")).as("d"))

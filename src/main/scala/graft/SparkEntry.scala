@@ -1107,6 +1107,28 @@ object SparkEntry {
       Dedup.embCosinePairs(planted, "vec_id", "embedding", 64, 3, 16, 0.9)
     }),
 
+    // WIDE-band SRP near-dup (3 bands x 28 bits = 84 plane bits, past
+    // the 63-bit packed-long ceiling): the same planted corpus and
+    // threshold as d5b through embCosinePairs' per-band-key branch —
+    // the configuration the corpus-sizing rule (suggestedBandBits)
+    // prescribes for ~10^8-vector deployments, where 16-bit bands'
+    // N²·bands/2^bits collision floor goes super-linear (measured:
+    // d5b's shuffle 8→70→545 MB at 10/30/100×). At 28 bits the floor
+    // is ~2^12 smaller, so candidate shuffle tracks N, not N² — the
+    // probe line next to d5b's in docs/SCALING.md is the point of this
+    // entry. Recall per planted pair is lower at this width (the
+    // documented widen-costs-recall trade); the oracle mirrors the
+    // same bands, so the comparison stays exact.
+    "d5c_neardup_wideband" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.unionByName(
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select((col("vec_id") + lit(2000000000L)).as("vec_id"),
+            expr("transform(embedding, (x, j) -> IF(j = vec_id % 64, -x, x))")
+              .as("embedding")))
+      Dedup.embCosinePairs(planted, "vec_id", "embedding", 64, 3, 28, 0.9)
+    }),
+
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
     "n1_ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1976,6 +1998,46 @@ object SparkEntry {
        |        WHERE na.n > 0 AND nb.n > 0)
        |SELECT a, b, cos FROM cos WHERE cos >= 0.9""".stripMargin
 
+  /** One band's SRP key for the oracle (mirrors
+    * [[graft.operators.Similarity.srpBandCode]]): bit j of the band is
+    * plane `planeOffset + j` from the same globally-indexed family
+    * srpCodeSql draws on, weighted 2^j.
+    */
+  private def srpBandCodeSql(planeOffset: Int, bits: Int, dim: Int = 64): String =
+    (0 until bits).map { j =>
+      val signs = Similarity.planeSigns(planeOffset + j, dim)
+        .map(s => s"$s.0").mkString("[", ",", "]")
+      s"(CASE WHEN round(list_dot_product(e, $signs::DOUBLE[]), 9) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+
+  /** SQL mirror of the d5c wide-band query (64-dim, 3 bands x 28 bits,
+    * cosine >= 0.9): same planting as d5b, band keys computed PER BAND
+    * from the global plane family (84 plane bits cannot pack one long),
+    * same exact verification.
+    */
+  private def embCosWideBandSql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |x0 AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |clone AS (SELECT vec_id + 2000000000 AS id,
+       |          list(CASE WHEN i - 1 = vec_id % 64 THEN -v ELSE v END ORDER BY i) AS e
+       |          FROM x0 WHERE vec_id % 50 = 0 GROUP BY vec_id),
+       |v AS (SELECT id, e FROM base UNION ALL SELECT id, e FROM clone),
+       |ck AS (SELECT id, 0 AS band, ${srpBandCodeSql(0, 28)} AS ckey FROM v
+       |       UNION ALL SELECT id, 1, ${srpBandCodeSql(28, 28)} FROM v
+       |       UNION ALL SELECT id, 2, ${srpBandCodeSql(56, 28)} FROM v),
+       |x AS (SELECT id, unnest(e) AS v, generate_subscripts(e, 1) AS i FROM v),
+       |nrm AS (SELECT id, sqrt(sum(v*v)) AS n FROM x GROUP BY 1),
+       |cand AS (SELECT DISTINCT xk.id AS a, yk.id AS b FROM ck xk
+       |         JOIN ck yk ON xk.band = yk.band AND xk.ckey = yk.ckey AND xk.id < yk.id),
+       |dots AS (SELECT c.a, c.b, sum(xa.v*xb.v) AS dot FROM cand c
+       |         JOIN x xa ON xa.id = c.a JOIN x xb ON xb.id = c.b AND xb.i = xa.i
+       |         GROUP BY 1, 2),
+       |cos AS (SELECT a, b, round(dot/(na.n*nb.n), 6) AS cos
+       |        FROM dots JOIN nrm na ON na.id = a JOIN nrm nb ON nb.id = b
+       |        WHERE na.n > 0 AND nb.n > 0)
+       |SELECT a, b, cos FROM cos WHERE cos >= 0.9""".stripMargin
+
   /** SQL mirror of [[Similarity.lshTopK]] (8 planes, top-5): bucket-equal
     * candidates, exact cosine rank within the bucket.
     */
@@ -2671,6 +2733,7 @@ object SparkEntry {
     "d4_dedup_simhash" -> simHashSql,
     "d5_dedup_embcos" -> embCosSql,
     "d5b_neardup_embcos" -> embCosNearDupSql,
+    "d5c_neardup_wideband" -> embCosWideBandSql,
     "n2_ann_lsh" -> annLshSql,
     "n3_ann_ivf" -> annIvfSql,
     "n1_ann_cosine_topk" ->

@@ -110,6 +110,26 @@ object Multimodal extends Serializable {
     w > 0 && h > 0 && w * h <= maxPixels
   }
 
+  /** The GIF's DISPLAYED extent: the max patch extent (offset + size)
+    * across all frames, metadata-only — no raster decode. Frame 0 alone
+    * under-reports whenever a later patch extends the logical screen,
+    * and header-declared screen sizes can under-report too, so patches
+    * define the answer (the same computation [[resizeGif]] composites
+    * on). None when unreadable or over `maxFrames` — callers treat that
+    * as pass-through-ineligible and let resizeGif decide.
+    */
+  private def gifScreenExtent(bytes: Array[Byte],
+      maxFrames: Int = maxResizeGifFrames): Option[(Int, Int)] =
+    withImageReader(bytes, seekForwardOnly = false) { reader =>
+      val n = reader.getNumImages(true)
+      if (n <= 0 || n > maxFrames) None
+      else {
+        val metas = (0 until n).map(gifFrameMeta(reader, _))
+        Some(((0 until n).map(i => metas(i).x + reader.getWidth(i)).max,
+          (0 until n).map(i => metas(i).y + reader.getHeight(i)).max))
+      }
+    }
+
   private[operators] def readImage(bytes: Array[Byte],
       maxPixels: Long = maxDecodePixels)
       : Option[(String, java.awt.image.BufferedImage)] =
@@ -315,9 +335,15 @@ object Multimodal extends Serializable {
             // frame), the payload rides through UNTRANSFORMED — never
             // strided (the documented unbounded escape, now narrowed to
             // the ineligible containers only)
-            case Some(("gif", img)) =>
-              if (img.getWidth <= imageBox && img.getHeight <= imageBox &&
-                  bytes.length <= imageByteCeiling) bytes
+            case Some(("gif", _)) =>
+              // eligibility on the DISPLAYED extent across ALL frames
+              // (gifScreenExtent), not frame 0: an animated GIF whose
+              // frame 0 is a small patch but whose later patches extend
+              // the logical screen past the box must be resized, or the
+              // size contract would bound only the first frame
+              val inBox = gifScreenExtent(bytes).exists { case (sw, sh) =>
+                sw <= imageBox && sh <= imageBox }
+              if (inBox && bytes.length <= imageByteCeiling) bytes
               else resizeGif(bytes, imageBox).getOrElse(bytes)
             case Some((_, img)) =>
               if (img.getWidth <= imageBox && img.getHeight <= imageBox &&

@@ -39,15 +39,22 @@ import org.apache.spark.sql.functions._
   *     aggregation consumes the candidate fan-out into one buffer per
   *     point before anything shuffles, so output ≤ |points|;
   *     (b) bound matches per point at k — [[pointInIntervalTopK]]
-  *     (enumerate-then-cap via a point-keyed window; fastest when the
-  *     interval side fits its broadcast budget) or
-  *     [[pointInIntervalTopKSweep]] (a k-bounded streaming aggregate
-  *     that never materializes the candidate stream and needs no
-  *     broadcast — the path for interval sides that grow with the
-  *     corpus); output ≤ k·points by construction either way;
+  *     (enumerate-then-cap via a point-keyed window: the fastest form
+  *     wherever the interval side broadcasts, but its sort DISK grows
+  *     with the candidate count — measured 12.7 GB of spill at 10×
+  *     densification) or [[pointInIntervalTopKSweep]] (a k-bounded
+  *     streaming aggregate: ~25% slower there but task memory stays
+  *     FLAT at any density — measured 8.7 MB and zero spill at the
+  *     same 10× point with the fold's hash threshold sized — and no
+  *     broadcast premise, so it also covers interval sides that grow
+  *     with the corpus); output ≤ k·points by construction either
+  *     way, and both still ENUMERATE every matching pair — time stays
+  *     ∝ candidates (workload-inherent); what the cures bound is
+  *     output, memory, and the wire;
   *     (c) coalesce overlapping same-key intervals first —
   *     [[coalesceIntervals]] (densifying intervals usually overlap;
-  *     the join then sees O(distinct spans)).
+  *     the join then sees O(distinct spans) — measured flat-linear,
+  *     4.9s at 100×).
   */
 object RangeJoin {
 
@@ -79,13 +86,34 @@ object RangeJoin {
   /** The interval side's broadcast budget: explicit bytes when the
     * caller passed one (≥ 0), else the session's
     * `spark.sql.autoBroadcastJoinThreshold` (0 when broadcasting is
-    * disabled there). Compared against the optimizer's size estimate
-    * for the interval plan — for a parquet-backed side that is file
-    * bytes, which only GROWS through filters (no CBO selectivity), so
-    * the gate errs toward NOT broadcasting as the side scales: the
-    * safe direction, since the failure it prevents is a driver/executor
-    * OOM at the 8 GB broadcast ceiling and the cost of a false
-    * negative is one extra exchange.
+    * disabled there).
+    *
+    * Two-tier check, because the failure costs are asymmetric in BOTH
+    * directions. Tier 1 is the optimizer's size estimate — free, but
+    * for a parquet-backed side it is FILE bytes with no filter
+    * selectivity, so a selective filter over a large table reads as
+    * over-budget when its survivors are kilobytes. Left there, the
+    * false negative is not "one extra exchange": the fallback shuffles
+    * the UNCAPPED candidate stream, which in the densification regime
+    * is the quadratic object this operator exists to avoid (first
+    * probe run: 12.7 GB spill and 76 s at 10× where the broadcast plan
+    * runs seconds). So tier 2 prices the side for real before
+    * condemning it: one count job (a pruned columnar scan of the
+    * filter columns — trivial next to the misplanned join) × a
+    * conservative per-row width (schema `defaultSize` + row overhead,
+    * doubled for the broadcast relation's own structures). Only a side
+    * that is over budget at its ACTUAL row count takes the fallback —
+    * the OOM guard stays (the genuine failure this gate prevents is
+    * the 8 GB broadcast ceiling), and the fast path survives filter
+    * selectivity the static estimate cannot see.
+    *
+    * The budget is priced PRE-explode: what actually broadcasts is the
+    * bin-exploded interval side (one row per `binDays` bin an interval
+    * spans), so a caller whose spans cover many bins should size the
+    * budget for that multiplier. The ×2 width factor absorbs a
+    * few-bins-per-interval shape, and the 8 GB ceiling sits three
+    * orders of magnitude above the default budget — the gate errs
+    * safe long before the hard failure.
     */
   private def withinBroadcastBudget(intervals: DataFrame,
       budgetBytes: Long): Boolean = {
@@ -94,7 +122,11 @@ object RangeJoin {
       else BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         intervals.sparkSession.conf
           .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))).max(BigInt(0))
-    intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= budget
+    intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= budget || {
+      val rowWidth =
+        intervals.schema.map(_.dataType.defaultSize.toLong).sum + 16L
+      budget > 0 && BigInt(intervals.count()) * rowWidth * 2 <= budget
+    }
   }
 
   /** Densification cure (b), executable: the containment join capped at
@@ -187,10 +219,30 @@ object RangeJoin {
     * remaining interval columns — a deterministic total order, so the
     * kept set never depends on partitioning or arrival order.
     *
+    * Scale shape: points are REPARTITIONED by the point key up front —
+    * explicitly (`REPARTITION_BY_COL`), which AQE never coalesces and
+    * a broadcast join preserves, for the same reason as
+    * [[pointInIntervalTopK]]: without it the enumeration's parallelism
+    * is whatever the scan or an AQE-coalesced exchange leaves (a
+    * single parquet split ran the whole candidate stream through ONE
+    * task in the first probe run, 22.6s where the repartitioned form
+    * runs seconds). When the interval side broadcasts, that
+    * partitioning is a subset of the aggregate's grouping key, so the
+    * fold is a single exchange-free aggregate per partition; when the
+    * interval side is too big and the join shuffles by `_bin`, the
+    * aggregate becomes partial+final and the only exchange of
+    * candidate data carries ≤ k intervals per point per map task —
+    * either way the candidate stream itself never crosses the wire.
+    *
     * `idCols` must uniquely key `points` rows (the group key is the
     * full point row; a duplicate-keyed input would split what topK
     * treats as one budget). Sessions must register `GraftExtensions`
-    * (`topk_structs` resolves there).
+    * (`topk_structs` resolves there). For very large per-task point
+    * counts, size `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` ≥ points/partition (buffers are k structs
+    * each) — the default 128 demotes the fold to a sort of the
+    * candidate stream, re-paying exactly the sort this operator
+    * exists to avoid.
     *
     * @return one row per kept (point, interval) pair — point columns
     *         then interval columns, exactly [[pointInIntervalTopK]]'s
@@ -206,7 +258,8 @@ object RangeJoin {
     require(idCols.forall(ptCols.contains),
       s"idCols must be point columns: ${idCols.filterNot(ptCols.contains)}")
     val ivCols = intervals.columns.toSeq
-    val joined = pointInInterval(points, intervals, ptCol, loCol, hiCol, binDays)
+    val joined = pointInInterval(points.repartition(idCols.map(col): _*),
+      intervals, ptCol, loCol, hiCol, binDays)
     // element = (sort key, payload): lexicographic struct ordering gives
     // (rank, lo, hi) ascending with the full interval row as tie-break
     val elem = struct(rank.as("_r"), col(loCol).as("_l"), col(hiCol).as("_h"),

@@ -238,6 +238,10 @@ object ScaleProbe {
     // per-point aggregate (cure a), probed on the same growth model
     "j13d_range_join_sweep" -> Seq("orders", "lineitem"),
     "j13e_range_join_agg" -> Seq("orders", "lineitem"),
+    // round-14: the wide-band SRP datum — 3x28-bit bands hold the
+    // collision floor (shuffle ∝ N) where d5b's 16-bit bands measured
+    // the N²·bands/2^bits super-linear shuffle growth
+    "d5c_neardup_wideband" -> Seq("embeddings"),
     "t13_heavy_hitters" -> Seq("documents"),
     "w13_ranking_suite" -> Seq("customer"),
     // round-12 late additions: the remaining >=1s bench entries

@@ -259,6 +259,15 @@ class BenchFormatSpec extends AnyFunSuite {
     val s2 = Bench.compactArtifact(Seq(("q1_agg", 0.34)), 0.34, 0.0,
       "rocksdb", calib, "BENCH_DETAIL.json", Nil, sf)
     assert(!s2.contains("bench_scale"))
+    // detail-file self-description: bench_scale + base_sf together (the
+    // fields a judge identifies a BENCH_SCALE artifact by), absent
+    // outside scale mode
+    val d = Bench.scaleDetailField(Some(10), "/root/testdata/sf0.1")
+    assert(d.startsWith(","), "field must splice after a previous field")
+    val j = JsonMethods.parse("{" + d.drop(1) + "}")
+    assert((j \ "bench_scale") == JInt(10))
+    assert((j \ "base_sf") == JString("/root/testdata/sf0.1"))
+    assert(Bench.scaleDetailField(None, sf) == "")
   }
 
   test("minUnconfirmed matches noisyRepCount and skips corroborated mins") {

@@ -312,13 +312,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(b.contains("WindowGroupLimit"),
       s"j13b lost the window-group limit:\n$b")
     // j13d (sweep): the cap must be the k-bounded topk_structs AGGREGATE
-    // with map-side combine (>=2 ObjectHashAggregate: partial + final),
     // and the candidate stream must never pass through a window — the
-    // whole point of the sweep is that nothing enumerate-then-caps
+    // whole point of the sweep is that nothing enumerate-then-caps. At
+    // graded SFs the interval side broadcasts and the explicit
+    // point-key repartition survives the join, so the partial and
+    // final folds must sit ADJACENT (fused in one stage — an exchange
+    // between them would mean the point partitioning was lost and
+    // candidate-derived data crossed the wire)
     val d = plan("j13d_range_join_sweep")
     assert(d.contains("topk_structs"), s"j13d lost the sweep aggregate:\n$d")
-    assert(d.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
-      s"j13d must partial-aggregate map-side:\n$d")
+    val dLines = d.linesIterator.toVector
+    val finalIdx = dLines.indexWhere(l =>
+      l.contains("functions=[topk_structs"))
+    assert(finalIdx >= 0 && finalIdx + 1 < dLines.size &&
+        dLines(finalIdx + 1).contains("partial_topk_structs"),
+      s"j13d's partial and final folds must fuse into one stage:\n$d")
+    assert(d.contains("REPARTITION_BY_COL"),
+      s"j13d lost the explicit point repartition:\n$d")
     assert(!d.contains("WindowGroupLimit"),
       s"j13d regressed to enumerate-then-cap:\n$d")
     // j13e (per-point aggregate): the reduction must run BELOW the pair

@@ -900,6 +900,69 @@ class OperatorsSpec extends SparkSpec {
     assert(hasLoop, "NETSCAPE loop extension must survive the re-encode")
   }
 
+  test("multimodal resize gate sees the full GIF extent, not frame 0") {
+    // frame 0 is a SMALL 4x4 patch, frame 1 an 8x4 patch at x=12 — the
+    // displayed extent is 20x4. A frame-0-only eligibility check would
+    // pass this GIF through untransformed at imageBox=10 (4x4 fits, and
+    // the bytes are far under the ceiling), leaving displayed dimensions
+    // unbounded by the box; the gate must resize it.
+    def solid(w: Int, h: Int, gray: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      img
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq((solid(4, 4, 40), 0), (solid(8, 4, 200), 12)).foreach {
+      case (img, xOff) =>
+        val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val md = writer.getDefaultImageMetadata(spec, writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (xOff != 0) {
+          val desc = new javax.imageio.metadata.IIOMetadataNode("ImageDescriptor")
+          desc.setAttribute("imageLeftPosition", xOff.toString)
+          desc.setAttribute("imageTopPosition", "0")
+          desc.setAttribute("imageWidth", img.getWidth.toString)
+          desc.setAttribute("imageHeight", img.getHeight.toString)
+          desc.setAttribute("interlaceFlag", "FALSE")
+          root.appendChild(desc)
+        }
+        md.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    // premise: frame 0 alone IS in-box and the payload is tiny
+    val (k0, f0) = Multimodal.readImage(gif).get
+    assert(k0 == "gif" && f0.getWidth <= 10 && f0.getHeight <= 10)
+    val out = Multimodal.resizePayload(
+      Multimodal.asAssets(Seq((0L, gif)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "video"),
+      targetBytes = 32, imageBox = 10).collect().head
+      .getAs[Array[Byte]]("payload")
+    assert(!java.util.Arrays.equals(out, gif),
+      "wide-extent GIF must not ride through on frame 0's dimensions")
+    val stats = Multimodal.gifFrameStats(out, Seq(0, 1)).get
+    assert(stats.map(_._1) == Seq(0, 1), "both frames must survive")
+    assert(stats.forall { case (_, w, h, _) => w <= 10 && h <= 10 },
+      s"displayed dims must be box-bounded: $stats")
+    // and a GIF in-box on its FULL extent still passes through untouched
+    val small = Multimodal.resizePayload(
+      Multimodal.asAssets(Seq((0L, gif)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "video"),
+      targetBytes = 32, imageBox = 64).collect().head
+      .getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(small, gif),
+      "in-box GIF must pass through byte-identical")
+  }
+
   test("multimodal asset stats") {
     val assets = Multimodal.asAssets(docs, "doc_id", encode(col("text"), "UTF-8"), "text")
       .filter(col("asset_id") === 0L).collect().head
@@ -1103,13 +1166,43 @@ class OperatorsSpec extends SparkSpec {
     val defPlan = RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi", 7,
       Seq("pt_id"), rank, 3).queryExecution.executedPlan.toString
     assert(defPlan.contains("BroadcastExchange"), s"small side not broadcast:\n$defPlan")
+    // tier 2: a parquet-backed side whose FILE-byte estimate exceeds the
+    // budget but whose filtered survivors are tiny must still broadcast
+    // (the static estimate has no filter selectivity; condemning this
+    // side to the fallback would shuffle the uncapped candidate stream
+    // — the first probe run measured that mistake at 12.7 GB of spill)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    try {
+      (1L to 2000L).map(i => (i, f"2024-01-${(i % 28) + 1}%02d", "2024-03-01"))
+        .toDF("iv_id", "lo_s", "hi_s")
+        .select(col("iv_id"), to_date(col("lo_s")).as("lo"),
+          to_date(col("hi_s")).as("hi"))
+        .write.mode("overwrite").parquet(s"$dir/ivs")
+      val bigFile = spark.read.parquet(s"$dir/ivs").filter(col("iv_id") <= 5)
+      val fileBytes =
+        bigFile.queryExecution.optimizedPlan.stats.sizeInBytes
+      val budget = 4096L
+      assert(fileBytes > budget,
+        s"premise: the static estimate ($fileBytes) must exceed $budget")
+      val p2 = RangeJoin.pointInIntervalTopK(pts, bigFile, "d", "lo", "hi", 7,
+          Seq("pt_id"), rank, 3, broadcastBudgetBytes = budget)
+        .queryExecution.executedPlan.toString
+      assert(p2.contains("BroadcastExchange"),
+        s"5 surviving rows must broadcast despite the file-byte estimate:\n$p2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("range join top-k sweep: matches the window cap, aggregates instead of windowing") {
     val ivs = (1L to 6L).map(i =>
       (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")
       .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
-    val pts = Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01"))
+    // pad the point side so it is the LARGER relation (as in any real
+    // workload) — otherwise Catalyst broadcasts the points and the
+    // exchange-free single-stage shape under test never materializes
+    val pts = (Seq((0L, "2024-02-01"), (1L, "2024-01-03"), (2L, "2023-01-01")) ++
+        (100L to 1100L).map(i => (i, "1999-01-01")))
       .toDF("pt_id", "d_s")
       .select(col("pt_id"), to_date(col("d_s")).as("d"))
     val rank = -datediff(col("lo"), lit("1970-01-01").cast("date"))
@@ -1123,18 +1216,38 @@ class OperatorsSpec extends SparkSpec {
       df.select("pt_id", "iv_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(sweep) == pairs(win))
-    // the load-bearing plan property: the cap is a k-bounded AGGREGATE
-    // (partial + final ObjectHashAggregate — map-side combine is what
-    // bounds the exchange at k per point per task), and the candidate
-    // stream never passes through a window or its sort
+    // the load-bearing plan properties, broadcast case: the explicit
+    // point-key repartition is a subset of the grouping key and the
+    // broadcast join preserves it, so the partial and final folds fuse
+    // into ONE stage — the only exchange anywhere is the repartition
+    // itself, candidate data never crosses the wire, and nothing windows
     val plan = sweep.queryExecution.executedPlan.toString
     assert(plan.contains("topk_structs"), s"sweep lost the aggregate:\n$plan")
-    assert(
-      plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
-      s"sweep must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"small interval side must broadcast:\n$plan")
+    assert(!plan.contains("ENSURE_REQUIREMENTS"),
+      s"broadcast-case fold must be exchange-free past the explicit " +
+        s"repartition:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"),
+      s"sweep lost the explicit point repartition (parallelism would be " +
+        s"the scan's split count):\n$plan")
     assert(!plan.contains("WindowGroupLimit") &&
       !plan.linesIterator.exists(_.trim.startsWith("Window")),
       s"sweep must not window:\n$plan")
+    // shuffled case (interval side past any broadcast): the fold splits
+    // partial+final around a point-key exchange that carries ONLY the
+    // k-bounded partial buffers
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = RangeJoin.pointInIntervalTopKSweep(pts, ivs, "d", "lo",
+        "hi", 7, Seq("pt_id"), rank, 3)
+      assert(pairs(shuffled) == pairs(win))
+      val p2 = shuffled.queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastExchange"), s"broadcast is off:\n$p2")
+      assert(p2.linesIterator.count(_.contains("partial_topk_structs")) >= 1,
+        s"shuffled-case fold must partial-aggregate map-side:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("range join per-point aggregate cure matches the naive reduction") {

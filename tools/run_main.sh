@@ -12,7 +12,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# SPARK_GRAFT_JVM_OPTS: extra -D flags (SparkSession reads spark.* system
+# properties, so any SQL conf can be set per run without a code knob —
+# e.g. -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=N)
+exec java $ADD_OPENS ${SPARK_GRAFT_JVM_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

@@ -74,7 +74,43 @@ object Bench {
     // A single-shot sweep cannot tell that apart from a real regression;
     // the min over >=2 reps discards one-off contention windows.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val chunk = sys.env.getOrElse("SPARK_GRAFT_CHUNK", "25").toInt
+    // SPARK_GRAFT_BENCH_SCALE=N (opt-in; never set by the driver): sweep
+    // the HEAVY family at N x the base sf — parsed up here because the
+    // recycle cadence below depends on the mode. Full rationale at the
+    // (sweepNames, queryDir) selection.
+    val benchScale: Option[Int] = sys.env.get("SPARK_GRAFT_BENCH_SCALE")
+      .map(t => t.trim.toIntOption.filter(_ > 1).getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_SCALE must be an int > 1, got '$t'")))
+    // Session-recycle cadence. The sf0.1 sweep recycles every 25 entries
+    // (bounds session-state growth without paying 100+ session opens).
+    // SCALE MODE recycles before EVERY entry — the streaming sweep's
+    // per-entry fresh-session protocol, for the same reason it was
+    // adopted there (r13): long allocation-heavy entries pay their
+    // neighbors' accumulated session state as wall-clock. Measured at
+    // 10x (round 14): j13d_range_join_sweep runs 247.6s when 21 entries
+    // deep in a shared session vs 97.5s on a fresh one — 2.6x of pure
+    // neighbor-state cost, invisible to the 1s calibration scan.
+    val chunk = sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt)
+      .getOrElse(if (benchScale.nonEmpty) 1 else 25)
+    // Per-entry fresh-session recycling closed only PART of that gap:
+    // j13b recovered (209 s shared-session → 86.6 s per-entry-session,
+    // matching its isolated number) but j13d still ran 241/207 s against
+    // 88.8/97.5 s in a fresh JVM — identical task metrics, so the
+    // residue is JVM-level state (codegen class load + JIT/GC history
+    // from 11 prior heavy entries), which no session recycle can shed.
+    // Scale mode therefore defaults to PER-ENTRY FRESH JVMS: the parent
+    // builds the scaled corpus and calibrates, then forks one child
+    // process per entry (same JVM args/classpath, SPARK_GRAFT_QUERIES
+    // pinned to the entry) and merges the children's detail artifacts.
+    // That is also the protocol that transfers to deployment: cluster
+    // executors are separate JVMs, so a single-JVM local sweep is the
+    // only place this contamination class exists at all.
+    // SPARK_GRAFT_SCALE_ISOLATE=0 opts back into the one-JVM sweep.
+    if (benchScale.nonEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATE", "1") != "0") {
+      isolatedScaleSweep(benchScale.get)
+      return
+    }
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "250").toLong
     // streaming entries run on the RocksDB state store (the 100 TB
     // deployment shape: per-key state off-heap, changelog checkpointing
@@ -186,12 +222,16 @@ object Bench {
     // register persistent RDDs rather than cacheManager entries, so both
     // stores are cleared — waiting for driver GC + ContextCleaner would
     // leave GB-scale blocks in storage memory across timed queries.
+    // conf restore: a query may apply an operator sizing rule to the
+    // session (RangeJoin.sizeSweepFold) — it must not re-plan neighbors
     def materialize(name: String, dir: String): Unit =
-      try SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      finally {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+      graft.tools.SessionConf.restoring(spark) {
+        try SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        finally {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
 
     // between timed regions only — never inside one: the GC is what lets
@@ -224,10 +264,8 @@ object Bench {
     // and skips the streaming section + parts probe (their scale axes
     // live in StreamScaleProbe). The artifact carries "bench_scale":N;
     // its `value` sums only the heavy family and must never be compared
-    // against a full-sweep value.
-    val benchScale: Option[Int] = sys.env.get("SPARK_GRAFT_BENCH_SCALE")
-      .map(t => t.trim.toIntOption.filter(_ > 1).getOrElse(sys.error(
-        s"SPARK_GRAFT_BENCH_SCALE must be an int > 1, got '$t'")))
+    // against a full-sweep value. (benchScale itself is parsed with the
+    // knobs at the top — the recycle cadence depends on it.)
     val (sweepNames, queryDir) = benchScale match {
       case None => (names, sfDir)
       case Some(n) =>
@@ -258,6 +296,10 @@ object Bench {
     val calibName = "s1_scan_project"
     val calibStart =
       try timeIt(materialize(calibName, sfDir)) catch { case _: Throwable => -1.0 }
+    // scale mode's per-entry fresh-session protocol (see `chunk`) must
+    // cover the FIRST entry too — without this it alone inherits the
+    // warmup+scaled-dir-build session
+    if (benchScale.nonEmpty) recycleSession()
 
     // A crashed query must be distinguishable from a fast success: a query
     // whose every rep fails is reported as -1 in `queries` plus an entry in
@@ -801,10 +843,16 @@ object Bench {
   }
 
   /** Pinned nominal for calib_ratio: the isolated steady-state
-    * s1_scan_project time at sf0.1 on this host class (r05/r06 band
-    * 0.63-0.71s).
+    * s1_scan_project time at sf0.1 on this host class. Re-pinned
+    * 0.70 → 1.15 in round 14: the sweep read ratio ~1.63 for three
+    * consecutive rounds, and an ISOLATED idle-host measurement (warm
+    * mean 1.14 s, round-14 session) confirmed the host class itself
+    * moved — at the old nominal a steady 1.6 normalized real future
+    * slowdowns away instead of exposing them. The r05/r06 band was
+    * 0.63-0.71 s; ratios are not comparable across the re-pin (scale
+    * r13-and-earlier ratios by 0.70/1.15 ≈ 0.61 to compare).
     */
-  private[graft] val calibNominalSec = 0.70
+  private[graft] val calibNominalSec = 1.15
 
   /** The streaming replays' state-partition default — the DEPLOYMENT-
     * shaped choice, not the toy-state optimum. At sf0.1 state sizes
@@ -1039,6 +1087,249 @@ object Bench {
     * window). BenchFormatSpec pins budget compliance, parseability, and
     * the slowest-first ordering against adversarial inputs.
     */
+  /** One child's contribution to the merged scale artifact, parsed from
+    * the detail file it wrote. `sec` < 0 means the child failed (every
+    * rep failed, it produced no detail, or it was killed on timeout) —
+    * `error` then carries the reason.
+    */
+  private[graft] final case class ScaleChildResult(
+      sec: Double, reps: Seq[Double],
+      metrics: Option[(Double, Double, Double)], error: Option[String])
+
+  private def jsonSafeMsg(e: Throwable): String =
+    (e.getClass.getSimpleName + ": " +
+      Option(e.getMessage).getOrElse(""))
+      .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
+
+  /** Scale mode's per-entry fresh-JVM sweep (the default; see the
+    * `SPARK_GRAFT_SCALE_ISOLATE` knob in [[main]] for the measurement
+    * that forced it). The parent builds/validates the scaled scratch
+    * corpus once and brackets the sweep with calibration probes; each
+    * heavy-family entry then runs in a freshly forked child JVM (same
+    * JVM args and classpath as the parent, `SPARK_GRAFT_QUERIES` pinned
+    * to the one entry, the SAME scale mode — the child reuses the
+    * versioned scaled-dir marker instead of rebuilding) and writes its
+    * detail artifact to a temp file the parent merges. Children run
+    * SEQUENTIALLY — concurrent children would time each other's CPU
+    * contention. The merged artifact keeps the scale-mode detail schema
+    * (BenchFormatSpec pins it against the heavy family) plus
+    * `"scale_isolation":"per_entry_jvm"` so a judge can tell which
+    * protocol produced a committed artifact. The parent's long-lived
+    * session times one WARM calibration probe between every pair of
+    * children — a per-entry host-state trace whose semantics match the
+    * pinned nominal (children's own start probes are cold and are NOT
+    * merged; see the session-lifetime comment in the body).
+    */
+  private def isolatedScaleSweep(scale: Int): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = SparkEntry.querySubset(sys.env.get("SPARK_GRAFT_QUERIES"))
+    val sweepNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .filter(graft.tools.ScaleProbe.tablesFor.contains)
+    val detailFile =
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    val childTimeoutMin =
+      sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_MIN", "45").toLong
+
+    def open(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions",
+          classOf[graft.expr.catalyst.GraftExtensions].getName)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    val calibName = "s1_scan_project"
+    def mat(s: SparkSession, dir: String): Unit =
+      graft.tools.SessionConf.restoring(s) {
+        try SparkEntry.queries(calibName)(s, dir)
+          .write.format("noop").mode("overwrite").save()
+        finally s.sharedState.cacheManager.clearCache()
+      }
+    // same shape as the sweep's probes: warm the calib plan on sf0.001
+    // (untimed), then time it on the BASE sf — the nominal is only
+    // meaningful there
+    def calibRun(s: SparkSession): Double =
+      try {
+        mat(s, "/root/testdata/sf0.001")
+        val t0 = System.nanoTime(); mat(s, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
+    // scaled corpus built/validated ONCE; children hit the versioned
+    // marker and reuse. The parent session stays OPEN across the whole
+    // sweep: it idles while children run (zero CPU between probes) and
+    // is what keeps the calibration series WARM — a probe on a fresh
+    // session would time session startup + cold file listing, exactly
+    // the cold-start class warmCalibMean's contract excludes (the first
+    // merge attempt used each child's own cold start probe as a mid and
+    // read calib_ratio 1.91 against warm bracketing probes of 1.2-1.7,
+    // which would have over-normalized every query in the artifact).
+    val spark = open()
+    val tables =
+      sweepNames.flatMap(graft.tools.ScaleProbe.tablesFor).distinct
+    graft.tools.ScaleProbe.assertStrides(spark, sfDir, tables)
+    val scaledDir = graft.tools.ScaleProbe.ensureScaled(spark, sfDir, scale,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft_scale"),
+      tables, dateShift = false)
+    val calibStart = calibRun(spark)
+
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_scale_iso")
+    val javaBin =
+      java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+    val classpath = sys.props("java.class.path")
+
+    def parseChildDetail(path: java.nio.file.Path,
+        name: String): ScaleChildResult = {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(path))
+      def d(jv: JValue): Double = jv match {
+        case JDouble(x) => x
+        case JInt(x) => x.toDouble
+        case JDecimal(x) => x.toDouble
+        case JLong(x) => x.toDouble
+        case _ => -1.0
+      }
+      val sec = d(j \ "queries" \ name)
+      val reps = (j \ "reps" \ name) match {
+        case JArray(vs) => vs.map(d)
+        case _ => Seq(sec)
+      }
+      val tm = (j \ "task_metrics" \ name) match {
+        case o: JObject => Some((d(o \ "shuffle_mb"), d(o \ "spill_mb"),
+          d(o \ "peak_task_mem_mb")))
+        case _ => None
+      }
+      val err = (j \ "errors" \ name) match {
+        case JString(s) => Some(s)
+        case _ if sec < 0 => Some("child reported no time and no error")
+        case _ => None
+      }
+      ScaleChildResult(sec, reps, tm, err)
+    }
+
+    def runChild(name: String): ScaleChildResult = {
+      val out = tmpDir.resolve(s"$name.json")
+      val cmd =
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", classpath, "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_QUERIES", name)
+      env.put("SPARK_GRAFT_SCALE_ISOLATE", "0")
+      env.put("SPARK_GRAFT_DETAIL_OUT", out.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      // child stdout (its compact line included) is forwarded to OUR
+      // stderr: the parent's own single stdout line must stay the only
+      // thing on stdout
+      val pump = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var line = r.readLine()
+        while (line != null) {
+          System.err.println(s"[bench:$name] $line"); line = r.readLine()
+        }
+      })
+      pump.setDaemon(true)
+      pump.start()
+      val finished =
+        p.waitFor(childTimeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { p.destroyForcibly(); p.waitFor() }
+      pump.join(5000)
+      if (!finished)
+        ScaleChildResult(-1.0, Seq(-1.0), None,
+          Some(s"child timed out after $childTimeoutMin min"))
+      else
+        try parseChildDetail(out, name)
+        catch {
+          case e: Exception => ScaleChildResult(-1.0, Seq(-1.0), None,
+            Some("unreadable child detail: " + jsonSafeMsg(e)))
+        }
+    }
+
+    // warm probe on the parent's long-lived session — the mid series:
+    // one between every pair of children, a per-entry host-state trace
+    // with the SAME warm semantics as the nominal
+    def midProbe(): Double =
+      try {
+        val t0 = System.nanoTime(); mat(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
+    val midCalibBuf = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = sweepNames.zipWithIndex.map { case (name, i) =>
+      if (i > 0) midCalibBuf += midProbe()
+      System.err.println(s"[bench] forking fresh JVM for $name")
+      val r = runChild(name)
+      System.err.println(
+        s"[bench] $name reps: ${r.reps.map(v => f"$v%.3f").mkString(", ")}")
+      name -> r
+    }
+    val calibEnd = midProbe()
+    spark.stop()
+
+    val all = results.map { case (n, r) => n -> r.sec }
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val errors = results.collect { case (n, r) if r.sec < 0 =>
+      n -> r.error.getOrElse("unknown child failure")
+    }
+    val midCalib = midCalibBuf.toSeq.filter(_ >= 0)
+    val calibMean = warmCalibMean(calibStart, midCalib, calibEnd)
+    val calibRatio: Option[Double] =
+      if (calibMean > 0 && isNominalSf(sfDir)) Some(calibMean / calibNominalSec)
+      else None
+    val noisyReps = noisyRepCount(results.map(_._2.reps))
+
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, r) =>
+      "\"" + k + "\":" + r.reps.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val tm = results.collect { case (k, r) if r.metrics.nonEmpty =>
+      val (sh, sp, pk) = r.metrics.get
+      "\"" + k + "\":{\"shuffle_mb\":" + f"$sh%.1f" + ",\"spill_mb\":" +
+        f"$sp%.1f" + ",\"peak_task_mem_mb\":" + f"$pk%.1f" + "}"
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val errField = if (errors.nonEmpty) s""","errors":$errJson""" else ""
+    val midJson = midCalib.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val ratioJson = calibRatio.map(r =>
+      s""","ratio_vs_nominal":${f"$r%.2f"},"nominal_sec":$calibNominalSec""")
+      .getOrElse("")
+    val calib = s""","calibration":{"query":"$calibName","start_sec":${f"$calibStart%.3f"},"mid_sec":$midJson,"end_sec":${f"$calibEnd%.3f"},"warm_mean_sec":${f"$calibMean%.3f"}$ratioJson}"""
+    val fullLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":0.000,"state_store":"$stateStore","stream_parts":$deploymentStreamParts,"task_metrics":$tm$calib$errField${scaleDetailField(Some(scale), sfDir)},"scale_isolation":"per_entry_jvm","sf":"$scaledDir"}"""
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $detailFile: $e")
+    }
+    val calibCompact = {
+      val mid = if (midCalib.isEmpty) "" else f",${midCalib.max}%.2f"
+      s"[${f"$calibStart%.2f"}$mid,${f"$calibEnd%.2f"}]"
+    }
+    println(compactArtifact(all, total, 0.0, stateStore, calibCompact,
+      detailFile, errors.map(_._1), scaledDir, calibMean, calibRatio,
+      noisyReps, -1.0, None, deploymentStreamParts, -1.0, Some(scale)))
+    if (errors.nonEmpty) sys.exit(2)
+  }
+
   private[graft] def compactArtifact(
       all: Seq[(String, Double)], total: Double, streamTotal: Double,
       stateStore: String, calibCompact: String, detailFile: String,

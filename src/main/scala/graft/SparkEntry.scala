@@ -1482,7 +1482,11 @@ object SparkEntry {
     // independent engine paths (window row_number vs topk_structs fold)
     // against ONE oracle pins the cap semantics from both sides; the
     // sweep is the no-broadcast-premise path for interval sides that
-    // grow with the corpus (probed 1x-100x in docs/SCALING.md).
+    // grow with the corpus (probed 1x-100x in docs/SCALING.md). The
+    // query applies the operator's own fold sizing rule (sizeSweepFold:
+    // an unsized fold demotes to a sort of the candidate stream — 7.8
+    // GB of spill at 10x); harnesses restore the conf between queries
+    // (SessionConf.restoring).
     "j13d_range_join_sweep" -> ((s, dir) => {
       val iv = t(s, dir, "orders")
         .filter(col("o_orderkey") % 199 === 0)
@@ -1494,6 +1498,7 @@ object SparkEntry {
         .select(col("l_orderkey").as("pk"), col("l_linenumber").as("pl"),
           to_date(col("l_shipdate")).as("sd"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      RangeJoin.sizeSweepFold(pts)
       RangeJoin.pointInIntervalTopKSweep(pts, iv, "sd", "lo", "hi", 30,
           Seq("pk", "pl", "sd", "cents"),
           struct((-datediff(col("lo"), to_date(lit("1970-01-01")))).as("r"),

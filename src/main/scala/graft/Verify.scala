@@ -23,6 +23,7 @@ object Verify {
       case None     => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      graft.tools.SessionConf.restoring(spark) {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +39,7 @@ object Verify {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -45,7 +45,8 @@ import org.apache.spark.sql.functions._
   *     densification) or [[pointInIntervalTopKSweep]] (a k-bounded
   *     streaming aggregate: ~25% slower there but task memory stays
   *     FLAT at any density — measured 8.7 MB and zero spill at the
-  *     same 10× point with the fold's hash threshold sized — and no
+  *     same 10× point with the fold's hash threshold sized, an
+  *     executable rule: [[sizeSweepFold]] — and no
   *     broadcast premise, so it also covers interval sides that grow
   *     with the corpus); output ≤ k·points by construction either
   *     way, and both still ENUMERATE every matching pair — time stays
@@ -237,12 +238,12 @@ object RangeJoin {
     * `idCols` must uniquely key `points` rows (the group key is the
     * full point row; a duplicate-keyed input would split what topK
     * treats as one budget). Sessions must register `GraftExtensions`
-    * (`topk_structs` resolves there). For very large per-task point
-    * counts, size `spark.sql.objectHashAggregate.sortBased.
-    * fallbackThreshold` ≥ points/partition (buffers are k structs
-    * each) — the default 128 demotes the fold to a sort of the
-    * candidate stream, re-paying exactly the sort this operator
-    * exists to avoid.
+    * (`topk_structs` resolves there). Size the fold's hash threshold
+    * with [[sizeSweepFold]] before executing — the stock 128-key
+    * default demotes the fold to a sort of the candidate stream,
+    * re-paying exactly the sort this operator exists to avoid
+    * (measured: 7.8 GB of spill and +56% time at 10× densification,
+    * docs/SCALING.md round 14).
     *
     * @return one row per kept (point, interval) pair — point columns
     *         then interval columns, exactly [[pointInIntervalTopK]]'s
@@ -270,6 +271,45 @@ object RangeJoin {
       .select((ptCols.map(col) :+ explode(col("_tk")).as("_e")): _*)
       .select(ptCols.map(col) ++
         ivCols.map(c => col("_e").getField("_iv").getField(c).as(c)): _*)
+  }
+
+  /** The sweep-fold sizing rule, executable (apply before running a
+    * [[pointInIntervalTopKSweep]] plan): sets the session's
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to
+    * cover the sweep's group count per task and returns the value set.
+    *
+    * The fold is an `ObjectHashAggregate`; past the session threshold
+    * (stock default 128 distinct keys per task) Spark demotes it to
+    * sort-based aggregation — a sort of the ENTIRE candidate stream,
+    * exactly the object the sweep exists to never materialize
+    * (measured: 7.8 GB of spill and +56% time at 10× densification vs
+    * zero spill and task memory flat at 8.7 MB with the threshold
+    * sized — docs/SCALING.md round 14). The rule: distinct group keys
+    * per task ≈ |points| / shuffle partitions (the sweep repartitions
+    * points by key up front, so tasks partition the key space), with a
+    * 2× headroom for hash-partition skew. Memory stays bounded because
+    * each buffer holds at most k elements: threshold × k × element
+    * size per task — at 10× densification, ~190 k keys/task × k=3 is
+    * tens of MB against a multi-GB task budget. On a real cluster the
+    * same rule holds per EXECUTOR core; scale partitions with the
+    * corpus (as any shuffle sizing) and keys/task stays flat.
+    *
+    * Costs one count job over `points` (columnar metadata count —
+    * trivial next to the misplanned fold). The conf is session-wide
+    * until changed: other object-hash aggregates in the same session
+    * will also hold up to this many buffers before spilling, so
+    * multi-query harnesses should restore it between queries
+    * ([[graft.tools.SessionConf.restoring]] — Bench/Verify/ScaleProbe
+    * all run queries inside it).
+    */
+  def sizeSweepFold(points: DataFrame): Long = {
+    val spark = points.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt.max(1)
+    val threshold = math.max(128L, 2L * ((points.count() + parts - 1) / parts))
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      threshold.toString)
+    threshold
   }
 
   /** Densification cure (a), executable: per-point aggregates over the

@@ -452,12 +452,14 @@ object ScaleProbe {
     // nothing is pruned, caches AND localCheckpoint-persisted RDDs
     // dropped so no query inherits a neighbor's blocks
     def materialize(name: String, dir: String): Unit =
-      try graft.SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      finally {
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+      SessionConf.restoring(spark) {
+        try graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        finally {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
     def settle(): Unit = { System.gc(); Thread.sleep(250) }
     def timeIt(f: => Unit): Double = {

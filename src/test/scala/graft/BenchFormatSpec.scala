@@ -270,6 +270,39 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.scaleDetailField(None, sf) == "")
   }
 
+  test("the committed 10x artifact covers the whole heavy family") {
+    // BENCH_SCALE10.json is the heavy-family grading basis (BASELINE.md,
+    // r13): a sweep that silently shrank — a renamed query dropping out
+    // of the membership filter, or a stale artifact committed after
+    // tablesFor grew — would quietly narrow what gets graded. This pin
+    // makes both fail loudly: the committed artifact's entry set must
+    // EQUAL ScaleProbe.tablesFor's key set (re-run
+    // SPARK_GRAFT_BENCH_SCALE=10 and commit the fresh line whenever the
+    // heavy family changes), and the artifact must self-describe as
+    // scale-mode.
+    val p = java.nio.file.Paths.get("BENCH_SCALE10.json")
+    assert(java.nio.file.Files.exists(p), "BENCH_SCALE10.json missing")
+    val j = JsonMethods.parse(java.nio.file.Files.readString(p))
+    assert((j \ "bench_scale") == JInt(10))
+    val JString(baseSf) = (j \ "base_sf"): @unchecked
+    assert(baseSf.nonEmpty)
+    // the artifact must also name its isolation protocol: per-entry
+    // fresh JVMs are what make the heavy numbers position-independent
+    // (j13d measured 2.1-2.6x inflated when sharing a JVM with its
+    // sweep neighbors — identical task metrics, pure JVM-state cost),
+    // so a committed artifact from the one-JVM path is not comparable
+    // and must fail this pin rather than silently regrade the family
+    assert((j \ "scale_isolation") == JString("per_entry_jvm"),
+      "10x artifact was not produced by the per-entry-JVM protocol")
+    val entries = (j \ "queries").asInstanceOf[JObject].obj.map(_._1).toSet
+    val family = graft.tools.ScaleProbe.tablesFor.keySet
+    assert(entries == family,
+      s"10x artifact is stale vs the heavy family: missing=" +
+        s"${(family -- entries).toSeq.sorted} extra=" +
+        s"${(entries -- family).toSeq.sorted} — re-run the 10x sweep " +
+        "and commit the fresh artifact")
+  }
+
   test("minUnconfirmed matches noisyRepCount and skips corroborated mins") {
     // the targeted-extra-rep trigger and the reported noisy_reps count
     // share one predicate: a min with a second rep within 2x is

@@ -12,8 +12,13 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // restoring: building a query may apply an operator sizing rule to
+  // the session (RangeJoin.sizeSweepFold) — audited plans must not leak
+  // one query's tuning into the next audit or suite
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    graft.tools.SessionConf.restoring(spark) {
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    }
 
   test("every query is oracle-backed except the documented rows-only set") {
     // a queries entry without an oracleSql mirror silently downgrades to

@@ -1250,6 +1250,40 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("sizeSweepFold sets the fold threshold to 2x keys/task, floored at stock") {
+    import graft.tools.SessionConf
+    val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pts = (1L to 1001L).toDF("pt_id")
+    // the rule is 2 x ceil(n/parts) with a 128 floor — and it must
+    // actually LAND in the session conf (the executable part)
+    SessionConf.restoring(spark) {
+      val got = graft.operators.RangeJoin.sizeSweepFold(pts)
+      assert(got == math.max(128L, 2L * ((1001L + parts - 1) / parts)))
+      assert(spark.conf.get(confKey) == got.toString)
+      // a tiny point set never sizes BELOW stock (the floor): other
+      // object aggs in the session keep at least default behavior
+      assert(graft.operators.RangeJoin.sizeSweepFold((1L to 3L).toDF("p")) == 128L)
+    }
+    // SessionConf.restoring unwound the rule's session mutation: the
+    // conf is back to whatever the suite session had before
+    val before = spark.conf.getOption(confKey)
+    SessionConf.restoring(spark) {
+      spark.conf.set(confKey, "999999")
+      spark.conf.set("spark.sql.graft.test.ephemeral", "x") // added key
+    }
+    assert(spark.conf.getOption(confKey) == before,
+      "restoring must reset a changed conf")
+    assert(spark.conf.getOption("spark.sql.graft.test.ephemeral").isEmpty,
+      "restoring must unset an added conf")
+    // restore runs even when the block throws (the harness path: a
+    // failed query must not leave its tuning behind)
+    intercept[RuntimeException](SessionConf.restoring(spark) {
+      spark.conf.set(confKey, "7"); throw new RuntimeException("boom")
+    })
+    assert(spark.conf.getOption(confKey) == before)
+  }
+
   test("range join per-point aggregate cure matches the naive reduction") {
     val ivs = (1L to 6L).map(i =>
       (i, f"2024-01-${i}%02d", "2024-03-01")).toDF("iv_id", "lo_s", "hi_s")

@@ -1101,6 +1101,49 @@ object Bench {
       Option(e.getMessage).getOrElse(""))
       .replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ").take(200)
 
+  /** Parses one child JVM's detail artifact into its merged-artifact
+    * contribution (see [[isolatedScaleSweep]]). Degenerate inputs map to
+    * explicit failure shapes rather than crashes: a missing `queries`
+    * entry or non-numeric time reads as sec = -1 with a synthesized
+    * error (the child wrote a file but not this entry's time — distinct
+    * from "no file", which the caller maps to an unreadable-detail
+    * error); missing `reps` falls back to the single min time; missing
+    * `task_metrics` drops metrics rather than inventing zeros. Child
+    * error strings are embedded into the merged JSON verbatim, which is
+    * safe because the child's own jsonSafe stripped quotes/backslashes/
+    * control chars before writing. Throws on unreadable/malformed JSON —
+    * the caller catches and converts to an error result.
+    */
+  private[graft] def parseChildDetail(path: java.nio.file.Path,
+      name: String): ScaleChildResult = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(path))
+    def d(jv: JValue): Double = jv match {
+      case JDouble(x) => x
+      case JInt(x) => x.toDouble
+      case JDecimal(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case _ => -1.0
+    }
+    val sec = d(j \ "queries" \ name)
+    val reps = (j \ "reps" \ name) match {
+      case JArray(vs) => vs.map(d)
+      case _ => Seq(sec)
+    }
+    val tm = (j \ "task_metrics" \ name) match {
+      case o: JObject => Some((d(o \ "shuffle_mb"), d(o \ "spill_mb"),
+        d(o \ "peak_task_mem_mb")))
+      case _ => None
+    }
+    val err = (j \ "errors" \ name) match {
+      case JString(s) => Some(s)
+      case _ if sec < 0 => Some("child reported no time and no error")
+      case _ => None
+    }
+    ScaleChildResult(sec, reps, tm, err)
+  }
+
   /** Scale mode's per-entry fresh-JVM sweep (the default; see the
     * `SPARK_GRAFT_SCALE_ISOLATE` knob in [[main]] for the measurement
     * that forced it). The parent builds/validates the scaled scratch
@@ -1190,36 +1233,6 @@ object Bench {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
     val classpath = sys.props("java.class.path")
-
-    def parseChildDetail(path: java.nio.file.Path,
-        name: String): ScaleChildResult = {
-      import org.json4s._
-      val j = org.json4s.jackson.JsonMethods.parse(
-        java.nio.file.Files.readString(path))
-      def d(jv: JValue): Double = jv match {
-        case JDouble(x) => x
-        case JInt(x) => x.toDouble
-        case JDecimal(x) => x.toDouble
-        case JLong(x) => x.toDouble
-        case _ => -1.0
-      }
-      val sec = d(j \ "queries" \ name)
-      val reps = (j \ "reps" \ name) match {
-        case JArray(vs) => vs.map(d)
-        case _ => Seq(sec)
-      }
-      val tm = (j \ "task_metrics" \ name) match {
-        case o: JObject => Some((d(o \ "shuffle_mb"), d(o \ "spill_mb"),
-          d(o \ "peak_task_mem_mb")))
-        case _ => None
-      }
-      val err = (j \ "errors" \ name) match {
-        case JString(s) => Some(s)
-        case _ if sec < 0 => Some("child reported no time and no error")
-        case _ => None
-      }
-      ScaleChildResult(sec, reps, tm, err)
-    }
 
     def runChild(name: String): ScaleChildResult = {
       val out = tmpDir.resolve(s"$name.json")

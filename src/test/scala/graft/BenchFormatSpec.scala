@@ -270,6 +270,46 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.scaleDetailField(None, sf) == "")
   }
 
+  test("parseChildDetail maps degenerate child artifacts to explicit failure shapes") {
+    // the per-entry-JVM sweep's merge step: a child that died mid-write,
+    // wrote the wrong entry, or omitted optional sections must surface
+    // as a labeled failure or a degraded-but-valid result — never crash
+    // the parent and never invent data
+    def tmp(content: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempFile("child_detail", ".json")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(p,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p
+    }
+    // the healthy shape: time + reps + task metrics + no error
+    val good = tmp("""{"queries":{"q":1.5},"reps":{"q":[2.0,1.5]},
+      "task_metrics":{"q":{"shuffle_mb":3.5,"spill_mb":0.0,
+      "peak_task_mem_mb":8.7}}}""")
+    val g = Bench.parseChildDetail(good, "q")
+    assert(g.sec == 1.5 && g.reps == Seq(2.0, 1.5) &&
+      g.metrics.contains((3.5, 0.0, 8.7)) && g.error.isEmpty)
+    // child wrote a file but not THIS entry (crashed before its query,
+    // or was launched with the wrong pin): failure with synthesized error
+    val wrong = Bench.parseChildDetail(
+      tmp("""{"queries":{"other":1.0}}"""), "q")
+    assert(wrong.sec == -1.0 &&
+      wrong.error.contains("child reported no time and no error"))
+    // every-rep-failed child: its own -1 + its own error pass through
+    val failed = Bench.parseChildDetail(
+      tmp("""{"queries":{"q":-1.0},"errors":{"q":"boom at stage 3"}}"""),
+      "q")
+    assert(failed.sec == -1.0 && failed.error.contains("boom at stage 3"))
+    // optional sections absent: reps falls back to the single min, no
+    // metrics rather than zeros, and a positive time means no error
+    val sparse = Bench.parseChildDetail(tmp("""{"queries":{"q":0.8}}"""), "q")
+    assert(sparse.sec == 0.8 && sparse.reps == Seq(0.8) &&
+      sparse.metrics.isEmpty && sparse.error.isEmpty)
+    // malformed JSON throws (the caller converts to an unreadable-detail
+    // error) instead of returning a fabricated success
+    intercept[Exception](Bench.parseChildDetail(tmp("""{"queries":"""), "q"))
+  }
+
   test("the committed 10x artifact covers the whole heavy family") {
     // BENCH_SCALE10.json is the heavy-family grading basis (BASELINE.md,
     // r13): a sweep that silently shrank — a renamed query dropping out

@@ -39,19 +39,23 @@ import org.apache.spark.sql.functions._
   *     aggregation consumes the candidate fan-out into one buffer per
   *     point before anything shuffles, so output ≤ |points|;
   *     (b) bound matches per point at k — [[pointInIntervalTopK]]
-  *     (enumerate-then-cap via a point-keyed window: the fastest form
-  *     wherever the interval side broadcasts, but its sort DISK grows
-  *     with the candidate count — measured 12.7 GB of spill at 10×
-  *     densification) or [[pointInIntervalTopKSweep]] (a k-bounded
-  *     streaming aggregate: ~25% slower there but task memory stays
-  *     FLAT at any density — measured 8.7 MB and zero spill at the
-  *     same 10× point with the fold's hash threshold sized, an
-  *     executable rule: [[sizeSweepFold]] — and no
+  *     (enumerate-then-cap via a point-keyed window: its sort DISK
+  *     grows with the candidate count — measured 12.7 GB of spill and
+  *     disk-bound 55–175 s wall at 10× densification) or
+  *     [[pointInIntervalTopKSweep]] (a k-bounded streaming aggregate:
+  *     task memory stays FLAT at any density — measured 8.7 MB, zero
+  *     spill, and 36 s at the same 10× point with the fold's hash
+  *     threshold sized, an executable rule: [[sizeSweepFold]] — and no
   *     broadcast premise, so it also covers interval sides that grow
-  *     with the corpus); output ≤ k·points by construction either
-  *     way, and both still ENUMERATE every matching pair — time stays
-  *     ∝ candidates (workload-inherent); what the cures bound is
-  *     output, memory, and the wire;
+  *     with the corpus. Since the fold moved to a generated comparator
+  *     over UnsafeRow copies (round 15) the sweep is measured FASTER
+  *     than the window form under densification and exactly linear,
+  *     fit 0.999 to 10×; the window form retains a small edge only at
+  *     LOW density, ~2.2 s vs ~3.2 s at 1×, where its generated sort
+  *     amortizes and nothing spills); output ≤ k·points by
+  *     construction either way, and both still ENUMERATE every
+  *     matching pair — time stays ∝ candidates (workload-inherent);
+  *     what the cures bound is output, memory, and the wire;
   *     (c) coalesce overlapping same-key intervals first —
   *     [[coalesceIntervals]] (densifying intervals usually overlap;
   *     the join then sees O(distinct spans) — measured flat-linear,

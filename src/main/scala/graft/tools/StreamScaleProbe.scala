@@ -60,7 +60,9 @@ import graft.streaming.StreamOps
   * (default 8), SPARK_GRAFT_STATE_STORE (rocksdb|hdfs),
   * SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_CHURN_COHORTS (default
   * "5,50"), SPARK_GRAFT_CHURN_USERS (cohort size, default 500),
-  * SPARK_GRAFT_STREAM_SCALE_AXES (default "volume,users,churn,e4,e6"),
+  * SPARK_GRAFT_STREAM_SCALE_AXES (default "volume,users,churn,e4,e6";
+  * the extra token "e5" runs the near-dedup volume axis alone — for
+  * deep-scale points where paying e3 at the same sizes buys nothing),
   * SPARK_GRAFT_STREAM_SCALE_SPAN_BATCHES=1 (batch COUNT scales with the
   * copies at constant event-time span per batch — the trigger-interval
   * << horizon deployment shape; REQUIRED for any state-peak claim, else
@@ -359,10 +361,15 @@ object StreamScaleProbe {
       if (axes("volume")) runScales[IndexedSeq[StreamOps.Event]]("e3_volume",
         timeExtendedEvents, _.length,
         (r, b) => best(r, b, sessionizeBench)) else Seq.empty
+    // "e5" runs the near-dedup volume axis ALONE — the only entry with
+    // a nonzero state-rows exponent (banded signatures accumulate with
+    // distinct content), so its deep-scale points (×30/×100) get probed
+    // without paying e3's flat-state replay at the same sizes
     val volumeE5 =
-      if (axes("volume")) runScales[IndexedSeq[StreamOps.Doc]]("e5_volume",
-        timeExtendedDocs, _.length,
-        (r, b) => best(r, b, neardedup)) else Seq.empty
+      if (axes("volume") || axes("e5"))
+        runScales[IndexedSeq[StreamOps.Doc]]("e5_volume",
+          timeExtendedDocs, _.length,
+          (r, b) => best(r, b, neardedup)) else Seq.empty
     val usersE3 =
       if (axes("users")) runScales[IndexedSeq[StreamOps.Event]]("e3_users",
         userOverlaidEvents, _.length,

@@ -387,6 +387,18 @@ object Bench {
       }
     }
 
+    // Isolated-band gate (full nominal-sf sweep only; see
+    // sf01IsolatedBands): an in-sweep min over its pinned band hi is
+    // re-measured in a fresh child JVM and reported from there —
+    // accumulated sweep-JVM JIT/GC state inflated exactly these entries
+    // up to ~50× at identical task metrics (r14's j13d, 275 s in-sweep
+    // vs 5.5 s isolated), poisoning the totals comparison. The child
+    // disables its own gate (SPARK_GRAFT_JVM_ISOLATE=0 — recursion
+    // guard); scale mode already runs per-entry JVMs and never gates.
+    val bandGateEnabled = benchScale.isEmpty && isNominalSf(sfDir) &&
+      sys.env.getOrElse("SPARK_GRAFT_JVM_ISOLATE", "1") != "0"
+    val jvmIsolated = scala.collection.mutable.ArrayBuffer[String]()
+
     val results = sweepNames.zipWithIndex.map { case (name, i) =>
       // calibration probe BEFORE any recycle at indices where both fire
       // (lcm of chunk and calibEvery, e.g. i=100 on defaults): the
@@ -401,9 +413,34 @@ object Bench {
         settle()
       }
       if (i > 0 && i % chunk == 0) recycleSession()
-      val r = timedReps(name)(() => materialize(name, queryDir))
+      var r = timedReps(name)(() => materialize(name, queryDir))
+      if (bandGateEnabled && sf01BandExceeded(name, r._2)) {
+        System.err.println(
+          f"[bench] $name in-sweep ${r._2}%.2fs exceeds its isolated band" +
+            f" (hi ${sf01IsolatedBands(name)._2}%.1fs): re-measuring in a" +
+            " fresh JVM")
+        val out = java.nio.file.Files.createTempFile("graft_iso_" + name, ".json")
+        val child =
+          forkChild(name, out, Map("SPARK_GRAFT_JVM_ISOLATE" -> "0"), 20L)
+        if (child.sec >= 0) {
+          // report the position-independent measurement: time, reps, and
+          // task metrics all come from the child so the artifact stays
+          // internally consistent (metrics describe the reported rep)
+          jvmIsolated += name
+          repTimes(name) = child.reps
+          child.metrics.foreach(m => taskMetrics(name) = m)
+          r = name -> child.sec
+        } else System.err.println(s"[bench] $name fresh-JVM re-run failed" +
+          s" (${child.error.getOrElse("unknown")}); keeping the in-sweep value")
+        settle()
+      }
       settle()
       r
+    }
+    // post-gate: entries STILL over band (isolation didn't explain the
+    // excess, or the re-run failed) — never silent in the artifact
+    val bandExceeded = results.collect {
+      case (n, v) if bandGateEnabled && sf01BandExceeded(n, v) => n
     }
 
     // Per-entry streaming attribution (detail-file only): summed
@@ -821,8 +858,10 @@ object Bench {
     val streamCalibField =
       streamCalibDetailJson(streamCalibWarm, streamCalibSeries.toSeq)
     val scaleField = scaleDetailField(benchScale, sfDir)
+    val bandField = bandGateDetailJson(bandGateEnabled,
+      jvmIsolated.toSeq, bandExceeded)
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"}$streamComputeField,"state_store":"$stateStore","stream_parts":$streamParts$streamCalibField,"task_metrics":$tm$calib$partsProbeJson$streamMetricsField$errField$scaleField,"sf":"$queryDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":${f"$streamTotal%.3f"}$streamComputeField,"state_store":"$stateStore","stream_parts":$streamParts$streamCalibField,"task_metrics":$tm$calib$partsProbeJson$streamMetricsField$errField$scaleField$bandField,"sf":"$queryDir"}"""
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -837,7 +876,8 @@ object Bench {
     println(compactArtifact(all, total, streamTotal, stateStore, calibCompact,
       detailFile, errors.keys.toSeq, queryDir, calibMean, calibRatio,
       noisyRepCount(repTimes.values), streamComputeTotal, streamComputeCov,
-      streamParts, streamCalibMeanSec(streamCalibSeries.toSeq), benchScale))
+      streamParts, streamCalibMeanSec(streamCalibSeries.toSeq), benchScale,
+      jvmIsolated = jvmIsolated.toSeq, bandExceeded = bandExceeded))
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }
@@ -1144,6 +1184,140 @@ object Bench {
     ScaleChildResult(sec, reps, tm, err)
   }
 
+  /** Fork one fresh child JVM running `graft.Bench` pinned to a single
+    * entry, wait for it (bounded), and parse its detail artifact. Same
+    * JVM args/classpath as this process; the child's stdout (compact
+    * line included) is forwarded to OUR stderr so the parent's single
+    * stdout line stays the only thing on stdout. `extraEnv` carries the
+    * mode pins (scale children: `SPARK_GRAFT_SCALE_ISOLATE=0`; full-
+    * sweep band-gate children: `SPARK_GRAFT_JVM_ISOLATE=0`, the
+    * recursion guard). Shared by [[isolatedScaleSweep]] and the sf0.1
+    * sweep's isolated-band gate.
+    */
+  private def forkChild(name: String, out: java.nio.file.Path,
+      extraEnv: Map[String, String], timeoutMin: Long): ScaleChildResult = {
+    import scala.jdk.CollectionConverters._
+    val javaBin =
+      java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+    val classpath = sys.props("java.class.path")
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", classpath, "graft.Bench"))
+    val pb = new ProcessBuilder(cmd.asJava)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_QUERIES", name)
+    env.put("SPARK_GRAFT_DETAIL_OUT", out.toString)
+    extraEnv.foreach { case (k, v) => env.put(k, v) }
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val pump = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        System.err.println(s"[bench:$name] $line"); line = r.readLine()
+      }
+    })
+    pump.setDaemon(true)
+    pump.start()
+    val finished =
+      p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) { p.destroyForcibly(); p.waitFor() }
+    pump.join(5000)
+    if (!finished)
+      ScaleChildResult(-1.0, Seq(-1.0), None,
+        Some(s"child timed out after $timeoutMin min"))
+    else
+      try parseChildDetail(out, name)
+      catch {
+        case e: Exception => ScaleChildResult(-1.0, Seq(-1.0), None,
+          Some("unreadable child detail: " + jsonSafeMsg(e)))
+      }
+  }
+
+  /** Pinned ISOLATED bands at sf0.1 — [lo, hi] seconds each entry reads
+    * when measured alone on this host class (sources: j13d post-codegen
+    * isolated runs this round; j13b/j13f isolated min-of-2 runs, round
+    * 15; hi ≈ 2.5× the isolated steady state to absorb host scatter
+    * without absorbing a JVM-state collapse). The sweep's BAND GATE
+    * (see [[sf01BandExceeded]] and the main loop): an entry whose
+    * in-sweep min exceeds its band hi is re-run in a FRESH CHILD JVM
+    * and reported from there, because a long-lived sweep JVM's
+    * accumulated JIT/GC state inflated exactly these entries up to ~50×
+    * at identical task metrics (round 14: j13d 275 s in-sweep vs 5.5 s
+    * isolated) — a totals comparison poisoned by one entry. Entries
+    * still over band AFTER isolation surface in `band_exceeded` (a real
+    * regression or a genuinely contended host, never silent). Bands are
+    * pinned DATA, not tolerances: re-measure and re-pin when the
+    * operator's implementation or the host class changes.
+    */
+  private[graft] val sf01IsolatedBands: Map[String, (Double, Double)] = Map(
+    "j13d_range_join_sweep" -> (2.5, 10.0),
+    "j13b_range_join_topk" -> (1.5, 8.0),
+    "j13f_range_join_topk_shuffled" -> (1.5, 9.0))
+
+  /** True iff `sec` (an in-sweep min) exceeds `name`'s pinned isolated
+    * band — the gate that triggers the fresh-JVM re-run. Failed entries
+    * (sec < 0) never gate: a crash is an error, not an inflation.
+    */
+  private[graft] def sf01BandExceeded(name: String, sec: Double): Boolean =
+    sec >= 0 && sf01IsolatedBands.get(name).exists(sec > _._2)
+
+  /** Pinned 10× variance bands for the scale artifact — [lo, hi]
+    * seconds across complete per-entry-JVM measurements at IDENTICAL
+    * task metrics on this host class. j13b is disk-bound (12.7 GB sort
+    * spill through /tmp; four r14 runs: 54.7/77.0/86.6/129.4 s); j13f
+    * is the same sort plus the candidate stream crossing the wire
+    * (four r15 measurements at identical task metrics — 5.9 GB
+    * shuffle, 12.3 GB spill — read 158.7/196.7/320.6/~370 s: the
+    * probe pair ran during a writeback-contended window the sweep's
+    * own mid-calib also caught at 13.5 s); j13d's post-codegen fold is
+    * CPU-bound and much tighter (round-15 runs: 36.4/42.6/47.5 s).
+    * Emitted as the artifact's `bands` field
+    * so a future round's move INSIDE the band is adjudicated by code;
+    * `BenchFormatSpec` requires a band for every committed entry over
+    * 60 s. Re-pin from fresh multi-run data whenever an entry's
+    * implementation changes.
+    */
+  private[graft] val scaleBands10x: Map[String, (Double, Double)] = Map(
+    "j13b_range_join_topk" -> (55.0, 175.0),
+    "j13f_range_join_topk_shuffled" -> (140.0, 550.0),
+    "j13d_range_join_sweep" -> (25.0, 80.0))
+
+  /** The scale artifact's `bands` field (leading comma; empty when no
+    * swept entry has a pinned band): `{"query":[lo,hi], ...}` for the
+    * sweep's entries present in [[scaleBands10x]].
+    */
+  private[graft] def scaleBandsJson(names: Seq[String]): String = {
+    val withBand = names.filter(scaleBands10x.contains)
+    if (withBand.isEmpty) ""
+    else withBand.map { n =>
+      val (lo, hi) = scaleBands10x(n)
+      "\"" + n + "\":[" + f"$lo%.1f" + "," + f"$hi%.1f" + "]"
+    }.mkString(""","bands":{""", ",", "}")
+  }
+
+  /** The full-sweep detail file's band-gate self-description (leading
+    * comma; empty when the gate was off — non-nominal sf, scale mode,
+    * or SPARK_GRAFT_JVM_ISOLATE=0): the pinned isolated bands the gate
+    * compared against, which entries were re-measured in a fresh JVM
+    * (their reported time/reps/metrics are the CHILD's), and which
+    * entries still exceed their band after the gate (real regression or
+    * contended host — surfaced, never silent). Explicit empty arrays
+    * mean the gate ran and found nothing. BenchFormatSpec pins emission.
+    */
+  private[graft] def bandGateDetailJson(enabled: Boolean,
+      jvmIsolated: Seq[String], bandExceeded: Seq[String]): String =
+    if (!enabled) ""
+    else {
+      val bands = sf01IsolatedBands.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+        "\"" + n + "\":[" + f"$lo%.1f" + "," + f"$hi%.1f" + "]"
+      }.mkString("{", ",", "}")
+      def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","isolated_bands":$bands,"jvm_isolated":${arr(jvmIsolated)},"band_exceeded":${arr(bandExceeded)}"""
+    }
+
   /** Scale mode's per-entry fresh-JVM sweep (the default; see the
     * `SPARK_GRAFT_SCALE_ISOLATE` knob in [[main]] for the measurement
     * that forced it). The parent builds/validates the scaled scratch
@@ -1226,52 +1400,10 @@ object Bench {
     val calibStart = calibRun(spark)
 
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_scale_iso")
-    val javaBin =
-      java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
-    val classpath = sys.props("java.class.path")
 
-    def runChild(name: String): ScaleChildResult = {
-      val out = tmpDir.resolve(s"$name.json")
-      val cmd =
-        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", classpath, "graft.Bench"))
-      val pb = new ProcessBuilder(cmd.asJava)
-      val env = pb.environment()
-      env.put("SPARK_GRAFT_QUERIES", name)
-      env.put("SPARK_GRAFT_SCALE_ISOLATE", "0")
-      env.put("SPARK_GRAFT_DETAIL_OUT", out.toString)
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      // child stdout (its compact line included) is forwarded to OUR
-      // stderr: the parent's own single stdout line must stay the only
-      // thing on stdout
-      val pump = new Thread(() => {
-        val r = new java.io.BufferedReader(
-          new java.io.InputStreamReader(p.getInputStream))
-        var line = r.readLine()
-        while (line != null) {
-          System.err.println(s"[bench:$name] $line"); line = r.readLine()
-        }
-      })
-      pump.setDaemon(true)
-      pump.start()
-      val finished =
-        p.waitFor(childTimeoutMin, java.util.concurrent.TimeUnit.MINUTES)
-      if (!finished) { p.destroyForcibly(); p.waitFor() }
-      pump.join(5000)
-      if (!finished)
-        ScaleChildResult(-1.0, Seq(-1.0), None,
-          Some(s"child timed out after $childTimeoutMin min"))
-      else
-        try parseChildDetail(out, name)
-        catch {
-          case e: Exception => ScaleChildResult(-1.0, Seq(-1.0), None,
-            Some("unreadable child detail: " + jsonSafeMsg(e)))
-        }
-    }
+    def runChild(name: String): ScaleChildResult =
+      forkChild(name, tmpDir.resolve(s"$name.json"),
+        Map("SPARK_GRAFT_SCALE_ISOLATE" -> "0"), childTimeoutMin)
 
     // warm probe on the parent's long-lived session — the mid series:
     // one between every pair of children, a per-entry host-state trace
@@ -1325,7 +1457,7 @@ object Bench {
       .getOrElse("")
     val calib = s""","calibration":{"query":"$calibName","start_sec":${f"$calibStart%.3f"},"mid_sec":$midJson,"end_sec":${f"$calibEnd%.3f"},"warm_mean_sec":${f"$calibMean%.3f"}$ratioJson}"""
     val fullLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":0.000,"state_store":"$stateStore","stream_parts":$deploymentStreamParts,"task_metrics":$tm$calib$errField${scaleDetailField(Some(scale), sfDir)},"scale_isolation":"per_entry_jvm","sf":"$scaledDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"reps":$repsJson,"stream_total":0.000,"state_store":"$stateStore","stream_parts":$deploymentStreamParts,"task_metrics":$tm$calib$errField${scaleDetailField(Some(scale), sfDir)}${scaleBandsJson(sweepNames)},"scale_isolation":"per_entry_jvm","sf":"$scaledDir"}"""
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1353,7 +1485,9 @@ object Bench {
       streamParts: Int = deploymentStreamParts,
       streamCalibMean: Double = -1.0,
       benchScale: Option[Int] = None,
-      tailBudget: Int = 1850): String = {
+      tailBudget: Int = 1850,
+      jvmIsolated: Seq[String] = Seq.empty,
+      bandExceeded: Seq[String] = Seq.empty): String = {
     val errField =
       if (errorNames.isEmpty) ""
       else errorNames.take(10).map("\"" + _.take(40) + "\"")
@@ -1385,8 +1519,17 @@ object Bench {
            else "")
       else ""
     val scaleF = benchScale.map(n => s""","bench_scale":$n""").getOrElse("")
+    // band-gate outcomes travel in the compact line only when NON-empty
+    // (names are few and bounded; an empty gate result is detail-file
+    // information, not worth compact-line budget)
+    def nameArr(key: String, xs: Seq[String]): String =
+      if (xs.isEmpty) ""
+      else xs.take(10).map("\"" + _.take(40) + "\"")
+        .mkString(s""","$key":[""", ",", "]")
+    val bandF = nameArr("jvm_isolated", jvmIsolated) +
+      nameArr("band_exceeded", bandExceeded)
     def line(entries: Seq[String], omitted: Int): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stream_total":${f"$streamTotal%.3f"}$scField,"state_store":"$stateStore","stream_parts":$streamParts$scalibField$scaleF,"calib":$calibCompact$calibNorm,"detail":"$detailFile","omitted":$omitted$errField,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","stream_total":${f"$streamTotal%.3f"}$scField,"state_store":"$stateStore","stream_parts":$streamParts$scalibField$scaleF$bandF,"calib":$calibCompact$calibNorm,"detail":"$detailFile","omitted":$omitted$errField,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     // first prefix length whose line would overflow the budget (probe
     // with the max-digits omitted count); keep everything before it
     val kept = slowestFirst.indices

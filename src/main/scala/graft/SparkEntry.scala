@@ -1456,6 +1456,38 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // j13b's SHUFFLED-FALLBACK branch, pinned as its own graded entry:
+    // the same query with the interval side's broadcast budget forced to
+    // 0 (and Catalyst's own auto-broadcast off, so the bin equi-join
+    // genuinely shuffles) — the plan a user gets when the interval side
+    // outgrows any broadcast budget. Same oracle as j13b: the size gate
+    // changes cost, never the answer. Exists so the fallback branch has
+    // a standing scale datum next to the broadcast branch's
+    // (docs/SCALING.md) instead of only a plan pin.
+    "j13f_range_join_topk_shuffled" -> ((s, dir) => {
+      // session conf applies at materialization; harnesses run queries
+      // under SessionConf.restoring so this never re-plans neighbors
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("lo"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % 61).cast("int")).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("pk"), col("l_linenumber").as("pl"),
+          to_date(col("l_shipdate")).as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      RangeJoin.pointInIntervalTopK(pts, iv, "sd", "lo", "hi", 30,
+          Seq("pk", "pl", "sd", "cents"),
+          struct((-datediff(col("lo"), to_date(lit("1970-01-01")))).as("r"),
+            col("o_orderkey").as("t")), 3, broadcastBudgetBytes = 0L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("cents")) / 100.0).as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
     // Interval coalescing (RangeJoin cure (c), oracle-backed): merge each
     // customer's overlapping order-coverage intervals into distinct spans
     // — the pre-join normalization that turns a densified interval side
@@ -2980,6 +3012,23 @@ object SparkEntry {
         |FROM iv JOIN lineitem ON CAST(l_shipdate AS DATE) BETWEEN lo AND hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j13b_range_join_topk" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi
+        |  FROM orders WHERE o_orderkey % 199 = 0),
+        |j AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey,
+        |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      PARTITION BY l.l_orderkey, l.l_linenumber,
+        |        CAST(l.l_shipdate AS DATE), CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |      ORDER BY iv.lo DESC, iv.o_orderkey) AS rn
+        |  FROM iv JOIN lineitem l ON CAST(l.l_shipdate AS DATE) BETWEEN iv.lo AND iv.hi)
+        |SELECT o_orderkey, count(*) AS n_lines, sum(cents)/100.0 AS revenue
+        |FROM j WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the shuffled fallback computes j13b's exact query through the
+    // over-budget plan branch — one oracle, two plans, same answer
+    "j13f_range_join_topk_shuffled" ->
       """WITH iv AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
         |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 61 AS INTEGER) AS hi

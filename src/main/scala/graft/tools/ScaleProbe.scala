@@ -233,6 +233,10 @@ object ScaleProbe {
     // model that measured j13's uncapped 2.09: the cap must hold output
     // ≤ k·points (near-linear) where the uncapped join went quadratic
     "j13b_range_join_topk" -> Seq("orders", "lineitem"),
+    // round-15: the fallback branch a user hits when the interval side
+    // genuinely outgrows any broadcast budget — priced next to j13b so
+    // the size gate's cost matrix is measured on both sides
+    "j13f_range_join_topk_shuffled" -> Seq("orders", "lineitem"),
     "j13c_interval_coalesce" -> Seq("orders"),
     // round-14: the sweep (cure b without the broadcast premise) and the
     // per-point aggregate (cure a), probed on the same growth model

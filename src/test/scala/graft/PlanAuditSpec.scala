@@ -316,6 +316,16 @@ class PlanAuditSpec extends SparkSpec {
     val b = plan("j13b_range_join_topk")
     assert(b.contains("WindowGroupLimit"),
       s"j13b lost the window-group limit:\n$b")
+    // j13f (the shuffled fallback, graded as its own entry): the budget
+    // pin and the session conf it sets must actually produce the
+    // over-budget plan — no broadcast anywhere, cap still present. A
+    // silent drift back to the broadcast branch would re-grade j13b
+    // twice and leave the fallback unmeasured.
+    val f = plan("j13f_range_join_topk_shuffled")
+    assert(f.contains("WindowGroupLimit"),
+      s"j13f lost the window-group limit:\n$f")
+    assert(!f.contains("BroadcastExchange"),
+      s"j13f's bin join must shuffle (the over-budget branch):\n$f")
     // j13d (sweep): the cap must be the k-bounded topk_structs AGGREGATE
     // and the candidate stream must never pass through a window — the
     // whole point of the sweep is that nothing enumerate-then-caps. At

@@ -45,6 +45,44 @@ class TopKAggSpec extends SparkSpec {
     assert(out == Seq((1, "a"), (1, "b"), (2, "x")))
   }
 
+  test("topk_structs survives the sort-based aggregation fallback") {
+    GraftExtensions.register(spark)
+    // ObjectHashAggregate demotes to sort-based aggregation past the
+    // session fallback threshold — the path that external-sorts
+    // SERIALIZED partial buffers and merges via deserialize+merge, a
+    // different surface from the hash path the other tests run. Pin the
+    // threshold to 10 so the demotion is deterministic, not a function
+    // of group-count-per-task arithmetic.
+    val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      spark.conf.set(confKey, "10")
+      val rnd = new scala.util.Random(15)
+      val rows = for (g <- 0 until 200; i <- 0 until 40)
+        yield (g, rnd.nextInt(10000), i.toLong)
+      val out = rows.toDF("g", "r", "i").repartition(5)
+        .groupBy("g")
+        .agg(call_function("topk_structs",
+          struct(col("r"), col("i")), lit(3)).as("tk"))
+        .collect()
+        .map(row => row.getInt(0) ->
+          row.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getInt(0), x.getLong(1))))
+        .toMap
+      val expect = rows.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sorted.take(3)).toMap
+      assert(out.size == 200)
+      (0 until 200).foreach { g =>
+        assert(out(g) == expect(g), s"group $g: ${out(g)} vs ${expect(g)}")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("topk_structs rejects non-positive or non-foldable k") {
     GraftExtensions.register(spark)
     val df = Seq(("g", 1)).toDF("g", "r")

@@ -536,14 +536,24 @@ object Dedup {
     * exactly):
     *
     *   - **Local union-find** when the edge set fits on the driver
-    *     (`localEdgeLimit`, default 1M pairs ≈ 16 MB). Near-dup edge sets
-    *     are tiny next to the corpus by LSH design, so this is the common
-    *     case at every scale; one job materializes the pairs, the
+    *     (`localEdgeLimit`, default 500k pairs ≈ 8 MB). Near-dup edge
+    *     sets are tiny next to the corpus by LSH design, so this is the
+    *     common case at every scale; one job materializes the pairs, the
     *     union-find runs in O(E α(E)) on the driver, and the resulting
     *     label map joins back in as a broadcast — no iteration, no
     *     per-level Spark actions. The same shape as AQE's
     *     broadcast-threshold decision: size probe first, then the cheap
-    *     strategy when the data allows it.
+    *     strategy when the data allows it. The default is pinned by
+    *     CcProbe's crossover axis (docs/SCALING.md round 15): local wins
+    *     below ~400k edges (1.5 s vs 4.0 s at 100k — the propagation
+    *     loop pays ~4–5 s of fixed per-iteration job overhead), the
+    *     strategies cross at ~0.5M, and above it the distributed loop
+    *     wins outright (4.3 s vs 6.9 s at 1M, 5.7 s vs 20.6 s at 3M) —
+    *     while at 10M the label-map broadcast-back measured 79.4 s in
+    *     one session and KILLED the SparkContext in another (GCLocker
+    *     starvation → executor OOM building the 12.5M-row broadcast;
+    *     the distributed loop ran the same point in 10.3 s), so the
+    *     default keeps a wide margin to both the slowdown and the wall.
     *   - **Distributed min-label propagation** above the limit: each
     *     iteration joins labels across edges and keeps the elementwise
     *     minimum, converging in O(cluster diameter) iterations —
@@ -552,10 +562,13 @@ object Dedup {
     *     is one join + one aggregation, all shuffle-partitioned by id.
     *     Convergence is detected by the label-sum fixpoint (labels only
     *     ever decrease, so an unchanged sum means an unchanged
-    *     labeling), one tiny aggregate action per iteration. For
-    *     pathological high-diameter graphs the large-star/small-star
-    *     variant would cut iterations to O(log n); near-dup graphs never
-    *     need it.
+    *     labeling), one tiny aggregate action per iteration. Measured
+    *     to 30M edges and to diameter 64 (CcProbe: time ∝ E at fixed
+    *     diameter, ∝ diameter at fixed E). For pathological
+    *     high-diameter graphs the large-star/small-star variant would
+    *     cut rounds to O(log n) — at the probe's 4M-edge/diameter-64
+    *     point the linear-in-diameter cost is 238 s, the measured price
+    *     of not shipping it; near-dup graphs never approach that shape.
     *
     * Either way the (typically expensive — LSH candidate generation +
     * verification) pair pipeline is evaluated exactly once: an eager
@@ -568,7 +581,7 @@ object Dedup {
     * drivers do between queries.
     */
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25, localEdgeLimit: Long = 1000000L): DataFrame = {
+      maxIter: Int = 25, localEdgeLimit: Long = 500000L): DataFrame = {
     require(Seq("long", "int", "bigint", "integer", "smallint", "short")
       .contains(df.schema(idCol).dataType.typeName),
       s"canonicalize needs an integral id column; ${df.schema(idCol).dataType.sql} " +
@@ -631,8 +644,6 @@ object Dedup {
     // propagate only over edge-touched nodes: the label frame scales with
     // the DUP population (tiny next to the corpus), and the untouched
     // majority joins back in once at the end as its own canonical id
-    val seed = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).persist()
     def propagate(cur: DataFrame): DataFrame = {
       val nbrMin = edges.join(cur, col("dst") === col("id"))
         .groupBy(col("src").as("nid")).agg(min(col("lbl")).as("nbl"))
@@ -640,34 +651,69 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
     }
-    var lbl = seed
-    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](seed)
+    // the checkpoint blocks behind a truncated level, for prompt release
+    def blocks(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      d.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd }
+    // Level residency, measured on CcProbe's axes (docs/SCALING.md round
+    // 15) — each level is made resident one of two ways, both of which
+    // release the PREVIOUS level as soon as the new one is material (the
+    // earlier retain-until-exit persisted every level of a deep
+    // propagation at once):
+    //   - persist(): columnar, compact, partitioning-aware — the common
+    //     case. But caching does not truncate the plan TREE: level k's
+    //     analyzed plan embeds its two references to level k-1's, so
+    //     tree size (and the plan string AQE renders per job) grows ~2^k
+    //     — the driver OOM'd at ~17 levels on the probe's chain axis,
+    //     a shape near-dup graphs (diameter <= ~3) never reach but a
+    //     correct operator must survive.
+    //   - localCheckpoint(true) every [[truncateLevels]]-th level:
+    //     flattens the plan to a LogicalRDD, so tree size is bounded by
+    //     2^truncateLevels copies of a flat segment base, constant in
+    //     the iteration count. Checkpointing EVERY level instead was
+    //     measured strictly worse on both big-graph axes: the
+    //     row-object block store is ~3x fatter than the columnar cache
+    //     (executor OOM at 30M edges where persist() ran in 26 s) and
+    //     the LogicalRDD's lost hash partitioning re-shuffles the label
+    //     frame every iteration (10M-edge star: 24.1 s vs 12.1).
+    // Both block stores are MEMORY_AND_DISK, so "released level while a
+    // survivor's partition was evicted" cannot strand a recompute: blocks
+    // spill, they are never silently dropped.
+    val truncateLevels = 8
+    def resident(df: DataFrame, truncate: Boolean): (DataFrame, () => Unit) =
+      if (truncate) {
+        val c = df.localCheckpoint(true) // eager: blocks exist on return
+        (c, () => blocks(c).foreach(_.unpersist(false)))
+      } else {
+        val p = df.persist() // lazy: labelSum below materializes it
+        (p, () => { p.unpersist(); () })
+      }
+    // propagate only over edge-touched nodes: the label frame scales with
+    // the DUP population (tiny next to the corpus), and the untouched
+    // majority joins back in once at the end as its own canonical id
+    var (lbl, freeLbl) = resident(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")), truncate = false)
     // labels only decrease; decimal sum avoids overflow on wide id spaces
     def labelSum(d: DataFrame): java.math.BigDecimal = {
       val v = d.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
-    // ONE propagation level per action, each level persisted before the
-    // convergence aggregate materializes it. Batching levels between
-    // actions was measured strictly worse here: an uncached intermediate
-    // level is referenced twice by the next one (recomputed by both), a
-    // lazily-cached one makes its two consuming stages race-compute it,
-    // and deep lazy unrolling expands k self-referencing levels into 2^k
-    // plan-tree copies inside Catalyst's copying transforms (OOM at 8).
     var prev = labelSum(lbl)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val next = propagate(lbl).persist()
-      val cur = labelSum(next) // materializes `next`, so the swap is safe
-      persisted += lbl
+      val (next, freeNext) =
+        resident(propagate(lbl), truncate = (it + 1) % truncateLevels == 0)
+      val cur = labelSum(next) // fully materializes `next`
+      freeLbl() // level k-1's blocks are no longer referenced
       lbl = next
+      freeLbl = freeNext
       done = cur.compareTo(prev) == 0
       prev = cur
       it += 1
     }
     edges.unpersist()
-    persisted.foreach(_.unpersist())
     require(done,
       s"connected components did not converge within $maxIter iterations")
     lbl

@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected-components probe: measures [[graft.operators.Dedup.canonicalize]]'s
+  * DISTRIBUTED min-label propagation branch on edge sets far past the
+  * 1M-edge gate that selects the driver union-find in the common case —
+  * the branch the d6/d6b oracle entries can't stress (an LSH near-dup
+  * pair graph is tiny next to its corpus BY DESIGN, so the graded
+  * entries measure pair GENERATION, never million-edge propagation).
+  *
+  * Synthetic edge sets are closed-form from node ids (deterministic, no
+  * randomness), written once to scratch parquet so generation stays
+  * outside every timed region, and each result is VERIFIED against the
+  * closed-form component labels after timing (count of mismatching
+  * labels must be 0 — stronger than union-find parity and free at any
+  * size).
+  *
+  * Three axes:
+  *
+  *   - **Edge count** (star components, diameter 2 — the near-dup
+  *     cluster shape): E ∈ `SPARK_GRAFT_CC_EDGES` (default
+  *     1M,3M,10M,30M). Expect time ∝ E at a fixed iteration count
+  *     (propagation converges in O(diameter) passes; the label-sum
+  *     fixpoint adds one detection pass).
+  *   - **Diameter** (chain components at fixed E): L ∈
+  *     `SPARK_GRAFT_CC_CHAINS` (default 4,16,64) over
+  *     `SPARK_GRAFT_CC_CHAIN_EDGES` edges (default 4M). Expect time
+  *     ∝ L at fixed E — the documented cost of NOT shipping
+  *     large-star/small-star (Dedup.canonicalize scaladoc): this axis
+  *     prices that decision instead of arguing it.
+  *   - **Strategy crossover** (star components): the driver union-find
+  *     timed against the distributed propagation at E ∈
+  *     `SPARK_GRAFT_CC_LOCAL_EDGES` (default 1M,3M,10M) — data for
+  *     where the `localEdgeLimit` default belongs.
+  *
+  * Output: one JSON line on stdout; committed analysis in
+  * docs/SCALING.md. A measurement tool, not part of any pipeline or
+  * bench artifact.
+  */
+object CcProbe {
+
+  /** Star components: for group g the hub is 5g and leaves 5g+1..5g+4 —
+    * 4 edges per group, all labels collapse to the hub (= id - id%5).
+    */
+  private def starEdges(spark: SparkSession, edges: Long): DataFrame =
+    spark.range(edges)
+      .select(((col("id") / 4).cast("long") * 5L).as("a"),
+        ((col("id") / 4).cast("long") * 5L + pmod(col("id"), lit(4)) + 1L).as("b"))
+
+  private def starNodes(spark: SparkSession, edges: Long): DataFrame =
+    spark.range(edges / 4 * 5).select(col("id").as("doc_id"))
+
+  private val starExpected = "doc_id - pmod(doc_id, 5)"
+
+  /** Chain components of length L (L edges, L+1 nodes): chain c covers
+    * ids (L+1)c .. (L+1)c+L with edges (n, n+1); the min label is the
+    * chain head (= id - id%(L+1)) and sits a full L hops from the tail,
+    * so propagation needs L passes + 1 to detect the fixpoint.
+    */
+  private def chainEdges(spark: SparkSession, edges: Long, len: Int): DataFrame =
+    spark.range(edges)
+      .select(((col("id") / len).cast("long") * (len + 1) + pmod(col("id"), lit(len))).as("a"))
+      .withColumn("b", col("a") + 1L)
+
+  private def chainNodes(spark: SparkSession, edges: Long, len: Int): DataFrame =
+    spark.range(edges / len * (len + 1)).select(col("id").as("doc_id"))
+
+  private def chainExpected(len: Int) = s"doc_id - pmod(doc_id, ${len + 1})"
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", cpus)
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_CC_OUT", "/tmp/graft_cc")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CC_REPS", "2").toInt
+    def longs(env: String, dflt: String): Seq[Long] =
+      sys.env.getOrElse(env, dflt).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    val edgeAxis = longs("SPARK_GRAFT_CC_EDGES", "1000000,3000000,10000000,30000000")
+    val chainLens = longs("SPARK_GRAFT_CC_CHAINS", "4,16,64").map(_.toInt)
+    val chainE = sys.env.getOrElse("SPARK_GRAFT_CC_CHAIN_EDGES", "4000000").toLong
+    val localAxis = longs("SPARK_GRAFT_CC_LOCAL_EDGES", "1000000,3000000,10000000")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new ScaleProbe.Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    // generation outside the timed region: each graph written once
+    def ensure(tag: String, nodes: => DataFrame, edges: => DataFrame): String = {
+      val dir = s"$outRoot/$tag"
+      val marker = java.nio.file.Paths.get(dir, "_GRAFT_CC_OK")
+      if (!java.nio.file.Files.exists(marker)) {
+        nodes.write.mode("overwrite").parquet(s"$dir/nodes.parquet")
+        edges.write.mode("overwrite").parquet(s"$dir/edges.parquet")
+        java.nio.file.Files.createFile(marker)
+        System.err.println(s"[cc] built $dir")
+      }
+      dir
+    }
+    def settle(): Unit = { System.gc(); Thread.sleep(250) }
+    def timeIt(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one timed canonicalize run: read parquet -> canonicalize -> noop
+    // sink; caches and checkpoint blocks dropped after (canonicalize
+    // localCheckpoints the edge list; Bench's hygiene pattern)
+    def run(dir: String, localLimit: Long, maxIter: Int): Unit =
+      try {
+        val nodes = spark.read.parquet(s"$dir/nodes.parquet")
+        val pairs = spark.read.parquet(s"$dir/edges.parquet")
+        graft.operators.Dedup.canonicalize(nodes, "doc_id", pairs,
+          maxIter = maxIter, localEdgeLimit = localLimit)
+          .write.format("noop").mode("overwrite").save()
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    // verify (untimed): labels must equal the closed-form component min.
+    // A WRONG label fails the probe; a point that cannot COMPLETE (e.g.
+    // the union-find label map outgrowing what a broadcast can carry) is
+    // itself a datum — recorded as sec:-1, never silently skipped.
+    def check(dir: String, localLimit: Long, maxIter: Int, expected: String): Boolean =
+      try {
+        val nodes = spark.read.parquet(s"$dir/nodes.parquet")
+        val pairs = spark.read.parquet(s"$dir/edges.parquet")
+        val bad = graft.operators.Dedup.canonicalize(nodes, "doc_id", pairs,
+          maxIter = maxIter, localEdgeLimit = localLimit)
+          .filter(col("canon_id") =!= expr(expected)).count()
+        require(bad == 0L, s"$dir: $bad labels disagree with closed form")
+        true
+      } catch {
+        case e: IllegalArgumentException => throw e // wrong labels: fatal
+        case e: Throwable =>
+          System.err.println(s"[cc] $dir (limit=$localLimit) CANNOT RUN: " +
+            e.toString.linesIterator.next()); false
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    // (sec, shuffleMb, spillMb, peakTaskMemMb) of the min-time rep
+    def minOfReps(dir: String, localLimit: Long, maxIter: Int): (Double, Double, Double, Double) = {
+      val ts = (1 to reps).map { _ =>
+        metrics.reset()
+        val t = try timeIt(run(dir, localLimit, maxIter))
+                catch { case e: Throwable =>
+                  System.err.println(s"[cc] $dir FAILED: $e"); -1.0 }
+        org.apache.spark.graftbench.ListenerDrain.drain(spark.sparkContext, 5000)
+        val (sh, sp, pk) = metrics.snapMb()
+        settle(); (t, sh, sp, pk)
+      }
+      val ok = ts.filter(_._1 >= 0)
+      if (ok.isEmpty) (-1.0, -1.0, -1.0, -1.0) else ok.minBy(_._1)
+    }
+    def fmt(tag: String, m: (Double, Double, Double, Double)): String = {
+      System.err.println(
+        f"[cc] $tag -> ${m._1}%7.2fs  shuffle=${m._2}%8.1fMB spill=${m._3}%7.1fMB peakTask=${m._4}%6.1fMB")
+      f""""$tag":{"sec":${m._1}%.3f,"shuffle_mb":${m._2}%.1f,"spill_mb":${m._3}%.1f,"peak_task_mem_mb":${m._4}%.1f}"""
+    }
+
+    // warmup (not timed): smallest star graph through both strategies
+    val warm = ensure("star_100k", starNodes(spark, 100000), starEdges(spark, 100000))
+    run(warm, 0L, 25); run(warm, Long.MaxValue, 25); settle()
+
+    def axisPoint(tag: String, dir: String, limit: Long, maxIter: Int,
+        expected: String): String =
+      if (check(dir, limit, maxIter, expected))
+        fmt(tag, minOfReps(dir, limit, maxIter))
+      else fmt(tag, (-1.0, -1.0, -1.0, -1.0))
+
+    val edgeJson = edgeAxis.map { e =>
+      val dir = ensure(s"star_$e", starNodes(spark, e), starEdges(spark, e))
+      axisPoint(e.toString, dir, 0L, 25, starExpected)
+    }.mkString("{", ",", "}")
+
+    val chainJson = chainLens.map { len =>
+      val dir = ensure(s"chain_${len}_$chainE",
+        chainNodes(spark, chainE, len), chainEdges(spark, chainE, len))
+      axisPoint(len.toString, dir, 0L, 2 * len + 8, chainExpected(len))
+    }.mkString("{", ",", "}")
+
+    val localJson = localAxis.map { e =>
+      val dir = ensure(s"star_$e", starNodes(spark, e), starEdges(spark, e))
+      axisPoint(e.toString, dir, Long.MaxValue, 25, starExpected)
+    }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"cc_probe","reps":$reps,"parts":$parts,""" +
+      s""""edge_axis_dist":$edgeJson,"chain_axis_dist_e$chainE":$chainJson,""" +
+      s""""edge_axis_local":$localJson}""")
+    spark.stop()
+  }
+}

@@ -54,8 +54,9 @@ object ScaleProbe {
     * heap, not the plan" from an argument into a column of data: a
     * memory-pressure segment shows spill/peak climbing with scale, a
     * plan defect shows shuffle rows climbing super-linearly.
+    * Shared with [[CcProbe]] (tools-private, not part of any pipeline).
     */
-  private final class Metrics extends org.apache.spark.scheduler.SparkListener {
+  private[tools] final class Metrics extends org.apache.spark.scheduler.SparkListener {
     private val shuffle = new java.util.concurrent.atomic.AtomicLong
     private val spill = new java.util.concurrent.atomic.AtomicLong
     private val peak = new java.util.concurrent.atomic.AtomicLong

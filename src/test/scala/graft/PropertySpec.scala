@@ -276,6 +276,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalize propagation survives a deep (22-hop) chain component") {
+    // High-diameter regression pin for the per-level plan truncation:
+    // each propagation level references the previous TWICE, so without
+    // the eager localCheckpoint flattening each level to a LogicalRDD
+    // the analyzed plan tree (and the string AQE renders per job) grows
+    // ~2^k — CcProbe's diameter axis OOM'd the driver at chain length 16
+    // (round 15). 22 levels make the pre-fix shape intractable while the
+    // fixed one converges in seconds. Labels are closed-form (the chain
+    // head), so correctness and convergence are both pinned.
+    val len = 22
+    val ids = (0L to len.toLong).toDF("doc_id")
+    val pairs = (0L until len.toLong).map(j => (j, j + 1)).toDF("a", "b")
+    val out = graft.operators.Dedup
+      .canonicalize(ids, "doc_id", pairs, maxIter = len + 3, localEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == len + 1)
+    out.foreach { case (id, canon, isDup) =>
+      assert(canon == 0L && isDup == (id != 0L), s"id=$id")
+    }
+  }
+
   test("hash sampling: monotone in fraction, exact on boundaries") {
     val ids = (0L until 500L).toDF("id")
     assert(graft.operators.Sampling.hashSample(ids, "id", 0.0).count() == 0)

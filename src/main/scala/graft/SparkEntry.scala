@@ -1037,6 +1037,18 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", pairs)
     }),
 
+    // d6's DISTRIBUTED branch under the same oracle: localEdgeLimit=0
+    // forces the iterative min-label propagation (the path a >1M-edge
+    // pair graph takes at 100 TB) instead of the driver union-find the
+    // small-edge common case selects. Same unique fixpoint, same
+    // recursive-CTE oracle; the at-scale cost of the propagation loop
+    // itself is measured by graft.tools.CcProbe (docs/SCALING.md).
+    "d6b_dedup_clusters_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      Dedup.canonicalize(docs, "doc_id", pairs, localEdgeLimit = 0L)
+    }),
+
     // C4-style corpus-wide duplicate-segment removal: non-overlapping
     // 10-word segments, first corpus occurrence wins, documents rebuilt
     // from their surviving segments.
@@ -1914,6 +1926,26 @@ object SparkEntry {
        |WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= 0.5""".stripMargin
   }
 
+  /** Shared oracle for d6/d6b: the same pair graph as d3, closed into
+    * components by a recursive CTE — label l reaches id if a path
+    * exists, so min(l) per id is exactly the min-label fixpoint BOTH of
+    * [[Dedup.canonicalize]]'s execution strategies (driver union-find
+    * and distributed min-label propagation) converge to.
+    */
+  private def d6ClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$minHashSql
+       |),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b, a FROM pairs),
+       |lbl(id, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
+       |)
+       |SELECT id AS doc_id, min(l) AS canon_id, (min(l) <> id) AS is_dup
+       |FROM lbl GROUP BY id""".stripMargin
+
   /** SQL mirror of [[Dedup.incrementalNearDup]] on the d8/d9 source
     * split: both sides' signatures from the same universal-hash family,
     * banded; in-batch pairs via the self-join (a < b), store matches via
@@ -2736,22 +2768,10 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
     "d3_dedup_minhash" -> minHashSql,
-    // Same pair graph as d3, closed into components by a recursive CTE:
-    // label l reaches id if a path exists, so min(l) per id is exactly
-    // the min-label-propagation fixpoint the Spark loop converges to.
-    "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |$minHashSql
-         |),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs
-         |          UNION ALL SELECT b, a FROM pairs),
-         |lbl(id, l) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, lbl.l FROM edges e JOIN lbl ON lbl.id = e.dst
-         |)
-         |SELECT id AS doc_id, min(l) AS canon_id, (min(l) <> id) AS is_dup
-         |FROM lbl GROUP BY id""".stripMargin,
+    "d6_dedup_clusters" -> d6ClustersSql,
+    // The distributed-branch twin computes the SAME unique fixpoint, so
+    // it shares d6's recursive-CTE oracle verbatim.
+    "d6b_dedup_clusters_dist" -> d6ClustersSql,
     "d7_dedup_segments" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |i AS (SELECT doc_id, ws,

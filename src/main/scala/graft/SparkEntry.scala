@@ -1049,6 +1049,16 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", pairs, localEdgeLimit = 0L)
     }),
 
+    // The O(log n)-round alternating star contraction (large-star/
+    // small-star) on the same pair graph — the high-diameter-graph
+    // strategy, graded on the same fixpoint oracle; its scale/diameter
+    // price lives on CcProbe's axes next to the propagation loop's.
+    "d6c_dedup_clusters_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      Dedup.canonicalizeStar(docs, "doc_id", pairs)
+    }),
+
     // C4-style corpus-wide duplicate-segment removal: non-overlapping
     // 10-word segments, first corpus occurrence wins, documents rebuilt
     // from their surviving segments.
@@ -2769,9 +2779,11 @@ object SparkEntry {
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5""".stripMargin,
     "d3_dedup_minhash" -> minHashSql,
     "d6_dedup_clusters" -> d6ClustersSql,
-    // The distributed-branch twin computes the SAME unique fixpoint, so
-    // it shares d6's recursive-CTE oracle verbatim.
+    // The distributed-branch twin and the star-contraction variant both
+    // compute the SAME unique fixpoint, so they share d6's recursive-CTE
+    // oracle verbatim.
     "d6b_dedup_clusters_dist" -> d6ClustersSql,
+    "d6c_dedup_clusters_star" -> d6ClustersSql,
     "d7_dedup_segments" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |i AS (SELECT doc_id, ws,

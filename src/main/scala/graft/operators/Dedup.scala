@@ -564,11 +564,13 @@ object Dedup {
     *     ever decrease, so an unchanged sum means an unchanged
     *     labeling), one tiny aggregate action per iteration. Measured
     *     to 30M edges and to diameter 64 (CcProbe: time ∝ E at fixed
-    *     diameter, ∝ diameter at fixed E). For pathological
-    *     high-diameter graphs the large-star/small-star variant would
-    *     cut rounds to O(log n) — at the probe's 4M-edge/diameter-64
-    *     point the linear-in-diameter cost is 238 s, the measured price
-    *     of not shipping it; near-dup graphs never approach that shape.
+    *     diameter, ∝ diameter at fixed E). Near-dup graphs never
+    *     approach the high-diameter regime; a pair graph that does
+    *     (transitive entity-resolution chains, link graphs) should use
+    *     [[canonicalizeStar]] — the O(log n)-round alternating star
+    *     contraction, same fixpoint, measured 5.2x faster at the
+    *     probe's 4M-edge/diameter-64 point (52.8 s vs 272.8 s) and
+    *     2.7x slower at diameter 4 (docs/SCALING.md round 15).
     *
     * Either way the (typically expensive — LSH candidate generation +
     * verification) pair pipeline is evaluated exactly once: an eager
@@ -597,6 +599,144 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("lbl"), col("id")).as("canon_id"),
         (coalesce(col("lbl"), col("id")) =!= col("id")).as("is_dup"))
+  }
+
+  /** Connected-components canonicalization by ALTERNATING STAR
+    * CONTRACTION (the large-star/small-star algorithm of Kiveris,
+    * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC 2014) — same output contract and
+    * same unique min-label fixpoint as [[canonicalize]], in O(log n)
+    * ROUNDS instead of O(diameter) iterations.
+    *
+    * Use this for pair graphs whose components can be long and thin —
+    * transitive entity-resolution chains, citation/link graphs —
+    * where min-label propagation pays one full-edge-set pass per HOP
+    * (measured ∝ diameter on CcProbe's chain axis). Near-dup document
+    * graphs are near-cliques (diameter ≤ ~3), so [[canonicalize]]'s
+    * strategies stay the right default there: a star round costs ~2
+    * shuffles + a distinct against propagation's 1 join + 1 aggregate,
+    * and at diameter ≤ 3 round count cannot be beaten.
+    *
+    * Each round applies two per-node rewirings, both expressed as ONE
+    * groupBy-min plus ONE join on the edge list — no per-node neighbor
+    * lists are ever materialized (a `collect_list` would concentrate a
+    * popular node's whole neighborhood in one task; the min-join form
+    * is skew-immune for the same reason the de-skewed dedup elections
+    * are):
+    *   - '''large-star''': every node u links each STRICTLY LARGER
+    *     neighbor v to m(u) = min(N(u) ∪ {u}) — larger nodes hop
+    *     toward their component's minimum;
+    *   - '''small-star''': every node u links each neighbor v ≤ u (and
+    *     itself) to the minimum among them — local stars flatten.
+    * Both preserve connectivity and only ever decrease the edge set's
+    * (node, neighbor-min) potential; the fixpoint is a star forest
+    * whose centers are exactly the component minima (paper, Thm 1-3).
+    * Convergence is detected by an (edge-count, xxhash64-sum) signature
+    * — one tiny aggregate per round, the same shape as propagation's
+    * label-sum — and CONFIRMED exactly at the detected fixpoint by one
+    * final large-star pass compared via `exceptAll` (so a 2^-64 hash
+    * collision cannot silently mislabel; the exact check runs once).
+    *
+    * Rounds are plan-truncated and promptly released through the same
+    * [[residentLevel]] machinery as propagation (the probe-measured
+    * cure for the exponential-plan OOM class).
+    */
+  def canonicalizeStar(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    require(Seq("long", "int", "bigint", "integer", "smallint", "short")
+      .contains(df.schema(idCol).dataType.typeName),
+      s"canonicalizeStar needs an integral id column; ${df.schema(idCol).dataType.sql} " +
+        "ids would cast to null and silently collapse the corpus")
+    val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
+    val undirected = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val lbl = starLabels(undirected, maxRounds)
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lbl"), col("id")).as("canon_id"),
+        (coalesce(col("lbl"), col("id")) =!= col("id")).as("is_dup"))
+  }
+
+  /** Alternating large-star/small-star rounds to the star-forest
+    * fixpoint (see [[canonicalizeStar]]); returns a resident (id, lbl)
+    * frame over edge-touched nodes.
+    */
+  private def starLabels(undirected: DataFrame, maxRounds: Int): DataFrame = {
+    // canonical undirected edge form: (a, b) with a < b, deduped —
+    // self-loops (a node already wired to its minimum emits (m, m)-shaped
+    // links from small-star) drop out here
+    def norm(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    // large-star: m(u) over the FULL neighborhood (both directions),
+    // each strictly larger neighbor re-linked to it
+    def largeStar(edges: DataFrame): DataFrame = {
+      val directed = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = directed.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      directed.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+    }
+    // small-star: neighbors v < u only (direct each edge from its larger
+    // endpoint), all of them plus u itself re-linked to their minimum
+    def smallStar(edges: DataFrame): DataFrame = {
+      val directed = edges.select(col("b").as("u"), col("a").as("v")) // v < u
+      val mins = directed.groupBy("u").agg(min("v").as("m"))
+      directed.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+    }
+    def round(edges: DataFrame): DataFrame =
+      norm(smallStar(norm(largeStar(edges))))
+    // (count, order-independent hash sum): equal signatures across a
+    // round mean an unchanged edge set with ~2^-64 error — cheap enough
+    // to run every round; the exact exceptAll confirmation runs once.
+    // The sum runs in decimal(38,0): full-range xxhash64 values overflow
+    // a long sum under ANSI mode (same shape as propagation's labelSum)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var (edges, freeEdges) = residentLevel(norm(
+      undirected.select(col("src"), col("dst"))), truncate = false)
+    var prev = signature(edges)
+    var it = 0
+    var done = false
+    // star rounds truncate every 2 levels, not [[truncateLevels]]: one
+    // round's plan references its input edge set ~12 times (directed
+    // view twice per star op, each joined against a min-aggregate of
+    // itself, twice per round), so the per-round tree fan-out is ~12x
+    // against propagation's 2x — untruncated, 7 rounds already built a
+    // ~12^7-node plan string and OOM'd the 22-chain spec
+    while (!done && it < maxRounds) {
+      val (next, freeNext) = residentLevel(
+        round(edges), truncate = (it + 1) % 2 == 0)
+      val cur = signature(next) // fully materializes `next`
+      if (cur == prev) {
+        // exact fixpoint confirmation: one more large-star must change
+        // nothing (star forests are invariant under BOTH star ops)
+        done = norm(largeStar(next)).exceptAll(next).isEmpty
+        require(done, "edge-set hash signature converged on a non-fixpoint " +
+          "(hash collision): raise maxRounds or report — this is a 2^-64 event")
+      }
+      freeEdges()
+      edges = next
+      freeEdges = freeNext
+      prev = cur
+      it += 1
+    }
+    require(done,
+      s"star contraction did not converge within $maxRounds rounds")
+    // fixpoint edge set is a star forest (a = component min, b = member):
+    // members label to their center, centers to themselves (via the
+    // caller's coalesce); groupBy-min rather than a bare projection so a
+    // hypothetical non-star residue could still only tighten labels
+    edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
   }
 
   /** Driver-side union-find over a collected edge list: (id, lbl) for
@@ -651,47 +791,7 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
     }
-    // the checkpoint blocks behind a truncated level, for prompt release
-    def blocks(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      d.queryExecution.analyzed.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd }
-    // Level residency, measured on CcProbe's axes (docs/SCALING.md round
-    // 15) — each level is made resident one of two ways, both of which
-    // release the PREVIOUS level as soon as the new one is material (the
-    // earlier retain-until-exit persisted every level of a deep
-    // propagation at once):
-    //   - persist(): columnar, compact, partitioning-aware — the common
-    //     case. But caching does not truncate the plan TREE: level k's
-    //     analyzed plan embeds its two references to level k-1's, so
-    //     tree size (and the plan string AQE renders per job) grows ~2^k
-    //     — the driver OOM'd at ~17 levels on the probe's chain axis,
-    //     a shape near-dup graphs (diameter <= ~3) never reach but a
-    //     correct operator must survive.
-    //   - localCheckpoint(true) every [[truncateLevels]]-th level:
-    //     flattens the plan to a LogicalRDD, so tree size is bounded by
-    //     2^truncateLevels copies of a flat segment base, constant in
-    //     the iteration count. Checkpointing EVERY level instead was
-    //     measured strictly worse on both big-graph axes: the
-    //     row-object block store is ~3x fatter than the columnar cache
-    //     (executor OOM at 30M edges where persist() ran in 26 s) and
-    //     the LogicalRDD's lost hash partitioning re-shuffles the label
-    //     frame every iteration (10M-edge star: 24.1 s vs 12.1).
-    // Both block stores are MEMORY_AND_DISK, so "released level while a
-    // survivor's partition was evicted" cannot strand a recompute: blocks
-    // spill, they are never silently dropped.
-    val truncateLevels = 8
-    def resident(df: DataFrame, truncate: Boolean): (DataFrame, () => Unit) =
-      if (truncate) {
-        val c = df.localCheckpoint(true) // eager: blocks exist on return
-        (c, () => blocks(c).foreach(_.unpersist(false)))
-      } else {
-        val p = df.persist() // lazy: labelSum below materializes it
-        (p, () => { p.unpersist(); () })
-      }
-    // propagate only over edge-touched nodes: the label frame scales with
-    // the DUP population (tiny next to the corpus), and the untouched
-    // majority joins back in once at the end as its own canonical id
-    var (lbl, freeLbl) = resident(
+    var (lbl, freeLbl) = residentLevel(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")), truncate = false)
     // labels only decrease; decimal sum avoids overflow on wide id spaces
@@ -703,8 +803,8 @@ object Dedup {
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val (next, freeNext) =
-        resident(propagate(lbl), truncate = (it + 1) % truncateLevels == 0)
+      val (next, freeNext) = residentLevel(
+        propagate(lbl), truncate = (it + 1) % truncateLevels == 0)
       val cur = labelSum(next) // fully materializes `next`
       freeLbl() // level k-1's blocks are no longer referenced
       lbl = next
@@ -718,6 +818,55 @@ object Dedup {
       s"connected components did not converge within $maxIter iterations")
     lbl
   }
+
+  /** Iterations between plan-truncating checkpoints in the iterative
+    * component algorithms (see [[residentLevel]]).
+    */
+  private val truncateLevels = 8
+
+  /** The checkpoint blocks behind a truncated level, for prompt release. */
+  private def checkpointBlocks(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    d.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd }
+
+  /** Level residency for the iterative component algorithms
+    * ([[propagatedLabels]], [[starLabels]]), measured on CcProbe's axes
+    * (docs/SCALING.md round 15) — each level is made resident one of two
+    * ways, and the returned thunk releases it; callers free level k−1 as
+    * soon as level k is material (the earlier retain-until-exit shape
+    * persisted every level of a deep propagation at once):
+    *   - persist(): columnar, compact, partitioning-aware — the common
+    *     case. But caching does not truncate the plan TREE: level k's
+    *     analyzed plan embeds its (multiple) references to level k−1's,
+    *     so tree size (and the plan string AQE renders per job) grows
+    *     exponentially in the iteration count — the driver OOM'd at ~17
+    *     levels on the probe's chain axis, a shape near-dup graphs
+    *     (diameter ≤ ~3) never reach but a correct operator must survive.
+    *   - localCheckpoint(true) every [[truncateLevels]]-th level:
+    *     flattens the plan to a LogicalRDD, so tree size is bounded by
+    *     ~2^truncateLevels copies of a flat segment base, constant in
+    *     the iteration count. Checkpointing EVERY level instead was
+    *     measured strictly worse on both big-graph axes: the row-object
+    *     block store is ~3x fatter than the columnar cache (executor OOM
+    *     at 30M edges where persist() ran in 26 s) and the LogicalRDD's
+    *     lost hash partitioning re-shuffles the label frame every
+    *     iteration (10M-edge star: 24.1 s vs 12.1).
+    * Both block stores are MEMORY_AND_DISK, so "released level while a
+    * survivor's partition was evicted" cannot strand a recompute: blocks
+    * spill, they are never silently dropped. The persist() branch is
+    * LAZY — the caller must run an action that scans the level in full
+    * (the convergence aggregate, in both algorithms) before releasing
+    * its predecessor.
+    */
+  private def residentLevel(df: DataFrame,
+      truncate: Boolean): (DataFrame, () => Unit) =
+    if (truncate) {
+      val c = df.localCheckpoint(true) // eager: blocks exist on return
+      (c, () => checkpointBlocks(c).foreach(_.unpersist(false)))
+    } else {
+      val p = df.persist()
+      (p, () => { p.unpersist(); () })
+    }
 
   /** Default hot-band width: band buckets wider than this get salted.
     * Per-task join work for a salted bucket of width n is bounded by

@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *     `SPARK_GRAFT_CC_LOCAL_EDGES` (default 1M,3M,10M) — data for
   *     where the `localEdgeLimit` default belongs.
   *
+  * The edge and diameter axes run BOTH iterative strategies — min-label
+  * propagation ("dist") and alternating large-star/small-star
+  * contraction ("star", [[graft.operators.Dedup.canonicalizeStar]]) —
+  * so the O(diameter)-vs-O(log n) trade is priced on the same graphs.
+  * `SPARK_GRAFT_CC_AXES` (comma list of edge_dist, edge_star,
+  * chain_dist, chain_star, edge_local) re-probes one section without
+  * re-running the rest.
+  *
   * Output: one JSON line on stdout; committed analysis in
   * docs/SCALING.md. A measurement tool, not part of any pipeline or
   * bench artifact.
@@ -111,15 +119,27 @@ object CcProbe {
     def timeIt(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // the strategy under test: "local"/"dist" force canonicalize's two
+    // branches via the edge budget; "star" is the alternating
+    // large-star/small-star contraction
+    def canon(nodes: DataFrame, pairs: DataFrame, mode: String,
+        maxIter: Int): DataFrame = mode match {
+      case "local" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
+        pairs, maxIter = maxIter, localEdgeLimit = Long.MaxValue)
+      case "dist" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
+        pairs, maxIter = maxIter, localEdgeLimit = 0L)
+      case "star" => graft.operators.Dedup.canonicalizeStar(nodes, "doc_id",
+        pairs, maxRounds = 50)
+      case other => sys.error(s"unknown cc mode $other")
+    }
     // one timed canonicalize run: read parquet -> canonicalize -> noop
     // sink; caches and checkpoint blocks dropped after (canonicalize
     // localCheckpoints the edge list; Bench's hygiene pattern)
-    def run(dir: String, localLimit: Long, maxIter: Int): Unit =
+    def run(dir: String, mode: String, maxIter: Int): Unit =
       try {
         val nodes = spark.read.parquet(s"$dir/nodes.parquet")
         val pairs = spark.read.parquet(s"$dir/edges.parquet")
-        graft.operators.Dedup.canonicalize(nodes, "doc_id", pairs,
-          maxIter = maxIter, localEdgeLimit = localLimit)
+        canon(nodes, pairs, mode, maxIter)
           .write.format("noop").mode("overwrite").save()
       } finally {
         spark.sharedState.cacheManager.clearCache()
@@ -130,19 +150,18 @@ object CcProbe {
     // A WRONG label fails the probe; a point that cannot COMPLETE (e.g.
     // the union-find label map outgrowing what a broadcast can carry) is
     // itself a datum — recorded as sec:-1, never silently skipped.
-    def check(dir: String, localLimit: Long, maxIter: Int, expected: String): Boolean =
+    def check(dir: String, mode: String, maxIter: Int, expected: String): Boolean =
       try {
         val nodes = spark.read.parquet(s"$dir/nodes.parquet")
         val pairs = spark.read.parquet(s"$dir/edges.parquet")
-        val bad = graft.operators.Dedup.canonicalize(nodes, "doc_id", pairs,
-          maxIter = maxIter, localEdgeLimit = localLimit)
+        val bad = canon(nodes, pairs, mode, maxIter)
           .filter(col("canon_id") =!= expr(expected)).count()
-        require(bad == 0L, s"$dir: $bad labels disagree with closed form")
+        require(bad == 0L, s"$dir ($mode): $bad labels disagree with closed form")
         true
       } catch {
         case e: IllegalArgumentException => throw e // wrong labels: fatal
         case e: Throwable =>
-          System.err.println(s"[cc] $dir (limit=$localLimit) CANNOT RUN: " +
+          System.err.println(s"[cc] $dir ($mode) CANNOT RUN: " +
             e.toString.linesIterator.next()); false
       } finally {
         spark.sharedState.cacheManager.clearCache()
@@ -150,12 +169,12 @@ object CcProbe {
           .foreach(_.unpersist(blocking = false))
       }
     // (sec, shuffleMb, spillMb, peakTaskMemMb) of the min-time rep
-    def minOfReps(dir: String, localLimit: Long, maxIter: Int): (Double, Double, Double, Double) = {
+    def minOfReps(dir: String, mode: String, maxIter: Int): (Double, Double, Double, Double) = {
       val ts = (1 to reps).map { _ =>
         metrics.reset()
-        val t = try timeIt(run(dir, localLimit, maxIter))
+        val t = try timeIt(run(dir, mode, maxIter))
                 catch { case e: Throwable =>
-                  System.err.println(s"[cc] $dir FAILED: $e"); -1.0 }
+                  System.err.println(s"[cc] $dir ($mode) FAILED: $e"); -1.0 }
         org.apache.spark.graftbench.ListenerDrain.drain(spark.sparkContext, 5000)
         val (sh, sp, pk) = metrics.snapMb()
         settle(); (t, sh, sp, pk)
@@ -163,41 +182,56 @@ object CcProbe {
       val ok = ts.filter(_._1 >= 0)
       if (ok.isEmpty) (-1.0, -1.0, -1.0, -1.0) else ok.minBy(_._1)
     }
-    def fmt(tag: String, m: (Double, Double, Double, Double)): String = {
+    def fmt(tag: String, label: String,
+        m: (Double, Double, Double, Double)): String = {
       System.err.println(
-        f"[cc] $tag -> ${m._1}%7.2fs  shuffle=${m._2}%8.1fMB spill=${m._3}%7.1fMB peakTask=${m._4}%6.1fMB")
+        f"[cc] $label -> ${m._1}%7.2fs  shuffle=${m._2}%8.1fMB spill=${m._3}%7.1fMB peakTask=${m._4}%6.1fMB")
       f""""$tag":{"sec":${m._1}%.3f,"shuffle_mb":${m._2}%.1f,"spill_mb":${m._3}%.1f,"peak_task_mem_mb":${m._4}%.1f}"""
     }
 
-    // warmup (not timed): smallest star graph through both strategies
+    // axis selection (SPARK_GRAFT_CC_AXES, comma list) so a single
+    // strategy can be re-probed without re-running the others
+    val axes = sys.env.getOrElse("SPARK_GRAFT_CC_AXES",
+      "edge_dist,edge_star,chain_dist,chain_star,edge_local")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet
+
+    // warmup (not timed): smallest star graph through every strategy
     val warm = ensure("star_100k", starNodes(spark, 100000), starEdges(spark, 100000))
-    run(warm, 0L, 25); run(warm, Long.MaxValue, 25); settle()
+    Seq("dist", "local", "star").foreach(m => run(warm, m, 25)); settle()
 
-    def axisPoint(tag: String, dir: String, limit: Long, maxIter: Int,
-        expected: String): String =
-      if (check(dir, limit, maxIter, expected))
-        fmt(tag, minOfReps(dir, limit, maxIter))
-      else fmt(tag, (-1.0, -1.0, -1.0, -1.0))
+    def axisPoint(tag: String, dir: String, mode: String, maxIter: Int,
+        expected: String): String = {
+      val m = if (check(dir, mode, maxIter, expected))
+        minOfReps(dir, mode, maxIter) else (-1.0, -1.0, -1.0, -1.0)
+      fmt(tag, s"$tag $mode", m)
+    }
 
-    val edgeJson = edgeAxis.map { e =>
+    def edgeAxisJson(mode: String): String = edgeAxis.map { e =>
       val dir = ensure(s"star_$e", starNodes(spark, e), starEdges(spark, e))
-      axisPoint(e.toString, dir, 0L, 25, starExpected)
+      axisPoint(e.toString, dir, mode, 25, starExpected)
     }.mkString("{", ",", "}")
 
-    val chainJson = chainLens.map { len =>
+    def chainAxisJson(mode: String): String = chainLens.map { len =>
       val dir = ensure(s"chain_${len}_$chainE",
         chainNodes(spark, chainE, len), chainEdges(spark, chainE, len))
-      axisPoint(len.toString, dir, 0L, 2 * len + 8, chainExpected(len))
+      axisPoint(len.toString, dir, mode, 2 * len + 8, chainExpected(len))
     }.mkString("{", ",", "}")
 
-    val localJson = localAxis.map { e =>
+    def localAxisJson: String = localAxis.map { e =>
       val dir = ensure(s"star_$e", starNodes(spark, e), starEdges(spark, e))
-      axisPoint(e.toString, dir, Long.MaxValue, 25, starExpected)
+      axisPoint(e.toString, dir, "local", 25, starExpected)
     }.mkString("{", ",", "}")
+
+    val sections = Seq(
+      "edge_dist" -> (() => s""""edge_axis_dist":${edgeAxisJson("dist")}"""),
+      "edge_star" -> (() => s""""edge_axis_star":${edgeAxisJson("star")}"""),
+      "chain_dist" -> (() => s""""chain_axis_dist_e$chainE":${chainAxisJson("dist")}"""),
+      "chain_star" -> (() => s""""chain_axis_star_e$chainE":${chainAxisJson("star")}"""),
+      "edge_local" -> (() => s""""edge_axis_local":$localAxisJson"""))
+      .collect { case (k, f) if axes(k) => f() }
 
     println(s"""{"metric":"cc_probe","reps":$reps,"parts":$parts,""" +
-      s""""edge_axis_dist":$edgeJson,"chain_axis_dist_e$chainE":$chainJson,""" +
-      s""""edge_axis_local":$localJson}""")
+      sections.mkString(",") + "}")
     spark.stop()
   }
 }

@@ -267,6 +267,11 @@ class PropertySpec extends SparkSpec {
         .canonicalize(ids, "doc_id", pairs, localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaLoop == out)
+      // ... and the alternating star contraction agrees with both
+      val viaStar = graft.operators.Dedup
+        .canonicalizeStar(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == out)
       // idempotence: feeding the canonical mapping back as pairs changes nothing
       val again = graft.operators.Dedup.canonicalize(ids, "doc_id",
           (ids.sparkSession.createDataFrame(
@@ -294,6 +299,14 @@ class PropertySpec extends SparkSpec {
     assert(out.length == len + 1)
     out.foreach { case (id, canon, isDup) =>
       assert(canon == 0L && isDup == (id != 0L), s"id=$id")
+    }
+    // the star contraction closes the same chain in O(log n) rounds
+    val star = graft.operators.Dedup
+      .canonicalizeStar(ids, "doc_id", pairs, maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(star.length == len + 1)
+    star.foreach { case (id, canon, isDup) =>
+      assert(canon == 0L && isDup == (id != 0L), s"star id=$id")
     }
   }
 

@@ -52,30 +52,30 @@ object CcProbe {
   /** Star components: for group g the hub is 5g and leaves 5g+1..5g+4 —
     * 4 edges per group, all labels collapse to the hub (= id - id%5).
     */
-  private def starEdges(spark: SparkSession, edges: Long): DataFrame =
+  private[tools] def starEdges(spark: SparkSession, edges: Long): DataFrame =
     spark.range(edges)
       .select(((col("id") / 4).cast("long") * 5L).as("a"),
         ((col("id") / 4).cast("long") * 5L + pmod(col("id"), lit(4)) + 1L).as("b"))
 
-  private def starNodes(spark: SparkSession, edges: Long): DataFrame =
+  private[tools] def starNodes(spark: SparkSession, edges: Long): DataFrame =
     spark.range(edges / 4 * 5).select(col("id").as("doc_id"))
 
-  private val starExpected = "doc_id - pmod(doc_id, 5)"
+  private[tools] val starExpected = "doc_id - pmod(doc_id, 5)"
 
   /** Chain components of length L (L edges, L+1 nodes): chain c covers
     * ids (L+1)c .. (L+1)c+L with edges (n, n+1); the min label is the
     * chain head (= id - id%(L+1)) and sits a full L hops from the tail,
     * so propagation needs L passes + 1 to detect the fixpoint.
     */
-  private def chainEdges(spark: SparkSession, edges: Long, len: Int): DataFrame =
+  private[tools] def chainEdges(spark: SparkSession, edges: Long, len: Int): DataFrame =
     spark.range(edges)
       .select(((col("id") / len).cast("long") * (len + 1) + pmod(col("id"), lit(len))).as("a"))
       .withColumn("b", col("a") + 1L)
 
-  private def chainNodes(spark: SparkSession, edges: Long, len: Int): DataFrame =
+  private[tools] def chainNodes(spark: SparkSession, edges: Long, len: Int): DataFrame =
     spark.range(edges / len * (len + 1)).select(col("id").as("doc_id"))
 
-  private def chainExpected(len: Int) = s"doc_id - pmod(doc_id, ${len + 1})"
+  private[tools] def chainExpected(len: Int) = s"doc_id - pmod(doc_id, ${len + 1})"
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

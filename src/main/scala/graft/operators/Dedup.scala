@@ -563,14 +563,18 @@ object Dedup {
     *     Convergence is detected by the label-sum fixpoint (labels only
     *     ever decrease, so an unchanged sum means an unchanged
     *     labeling), one tiny aggregate action per iteration. Measured
-    *     to 30M edges and to diameter 64 (CcProbe: time ∝ E at fixed
+    *     to 100M edges and to diameter 64 (CcProbe: time ∝ E at fixed
     *     diameter, ∝ diameter at fixed E). Near-dup graphs never
     *     approach the high-diameter regime; a pair graph that does
     *     (transitive entity-resolution chains, link graphs) should use
     *     [[canonicalizeStar]] — the O(log n)-round alternating star
     *     contraction, same fixpoint, measured 5.2x faster at the
     *     probe's 4M-edge/diameter-64 point (52.8 s vs 272.8 s) and
-    *     2.7x slower at diameter 4 (docs/SCALING.md round 15).
+    *     2.7x slower at diameter 4 (docs/SCALING.md round 15). A
+    *     component whose diameter exceeds `maxIter` anyway does not
+    *     fail the job: propagation falls back to the star contraction
+    *     (same fixpoint; loud stderr note), so `maxIter` bounds the
+    *     propagation budget, never correctness.
     *
     * Either way the (typically expensive — LSH candidate generation +
     * verification) pair pipeline is evaluated exactly once: an eager
@@ -814,9 +818,22 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    require(done,
-      s"connected components did not converge within $maxIter iterations")
-    lbl
+    if (!done) {
+      // A diameter past maxIter is a GRAPH-SHAPE surprise, not a reason
+      // to kill a 100 TB pipeline: fall back to the O(log n)-round star
+      // contraction, which computes the identical fixpoint with a round
+      // budget that no realistic diameter exhausts (PropertySpec pins
+      // the switch on a chain longer than its maxIter). The partial
+      // propagation work is discarded — labels cannot seed the star
+      // rounds, whose state is an edge set — and the switch is loud on
+      // stderr because hitting it usually means the caller's pair graph
+      // is chain-shaped and should use canonicalizeStar directly.
+      freeLbl()
+      System.err.println(s"[graft] min-label propagation did not converge " +
+        s"within $maxIter iterations (component diameter exceeds it); " +
+        "falling back to large-star/small-star contraction")
+      starLabels(undirected, maxRounds = 50)
+    } else lbl
   }
 
   /** Iterations between plan-truncating checkpoints in the iterative

@@ -308,6 +308,16 @@ class PropertySpec extends SparkSpec {
     star.foreach { case (id, canon, isDup) =>
       assert(canon == 0L && isDup == (id != 0L), s"star id=$id")
     }
+    // a maxIter SMALLER than the diameter no longer fails the job:
+    // propagation detects exhaustion and falls back to the star
+    // contraction, returning the same fixpoint
+    val fellBack = graft.operators.Dedup
+      .canonicalize(ids, "doc_id", pairs, maxIter = 5, localEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fellBack.length == len + 1)
+    fellBack.foreach { case (id, canon, isDup) =>
+      assert(canon == 0L && isDup == (id != 0L), s"fallback id=$id")
+    }
   }
 
   test("hash sampling: monotone in fraction, exact on boundaries") {

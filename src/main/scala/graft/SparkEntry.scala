@@ -1053,10 +1053,14 @@ object SparkEntry {
     // small-star) on the same pair graph — the high-diameter-graph
     // strategy, graded on the same fixpoint oracle; its scale/diameter
     // price lives on CcProbe's axes next to the propagation loop's.
+    // localEdgeLimit = 0 FORCES the distributed star rounds (the way d6b
+    // forces propagation): the operator's size gate would otherwise
+    // route this few-hundred-edge sf pair graph to the driver union-find
+    // and the graded entry would stop exercising the star branch.
     "d6c_dedup_clusters_star" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
-      Dedup.canonicalizeStar(docs, "doc_id", pairs)
+      Dedup.canonicalizeStar(docs, "doc_id", pairs, localEdgeLimit = 0L)
     }),
 
     // C4-style corpus-wide duplicate-segment removal: non-overlapping

@@ -621,6 +621,17 @@ object Dedup {
     * shuffles + a distinct against propagation's 1 join + 1 aggregate,
     * and at diameter ≤ 3 round count cannot be beaten.
     *
+    * The same SIZE-THEN-STRATEGY gate as [[canonicalize]] applies first:
+    * an edge set at or under `localEdgeLimit` (default 500k, pinned by
+    * the same CcProbe crossover axis) routes to the driver union-find —
+    * diameter is irrelevant to a union-find, so a caller told "use star
+    * for high-diameter graphs" no longer pays ~4 alternating rounds × 2
+    * shuffles + the exact fixpoint confirmation (~6 s of fixed overhead
+    * at sf0.1) on a few-hundred-edge graph a union-find closes in
+    * milliseconds. Pass `localEdgeLimit = 0L` to force the distributed
+    * star rounds (the graded d6c entry and CcProbe's star axes do, the
+    * way d6b forces propagation).
+    *
     * Each round applies two per-node rewirings, both expressed as ONE
     * groupBy-min plus ONE join on the edge list — no per-node neighbor
     * lists are ever materialized (a `collect_list` would concentrate a
@@ -638,15 +649,17 @@ object Dedup {
     * Convergence is detected by an (edge-count, xxhash64-sum) signature
     * — one tiny aggregate per round, the same shape as propagation's
     * label-sum — and CONFIRMED exactly at the detected fixpoint by one
-    * final large-star pass compared via `exceptAll` (so a 2^-64 hash
-    * collision cannot silently mislabel; the exact check runs once).
+    * final large-star pass compared for SET EQUALITY: count equality
+    * plus an empty `exceptAll` (subset alone would not do — large-star
+    * can strictly shrink a non-star edge set), so a 2^-64 hash
+    * collision cannot silently mislabel; the exact check runs once.
     *
     * Rounds are plan-truncated and promptly released through the same
     * [[residentLevel]] machinery as propagation (the probe-measured
     * cure for the exponential-plan OOM class).
     */
   def canonicalizeStar(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, localEdgeLimit: Long = 500000L): DataFrame = {
     require(Seq("long", "int", "bigint", "integer", "smallint", "short")
       .contains(df.schema(idCol).dataType.typeName),
       s"canonicalizeStar needs an integral id column; ${df.schema(idCol).dataType.sql} " +
@@ -655,7 +668,9 @@ object Dedup {
     val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .localCheckpoint(true)
-    val lbl = starLabels(undirected, maxRounds)
+    val lbl = // count() over checkpointed blocks — no recompute of `pairs`
+      if (undirected.count() <= localEdgeLimit) localLabels(undirected)
+      else starLabels(undirected, maxRounds)
     nodes.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("lbl"), col("id")).as("canon_id"),
@@ -723,8 +738,14 @@ object Dedup {
       val cur = signature(next) // fully materializes `next`
       if (cur == prev) {
         // exact fixpoint confirmation: one more large-star must change
-        // nothing (star forests are invariant under BOTH star ops)
-        done = norm(largeStar(next)).exceptAll(next).isEmpty
+        // nothing (star forests are invariant under BOTH star ops).
+        // exceptAll alone only proves largeStar(next) ⊆ next — large-star
+        // can strictly SHRINK a non-star edge set (a triangle {(1,2),
+        // (1,3),(2,3)} maps to {(1,2),(1,3)}), so set EQUALITY needs the
+        // count too: |largeStar(next)| = |next| (= cur._1, already known
+        // from the signature) plus one-directional emptiness
+        val confirm = norm(largeStar(next))
+        done = confirm.count() == cur._1 && confirm.exceptAll(next).isEmpty
         require(done, "edge-set hash signature converged on a non-fixpoint " +
           "(hash collision): raise maxRounds or report — this is a 2^-64 event")
       }

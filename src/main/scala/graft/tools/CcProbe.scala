@@ -52,10 +52,16 @@ object CcProbe {
   /** Star components: for group g the hub is 5g and leaves 5g+1..5g+4 —
     * 4 edges per group, all labels collapse to the hub (= id - id%5).
     */
-  private[tools] def starEdges(spark: SparkSession, edges: Long): DataFrame =
+  private[tools] def starEdges(spark: SparkSession, edges: Long): DataFrame = {
+    // a trailing partial group would put its hub/members outside
+    // starNodes' range: the probe would silently measure a slightly
+    // different graph while the node-restricted closed-form check still
+    // passed — a bad env override must fail loudly instead
+    require(edges % 4 == 0, s"star edge count must be divisible by 4, got $edges")
     spark.range(edges)
       .select(((col("id") / 4).cast("long") * 5L).as("a"),
         ((col("id") / 4).cast("long") * 5L + pmod(col("id"), lit(4)) + 1L).as("b"))
+  }
 
   private[tools] def starNodes(spark: SparkSession, edges: Long): DataFrame =
     spark.range(edges / 4 * 5).select(col("id").as("doc_id"))
@@ -67,10 +73,15 @@ object CcProbe {
     * chain head (= id - id%(L+1)) and sits a full L hops from the tail,
     * so propagation needs L passes + 1 to detect the fixpoint.
     */
-  private[tools] def chainEdges(spark: SparkSession, edges: Long, len: Int): DataFrame =
+  private[tools] def chainEdges(spark: SparkSession, edges: Long, len: Int): DataFrame = {
+    // same loud-failure contract as starEdges: a trailing partial chain
+    // would fall outside chainNodes' range and skew the axis silently
+    require(edges % len == 0,
+      s"chain edge count must be divisible by chain length $len, got $edges")
     spark.range(edges)
       .select(((col("id") / len).cast("long") * (len + 1) + pmod(col("id"), lit(len))).as("a"))
       .withColumn("b", col("a") + 1L)
+  }
 
   private[tools] def chainNodes(spark: SparkSession, edges: Long, len: Int): DataFrame =
     spark.range(edges / len * (len + 1)).select(col("id").as("doc_id"))
@@ -129,7 +140,7 @@ object CcProbe {
       case "dist" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
         pairs, maxIter = maxIter, localEdgeLimit = 0L)
       case "star" => graft.operators.Dedup.canonicalizeStar(nodes, "doc_id",
-        pairs, maxRounds = 50)
+        pairs, maxRounds = 50, localEdgeLimit = 0L)
       case other => sys.error(s"unknown cc mode $other")
     }
     // one timed canonicalize run: read parquet -> canonicalize -> noop
@@ -149,17 +160,23 @@ object CcProbe {
     // verify (untimed): labels must equal the closed-form component min.
     // A WRONG label fails the probe; a point that cannot COMPLETE (e.g.
     // the union-find label map outgrowing what a broadcast can carry) is
-    // itself a datum — recorded as sec:-1, never silently skipped.
+    // itself a datum — recorded as sec:-1, never silently skipped. The
+    // wrong-label case gets its own exception type: Dedup's require()
+    // guards (star non-convergence within maxRounds, id-type validation)
+    // also throw IllegalArgumentException, and matching on the class
+    // would abort the whole probe on a legitimate cannot-complete point
+    final class LabelMismatch(msg: String) extends RuntimeException(msg)
     def check(dir: String, mode: String, maxIter: Int, expected: String): Boolean =
       try {
         val nodes = spark.read.parquet(s"$dir/nodes.parquet")
         val pairs = spark.read.parquet(s"$dir/edges.parquet")
         val bad = canon(nodes, pairs, mode, maxIter)
           .filter(col("canon_id") =!= expr(expected)).count()
-        require(bad == 0L, s"$dir ($mode): $bad labels disagree with closed form")
+        if (bad != 0L)
+          throw new LabelMismatch(s"$dir ($mode): $bad labels disagree with closed form")
         true
       } catch {
-        case e: IllegalArgumentException => throw e // wrong labels: fatal
+        case e: LabelMismatch => throw e // wrong labels: fatal
         case e: Throwable =>
           System.err.println(s"[cc] $dir ($mode) CANNOT RUN: " +
             e.toString.linesIterator.next()); false

@@ -268,10 +268,19 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaLoop == out)
       // ... and the alternating star contraction agrees with both
+      // (localEdgeLimit = 0 forces the distributed star rounds — the
+      // default gate would route this tiny graph to the union-find)
       val viaStar = graft.operators.Dedup
-        .canonicalizeStar(ids, "doc_id", pairs)
+        .canonicalizeStar(ids, "doc_id", pairs, localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaStar == out)
+      // ... and canonicalizeStar's DEFAULT size gate (this graph is far
+      // under 500k edges, so it routes to the driver union-find) returns
+      // the same fixpoint as its forced-star branch
+      val viaStarGated = graft.operators.Dedup
+        .canonicalizeStar(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStarGated == viaStar)
       // idempotence: feeding the canonical mapping back as pairs changes nothing
       val again = graft.operators.Dedup.canonicalize(ids, "doc_id",
           (ids.sparkSession.createDataFrame(
@@ -301,8 +310,10 @@ class PropertySpec extends SparkSpec {
       assert(canon == 0L && isDup == (id != 0L), s"id=$id")
     }
     // the star contraction closes the same chain in O(log n) rounds
+    // (forced past the size gate — a 22-edge chain would otherwise
+    // union-find on the driver and pin nothing about star rounds)
     val star = graft.operators.Dedup
-      .canonicalizeStar(ids, "doc_id", pairs, maxRounds = 10)
+      .canonicalizeStar(ids, "doc_id", pairs, maxRounds = 10, localEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(star.length == len + 1)
     star.foreach { case (id, canon, isDup) =>

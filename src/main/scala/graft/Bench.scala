@@ -1238,9 +1238,10 @@ object Bench {
 
   /** Pinned ISOLATED bands at sf0.1 — [lo, hi] seconds each entry reads
     * when measured alone on this host class (sources: j13d post-codegen
-    * isolated runs this round; j13b/j13f isolated min-of-2 runs, round
-    * 15; hi ≈ 2.5× the isolated steady state to absorb host scatter
-    * without absorbing a JVM-state collapse). The sweep's BAND GATE
+    * isolated runs, round 15; j13b/j13f isolated min-of-2 runs, round
+    * 15; d9 isolated REPS=3, round 16; hi ≈ 2–2.5× the isolated steady
+    * state to absorb host scatter without absorbing a JVM-state
+    * collapse). The sweep's BAND GATE
     * (see [[sf01BandExceeded]] and the main loop): an entry whose
     * in-sweep min exceeds its band hi is re-run in a FRESH CHILD JVM
     * and reported from there, because a long-lived sweep JVM's
@@ -1255,7 +1256,16 @@ object Bench {
   private[graft] val sf01IsolatedBands: Map[String, (Double, Double)] = Map(
     "j13d_range_join_sweep" -> (2.5, 10.0),
     "j13b_range_join_topk" -> (1.5, 8.0),
-    "j13f_range_join_topk_shuffled" -> (1.5, 9.0))
+    "j13f_range_join_topk_shuffled" -> (1.5, 9.0),
+    // d9 is not the JIT class (per-document interpreted work only —
+    // docs/SCALING.md round-16 audit) but it is the sweep's most
+    // fixed-overhead-heavy dedup entry (three localCheckpoint
+    // materializations + two LSH probes) and its in-sweep history
+    // spans 2.0–4.8 s at identical task metrics; isolated REPS=3
+    // (round 16): 2.36–3.04 s. hi=4.5 makes a repeat of r15's 4.82 s
+    // self-adjudicate via the fresh-JVM re-run instead of a verdict
+    // archaeology item.
+    "d9_incremental_neardup" -> (2.0, 4.5))
 
   /** True iff `sec` (an in-sweep min) exceeds `name`'s pinned isolated
     * band — the gate that triggers the fresh-JVM re-run. Failed entries

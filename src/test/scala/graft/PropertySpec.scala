@@ -331,6 +331,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeStar's size gate: small graphs take the union-find, same fixpoint") {
+    // a graph that is NOT yet a star forest (a 6-hop chain needs ~3
+    // alternating rounds), far under the 500k default edge budget
+    val ids = (0L to 6L).toDF("doc_id")
+    val pairs = (0L until 6L).map(j => (j, j + 1)).toDF("a", "b")
+    // BRANCH-SELECTION pin: maxRounds = 0 makes the star rounds
+    // impossible ("did not converge within 0 rounds"), so the default
+    // gate succeeding here proves the driver union-find ran
+    val gated = graft.operators.Dedup
+      .canonicalizeStar(ids, "doc_id", pairs, maxRounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gated.length == 7)
+    gated.foreach { case (id, canon, isDup) =>
+      assert(canon == 0L && isDup == (id != 0L), s"gated id=$id")
+    }
+    // ... and the same zero budget with the gate disabled really does
+    // reach the star rounds and exhaust them
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .canonicalizeStar(ids, "doc_id", pairs, maxRounds = 0, localEdgeLimit = 0L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // EQUALITY pin: the gated result matches the forced-star fixpoint
+    val forced = graft.operators.Dedup
+      .canonicalizeStar(ids, "doc_id", pairs, localEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(gated.sortBy(_._1).sameElements(forced.sortBy(_._1)))
+  }
+
   test("hash sampling: monotone in fraction, exact on boundaries") {
     val ids = (0L until 500L).toDF("id")
     assert(graft.operators.Sampling.hashSample(ids, "id", 0.0).count() == 0)

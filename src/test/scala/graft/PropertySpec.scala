@@ -331,6 +331,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CC strategies agree on a lollipop graph (hub skew + long tail in one component)") {
+    // the topology mix the other specs cover only separately: a K12
+    // clique (every star round's min-join sees a hot hub) welded to a
+    // 14-hop tail (propagation needs 14+ passes; star needs ~log rounds)
+    // plus a disjoint 5-cycle as a second component. All strategies must
+    // produce the identical min-label fixpoint: clique+tail collapse to
+    // node 0, the cycle to node 100.
+    val cliqueN = 12
+    val tailLen = 14
+    val clique = for (i <- 0 until cliqueN; j <- (i + 1) until cliqueN)
+      yield (i.toLong, j.toLong)
+    val tail = (0 until tailLen).map(j =>
+      ((cliqueN - 1 + j).toLong, (cliqueN + j).toLong))
+    val cycle = (0 until 5).map(j => (100L + j, 100L + (j + 1) % 5))
+    val pairs = (clique ++ tail ++ cycle).toDF("a", "b")
+    val nodes = ((0L until (cliqueN + tailLen).toLong) ++ (100L to 104L))
+      .toDF("doc_id")
+    def expected(id: Long): Long = if (id >= 100L) 100L else 0L
+    def run(tag: String, out: Array[(Long, Long, Boolean)]): Unit = {
+      assert(out.length == cliqueN + tailLen + 5, tag)
+      out.foreach { case (id, canon, isDup) =>
+        assert(canon == expected(id) && isDup == (id != canon), s"$tag id=$id")
+      }
+    }
+    import graft.operators.Dedup
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    run("union-find", collect(Dedup.canonicalize(nodes, "doc_id", pairs)))
+    run("propagation", collect(Dedup.canonicalize(nodes, "doc_id", pairs,
+      maxIter = tailLen + 5, localEdgeLimit = 0L)))
+    run("star", collect(Dedup.canonicalizeStar(nodes, "doc_id", pairs,
+      localEdgeLimit = 0L)))
+    run("star-gated", collect(Dedup.canonicalizeStar(nodes, "doc_id", pairs)))
+    // exhausted propagation falls back to star on this shape too
+    run("fallback", collect(Dedup.canonicalize(nodes, "doc_id", pairs,
+      maxIter = 3, localEdgeLimit = 0L)))
+  }
+
   test("canonicalizeStar's size gate: small graphs take the union-find, same fixpoint") {
     // a graph that is NOT yet a star forest (a 6-hop chain needs ~3
     // alternating rounds), far under the 500k default edge budget

@@ -46,6 +46,11 @@ import org.apache.spark.sql.functions._
   * Output: one JSON line on stdout; committed analysis in
   * docs/SCALING.md. A measurement tool, not part of any pipeline or
   * bench artifact.
+  *
+  * `SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB]` runs the probe on
+  * real executor JVMs (same executor-env contract as ScaleProbe:
+  * SPARK_GRAFT_EXECUTOR_CLASSPATH absolute, SPARK_GRAFT_EXECUTOR_OPTS
+  * for the JDK17 add-opens, SPARK_GRAFT_EXECUTOR_MEM).
   */
 object CcProbe {
 
@@ -102,14 +107,32 @@ object CcProbe {
     val chainE = sys.env.getOrElse("SPARK_GRAFT_CC_CHAIN_EDGES", "4000000").toLong
     val localAxis = longs("SPARK_GRAFT_CC_LOCAL_EDGES", "1000000,3000000,10000000")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] runs the CC
+    // strategies on REAL executor JVMs (socket exchanges,
+    // executor-resident persist/localCheckpoint blocks, the label-map
+    // broadcast crossing processes) — the same knob and executor-env
+    // contract as ScaleProbe (round 12: executor classpath must be
+    // ABSOLUTE, asserted; pass the JDK17 add-opens via
+    // SPARK_GRAFT_EXECUTOR_OPTS).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
+      require(new java.io.File(cp).isAbsolute,
+        s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
+    }
+    var builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
+      builder = builder.config("spark.executor.extraClassPath", cp))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
+      builder = builder.config("spark.executor.extraJavaOptions", o))
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
+      builder = builder.config("spark.executor.memory", m))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new ScaleProbe.Metrics
     spark.sparkContext.addSparkListener(metrics)

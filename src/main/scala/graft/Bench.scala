@@ -1291,13 +1291,14 @@ object Bench {
     * implementation changes.
     */
   private[graft] val scaleBands10x: Map[String, (Double, Double)] = Map(
-    // lo edges widened round 16: a quiet-disk sweep measured j13b 34.6 s
-    // and j13f 53.8 s at BYTE-IDENTICAL task metrics to r15 (shuffle
-    // 114.4 / 5880.5 MB, spill 12.7 / 12.3 GB) — the fast end of the
-    // disk class had simply never been sampled; hi edges (the gate and
-    // adjudication threshold) unchanged
-    "j13b_range_join_topk" -> (30.0, 175.0),
-    "j13f_range_join_topk_shuffled" -> (50.0, 550.0),
+    // lo edges widened round 16: two independent quiet-disk sweeps
+    // measured j13b 34.6/28.4 s and j13f 53.8/45.5 s at BYTE-IDENTICAL
+    // task metrics to r15 (shuffle 114.4 / 5880.5 MB, spill 12.7 /
+    // 12.3 GB) — the fast end of the disk class had simply never been
+    // sampled, and it REPLICATES; hi edges (the gate and adjudication
+    // threshold) unchanged
+    "j13b_range_join_topk" -> (25.0, 175.0),
+    "j13f_range_join_topk_shuffled" -> (40.0, 550.0),
     "j13d_range_join_sweep" -> (25.0, 80.0))
 
   /** The scale artifact's `bands` field (leading comma; empty when no

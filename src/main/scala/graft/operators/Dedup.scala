@@ -596,8 +596,13 @@ object Dedup {
     val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .localCheckpoint(true)
-    val lbl = // count() over checkpointed blocks — no recompute of `pairs`
-      if (undirected.count() <= localEdgeLimit) localLabels(undirected)
+    // size probe only when the gate can actually select (count() runs
+    // over checkpointed blocks — no recompute of `pairs` — but it is
+    // still a full pass; a forced-distributed caller (localEdgeLimit=0,
+    // the graded d6b entry and CcProbe) should not pay it)
+    val lbl =
+      if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
+        localLabels(undirected)
       else propagatedLabels(undirected, maxIter)
     nodes.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
@@ -668,8 +673,9 @@ object Dedup {
     val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .localCheckpoint(true)
-    val lbl = // count() over checkpointed blocks — no recompute of `pairs`
-      if (undirected.count() <= localEdgeLimit) localLabels(undirected)
+    val lbl = // same skip-the-size-probe-when-forced shape as canonicalize
+      if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
+        localLabels(undirected)
       else starLabels(undirected, maxRounds)
     nodes.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
@@ -743,9 +749,14 @@ object Dedup {
         // can strictly SHRINK a non-star edge set (a triangle {(1,2),
         // (1,3),(2,3)} maps to {(1,2),(1,3)}), so set EQUALITY needs the
         // count too: |largeStar(next)| = |next| (= cur._1, already known
-        // from the signature) plus one-directional emptiness
-        val confirm = norm(largeStar(next))
-        done = confirm.count() == cur._1 && confirm.exceptAll(next).isEmpty
+        // from the signature) plus one-directional emptiness. The frame
+        // feeds two actions, so persist it for the check's duration —
+        // unpersisted it would recompute the union+min-join+distinct per
+        // action (the check runs once per call; this halves its passes)
+        val confirm = norm(largeStar(next)).persist()
+        try done =
+          confirm.count() == cur._1 && confirm.exceptAll(next).isEmpty
+        finally confirm.unpersist()
         require(done, "edge-set hash signature converged on a non-fixpoint " +
           "(hash collision): raise maxRounds or report — this is a 2^-64 event")
       }

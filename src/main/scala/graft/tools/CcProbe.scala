@@ -110,29 +110,15 @@ object CcProbe {
     // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] runs the CC
     // strategies on REAL executor JVMs (socket exchanges,
     // executor-resident persist/localCheckpoint blocks, the label-map
-    // broadcast crossing processes) — the same knob and executor-env
-    // contract as ScaleProbe (round 12: executor classpath must be
-    // ABSOLUTE, asserted; pass the JDK17 add-opens via
-    // SPARK_GRAFT_EXECUTOR_OPTS).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
-      require(new java.io.File(cp).isAbsolute,
-        s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
-    }
-    var builder = SparkSession.builder()
-      .master(master)
+    // broadcast crossing processes) — the shared probe contract lives
+    // in [[ProbeSession.withMasterEnv]].
+    val spark = ProbeSession.withMasterEnv(SparkSession.builder(), cpus)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
-      builder = builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
-      builder = builder.config("spark.executor.extraJavaOptions", o))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
-      builder = builder.config("spark.executor.memory", m))
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new ScaleProbe.Metrics
     spark.sparkContext.addSparkListener(metrics)

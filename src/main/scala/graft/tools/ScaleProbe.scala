@@ -386,22 +386,10 @@ object ScaleProbe {
     // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] puts REAL
     // executor JVMs and socket exchanges under the same probe (the
     // caveat-closing datum for "network costs are plan-asserted only").
-    // Executor processes don't inherit the sbt fork's classpath or
-    // JDK17 add-opens, so both are passed explicitly.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    // Executor processes resolve a RELATIVE extraClassPath against their
-    // WORKER dir, not the driver's cwd — the app classes silently vanish
-    // from executors, and the failure mode is not a clean ClassNotFound:
-    // codegen-inlined expressions keep working (generated Java is
-    // self-contained) while any plan whose expressions reach executors
-    // un-inlined (interpreted filter predicates captured in task
-    // closures) dies with "cannot assign SerializedLambda to field
-    // MapPartitionsRDD.f" ClassCastExceptions. Diagnosed round 12
-    // (docs/SCALING.md caveats); fail loudly instead.
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
-      require(new java.io.File(cp).isAbsolute,
-        s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
-    }
+    // The executor-env contract — explicit classpath/add-opens/memory,
+    // the ABSOLUTE-classpath assertion, and the round-12
+    // SerializedLambda failure mode it guards — is shared with the
+    // other probes in [[ProbeSession.withMasterEnv]].
     // SPARK_GRAFT_SCALE_PARTS decouples shuffle partitions from thread
     // count: at a FIXED partition count every shuffled partition grows
     // ∝ corpus, so per-task sort/agg memory grows with scale for ANY
@@ -426,19 +414,12 @@ object ScaleProbe {
     val maxPartitionMb = sys.env.get("SPARK_GRAFT_MAX_PARTITION_MB")
       .map(t => t.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
         s"SPARK_GRAFT_MAX_PARTITION_MB must be a positive int, got '$t'")))
-    var builder = SparkSession.builder()
-      .master(master)
+    var builder = ProbeSession.withMasterEnv(SparkSession.builder(), cpus)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
-      builder = builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
-      builder = builder.config("spark.executor.extraJavaOptions", o))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
-      builder = builder.config("spark.executor.memory", m))
     advisoryMb.foreach(mb => builder = builder
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
     maxPartitionMb.foreach(mb => builder = builder

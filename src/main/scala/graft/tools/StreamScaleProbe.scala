@@ -136,19 +136,10 @@ object StreamScaleProbe {
     // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] puts REAL executor
     // JVMs under the streaming replays — per-executor RocksDB instances,
     // changelog/state traffic over real sockets — the streaming analog
-    // of the batch probe's round-12 exchange datum. Executor processes
-    // inherit neither the launcher's classpath nor the JDK17 add-opens,
-    // so both are passed explicitly; the classpath must be ABSOLUTE
-    // (executors resolve a relative one against their WORKER dir and the
-    // app classes silently vanish — the round-12 half-day incident,
-    // docs/SCALING.md caveats).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
-      require(new java.io.File(cp).isAbsolute,
-        s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
-    }
-    var builder = SparkSession.builder()
-      .master(master)
+    // of the batch probe's round-12 exchange datum. The executor-env
+    // contract (explicit classpath/add-opens/memory, the ABSOLUTE-
+    // classpath assertion) is shared in [[ProbeSession.withMasterEnv]].
+    val spark = ProbeSession.withMasterEnv(SparkSession.builder(), cpus)
       .config("spark.sql.extensions", classOf[graft.expr.catalyst.GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
@@ -156,13 +147,7 @@ object StreamScaleProbe {
       // the churn axis runs up to ~2*W batches; sums over recentProgress
       // must cover ALL of them or addBatch/commit under-report silently
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
-      builder = builder.config("spark.executor.extraClassPath", cp))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
-      builder = builder.config("spark.executor.extraJavaOptions", o))
-    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").foreach(m =>
-      builder = builder.config("spark.executor.memory", m))
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (stateStore == "rocksdb") {
       // same store shape as the bench's streaming section (see

@@ -1260,12 +1260,16 @@ object Bench {
     // d9 is not the JIT class (per-document interpreted work only —
     // docs/SCALING.md round-16 audit) but it is the sweep's most
     // fixed-overhead-heavy dedup entry (three localCheckpoint
-    // materializations + two LSH probes) and its in-sweep history
-    // spans 2.0–4.8 s at identical task metrics; isolated REPS=3
-    // (round 16): 2.36–3.04 s. hi=4.5 makes a repeat of r15's 4.82 s
-    // self-adjudicate via the fresh-JVM re-run instead of a verdict
-    // archaeology item.
-    "d9_incremental_neardup" -> (2.0, 4.5))
+    // materializations + two LSH probes = dozens of short jobs), and
+    // round 16 measured its ISOLATED value itself as host-window
+    // sensitive at identical task metrics (1.6 MB shuffle, zero
+    // spill): REPS=3 on a quiet window read 2.36–3.04 s, while a
+    // later sweep's gate-triggered fresh-JVM re-run read 8.44 s with
+    // the in-sweep value at 6.2 s — fresh-JVM isolation does NOT
+    // normalize this entry, so the band must span the host windows.
+    // hi=9.0 keeps the gate quiet across the measured spread and
+    // fires only on a genuine JVM-state collapse.
+    "d9_incremental_neardup" -> (2.0, 9.0))
 
   /** True iff `sec` (an in-sweep min) exceeds `name`'s pinned isolated
     * band — the gate that triggers the fresh-JVM re-run. Failed entries

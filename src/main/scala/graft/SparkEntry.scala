@@ -1063,6 +1063,24 @@ object SparkEntry {
       Dedup.canonicalizeStar(docs, "doc_id", pairs, localEdgeLimit = 0L)
     }),
 
+    // The HYBRID strategy on the same pair graph and fixpoint oracle:
+    // starRounds alternating contraction rounds to collapse component
+    // diameter, then min-label propagation to finish — the strategy for
+    // pair graphs that are high-diameter AND high-volume at once, where
+    // propagation pays a full-edge-set pass per hop and pure star pays
+    // its 3.6x shuffle volume to the very end (CcProbe's deep axis
+    // prices the trade; docs/SCALING.md round 17). localEdgeLimit = 0
+    // forces the distributed path and starRounds = 1 makes the graded
+    // entry exercise the HAND-OFF (one real contraction round, then the
+    // propagation finisher on the rewired edges) rather than converging
+    // inside the star budget and skipping propagation.
+    "d6d_dedup_clusters_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      Dedup.canonicalizeHybrid(docs, "doc_id", pairs, starRounds = 1,
+        localEdgeLimit = 0L)
+    }),
+
     // C4-style corpus-wide duplicate-segment removal: non-overlapping
     // 10-word segments, first corpus occurrence wins, documents rebuilt
     // from their surviving segments.
@@ -2788,6 +2806,7 @@ object SparkEntry {
     // oracle verbatim.
     "d6b_dedup_clusters_dist" -> d6ClustersSql,
     "d6c_dedup_clusters_star" -> d6ClustersSql,
+    "d6d_dedup_clusters_hybrid" -> d6ClustersSql,
     "d7_dedup_segments" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |i AS (SELECT doc_id, ws,

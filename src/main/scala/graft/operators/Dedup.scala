@@ -185,22 +185,33 @@ object Dedup {
     * through.
     */
   private[graft] def verifyJaccard(cand: DataFrame, leftGrams: DataFrame,
-      rightGrams: DataFrame, threshold: Double): DataFrame = {
+      rightGrams: DataFrame, threshold: Double,
+      knownCount: Option[Long] = None): DataFrame = {
     // the size probe below RUNS an action on the candidate plan before the
     // join spine consumes it again — a lazy input would compute its whole
-    // upstream pipeline twice. Both in-repo callers pass an eagerly
-    // localCheckpointed frame (which analyzes to a bare LogicalRDD leaf);
-    // anything else is defensively checkpointed here so the contract is
-    // enforced rather than documented-only.
-    val c = cand.queryExecution.analyzed match {
+    // upstream pipeline twice. The in-repo callers pass either an eagerly
+    // localCheckpointed frame (a bare LogicalRDD leaf) or a cheap narrow
+    // slice of one (incrementalNearDup's per-tag filters over its fused
+    // candidate checkpoint — every leaf resident, so the probe rescans
+    // blocks, never recomputes a pipeline); anything else is defensively
+    // checkpointed here so the contract is enforced rather than
+    // documented-only. `knownCount` skips the probe job entirely when the
+    // caller already counted the candidates (one grouped aggregate can
+    // size several verify calls at once).
+    val c = {
       // type match, not a class-name string: a renamed node on a Spark
       // upgrade fails to compile here instead of silently double-
       // materializing every caller's upstream pipeline
-      case _: org.apache.spark.sql.execution.LogicalRDD => cand
-      case _ => cand.localCheckpoint(true)
+      val leaves = cand.queryExecution.analyzed.collectLeaves()
+      if (leaves.nonEmpty &&
+          leaves.forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+        cand
+      else cand.localCheckpoint(true)
     }
     val extra = c.columns.filterNot(Set("a", "b")).toSeq
-    val candSide = if (c.count() <= broadcastCandLimit) broadcast(c) else c
+    val candSide =
+      if (knownCount.getOrElse(c.count()) <= broadcastCandLimit) broadcast(c)
+      else c
     candSide
       .join(leftGrams.select(col("id").as("a"), col("gs").as("ga")), Seq("a"))
       .join(rightGrams.select(col("id").as("b"), col("gs").as("gb")), Seq("b"))
@@ -259,15 +270,20 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int, threshold: Double,
       storeBands: DataFrame, storeDocs: DataFrame,
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
-    // the batch's band keys feed two probes — materialize once; the two
-    // candidate frames each feed an id pick plus a verify spine, so they
-    // materialize once too (same lazy-cache race-compute reasoning as
-    // minHashLsh)
+    // the batch's band keys feed two probes — materialize once
+    // (bandedPairs sees the LogicalRDD leaf and skips its own
+    // checkpoint); the two candidate frames are FUSED into one tagged
+    // union behind a single checkpoint barrier, so the whole candidate
+    // stage costs one materialization job instead of the earlier two —
+    // this entry is the sweep's most short-job-heavy (its wall rides
+    // host writeback through per-job overhead, docs/SCALING.md round
+    // 16), so fixed job count IS its scale lever. Downstream consumers
+    // slice the union by tag: narrow filters over the resident blocks,
+    // never a recompute (verifyJaccard's leaf check accepts them).
     val incBands = bandKeys(incoming, idCol, textCol, k, numHashes, bands)
       .localCheckpoint(true)
     val inBatch = bandedPairs(incBands, Seq("band", "bkey"), hotBandWidth)
       .withColumn("vs", lit("batch"))
-      .localCheckpoint(true)
     // store probe: the batch side is small next to the store, so the
     // join shuffles (or broadcasts) the BATCH's keys; a degenerate hot
     // band on the store side is split by AQE skew handling at runtime
@@ -279,17 +295,25 @@ object Dedup {
       .filter(col("id") =!= col("b"))
       .select(col("id").as("a"), col("b")).distinct()
       .withColumn("vs", lit("store"))
-      .localCheckpoint(true)
+    val cand = inBatch.unionByName(crossCand).localCheckpoint(true)
+    val batchCand = cand.filter(col("vs") === "batch")
+    val storeCand = cand.filter(col("vs") === "store")
+    // both verify spines sized by ONE grouped aggregate over the fused
+    // candidates (replacing one count-probe job per verify call)
+    val sizes = cand.groupBy("vs").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // gram sets ONLY for docs some candidate pair touches — in
     // particular the store corpus is scanned but never gram-ified beyond
     // its (few) candidate docs
     val incGrams = gramSets(incoming, idCol, textCol, k,
-      inBatch.select(explode(array(col("a"), col("b"))).as("id"))
-        .unionByName(crossCand.select(col("a").as("id"))).distinct())
+      batchCand.select(explode(array(col("a"), col("b"))).as("id"))
+        .unionByName(storeCand.select(col("a").as("id"))).distinct())
     val storeGrams = gramSets(storeDocs, idCol, textCol, k,
-      crossCand.select(col("b").as("id")).distinct())
-    verifyJaccard(inBatch, incGrams, incGrams, threshold)
-      .unionByName(verifyJaccard(crossCand, incGrams, storeGrams, threshold))
+      storeCand.select(col("b").as("id")).distinct())
+    verifyJaccard(batchCand, incGrams, incGrams, threshold,
+        knownCount = Some(sizes.getOrElse("batch", 0L)))
+      .unionByName(verifyJaccard(storeCand, incGrams, storeGrams, threshold,
+        knownCount = Some(sizes.getOrElse("store", 0L))))
       .select(col("a"), col("b"), col("vs"), col("jaccard"))
   }
 
@@ -587,23 +611,35 @@ object Dedup {
     * drivers do between queries.
     */
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25, localEdgeLimit: Long = 500000L): DataFrame = {
+      maxIter: Int = 25, localEdgeLimit: Long = 500000L): DataFrame =
+    canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalize")(
+      propagatedLabels(_, maxIter))
+
+  /** The shared size-then-strategy skeleton of the three canonicalize
+    * entry points: validate the id type, checkpoint the edge list once,
+    * route edge sets at or under `localEdgeLimit` to the driver
+    * union-find (size probe only when the gate can actually select —
+    * count() runs over checkpointed blocks, no recompute of `pairs`, but
+    * it is still a full pass a forced-distributed caller with
+    * localEdgeLimit=0 should not pay), and join the labels back onto the
+    * full corpus. Only the distributed `strategy` differs per entry
+    * point.
+    */
+  private def canonicalized(df: DataFrame, idCol: String, pairs: DataFrame,
+      localEdgeLimit: Long, opName: String)(
+      strategy: DataFrame => DataFrame): DataFrame = {
     require(Seq("long", "int", "bigint", "integer", "smallint", "short")
       .contains(df.schema(idCol).dataType.typeName),
-      s"canonicalize needs an integral id column; ${df.schema(idCol).dataType.sql} " +
+      s"$opName needs an integral id column; ${df.schema(idCol).dataType.sql} " +
         "ids would cast to null and silently collapse the corpus")
     val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
     val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .localCheckpoint(true)
-    // size probe only when the gate can actually select (count() runs
-    // over checkpointed blocks — no recompute of `pairs` — but it is
-    // still a full pass; a forced-distributed caller (localEdgeLimit=0,
-    // the graded d6b entry and CcProbe) should not pay it)
     val lbl =
       if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
         localLabels(undirected)
-      else propagatedLabels(undirected, maxIter)
+      else strategy(undirected)
     nodes.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("lbl"), col("id")).as("canon_id"),
@@ -653,83 +689,148 @@ object Dedup {
     * whose centers are exactly the component minima (paper, Thm 1-3).
     * Convergence is detected by an (edge-count, xxhash64-sum) signature
     * — one tiny aggregate per round, the same shape as propagation's
-    * label-sum — and CONFIRMED exactly at the detected fixpoint by one
-    * final large-star pass compared for SET EQUALITY: count equality
-    * plus an empty `exceptAll` (subset alone would not do — large-star
-    * can strictly shrink a non-star edge set), so a 2^-64 hash
-    * collision cannot silently mislabel; the exact check runs once.
+    * label-sum — and CONFIRMED at the detected fixpoint by the
+    * STRUCTURAL star-forest test ([[isStarForest]]): no node appears as
+    * both a center and a leaf, and every leaf carries exactly one edge.
+    * That certifies the LABELING rather than invariance under one more
+    * op (an edge set can be large-star-invariant without being a
+    * min-centered star forest — {(1,3),(2,3)} — and set-equality under
+    * the ops only certifies an op fixpoint; the structural test plus the
+    * ops' unconditional connectivity preservation proves each star IS a
+    * whole component with its minimum at the center), so a 2^-64
+    * signature collision can only abort loudly, never mislabel; the
+    * check runs once.
     *
     * Rounds are plan-truncated and promptly released through the same
     * [[residentLevel]] machinery as propagation (the probe-measured
     * cure for the exponential-plan OOM class).
     */
   def canonicalizeStar(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 50, localEdgeLimit: Long = 500000L): DataFrame = {
-    require(Seq("long", "int", "bigint", "integer", "smallint", "short")
-      .contains(df.schema(idCol).dataType.typeName),
-      s"canonicalizeStar needs an integral id column; ${df.schema(idCol).dataType.sql} " +
-        "ids would cast to null and silently collapse the corpus")
-    val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
-    val undirected = pairs
-      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .localCheckpoint(true)
-    val lbl = // same skip-the-size-probe-when-forced shape as canonicalize
-      if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
-        localLabels(undirected)
-      else starLabels(undirected, maxRounds)
-    nodes.join(lbl, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("lbl"), col("id")).as("canon_id"),
-        (coalesce(col("lbl"), col("id")) =!= col("id")).as("is_dup"))
+      maxRounds: Int = 50, localEdgeLimit: Long = 500000L): DataFrame =
+    canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalizeStar")(
+      starLabels(_, maxRounds))
+
+  /** Connected-components canonicalization by the HYBRID strategy —
+    * `starRounds` alternating large-star/small-star rounds to COLLAPSE
+    * COMPONENT DIAMETER, then min-label propagation to FINISH on the
+    * flattened graph. Same output contract and same unique min-label
+    * fixpoint as [[canonicalize]] / [[canonicalizeStar]].
+    *
+    * This targets the one cell of the strategy matrix neither pure form
+    * prices well: HIGH-DIAMETER **and** HIGH-VOLUME pair graphs
+    * (transitive entity-resolution chains over a full corpus, link
+    * graphs). There, propagation pays one full-edge-set pass per HOP
+    * (CcProbe's chain axis: ∝ diameter), while the star contraction pays
+    * its heavy per-round machinery — ~2 shuffles + a distinct per round,
+    * with a rewired edge set whose shuffle volume measured 3.6× the
+    * propagation loop's at 100M edges (docs/SCALING.md round 16:
+    * 30.8 GB vs 8.6 GB, OOM at the 16 GB heap propagation completed in)
+    * — all the way to the fixpoint. The hybrid buys diameter collapse at
+    * star prices only while diameter is the binding cost: each
+    * alternating round at least halves every component's effective
+    * diameter (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * SoCC 2014 — large-star alone halves the height of any BFS tree
+    * path, small-star flattens the local stars it leaves), so `k` rounds
+    * turn a diameter-`D` graph into a ≤ ~`D/2^k`-diameter one and the
+    * propagation finisher needs that many cheap passes instead of `D`.
+    * The default `starRounds = 2` suits diameters in the tens — deeper
+    * graphs (D in the hundreds+) want ~log2(D) − 2.
+    *
+    * If the graph reaches the star-forest fixpoint DURING the star
+    * rounds (small diameter, or generous `starRounds`), labels are read
+    * off directly — structurally confirmed the same way
+    * [[canonicalizeStar]] confirms convergence — and propagation never
+    * runs. The same SIZE-THEN-STRATEGY gate as the other entry points
+    * applies first: ≤ `localEdgeLimit` edges route to the driver
+    * union-find (pass 0 to force the distributed hybrid, as the graded
+    * d6d entry and CcProbe's deep axis do).
+    */
+  def canonicalizeHybrid(df: DataFrame, idCol: String, pairs: DataFrame,
+      starRounds: Int = 2, maxIter: Int = 25,
+      localEdgeLimit: Long = 500000L): DataFrame = {
+    require(starRounds >= 0, "starRounds must be non-negative")
+    canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalizeHybrid")(
+      hybridLabels(_, starRounds, maxIter))
   }
+
+  /** Canonical undirected edge form for the star-contraction machinery:
+    * (a, b) with a < b, deduped — self-loops (a node already wired to
+    * its minimum emits (m, m)-shaped links from small-star) drop out.
+    */
+  private def starNorm(e: DataFrame): DataFrame =
+    e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Large-star: m(u) over the FULL neighborhood (both directions), each
+    * strictly larger neighbor re-linked to it. One groupBy-min plus one
+    * join — no neighbor lists, skew-immune (see [[canonicalizeStar]]).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val directed = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val mins = directed.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    directed.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+  }
+
+  /** Small-star: neighbors v < u only (direct each edge from its larger
+    * endpoint), all of them plus u itself re-linked to their minimum.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val directed = edges.select(col("b").as("u"), col("a").as("v")) // v < u
+    val mins = directed.groupBy("u").agg(min("v").as("m"))
+    directed.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+  }
+
+  /** One alternating contraction round in canonical (a, b) form. */
+  private def starRound(edges: DataFrame): DataFrame =
+    starNorm(smallStar(starNorm(largeStar(edges))))
+
+  /** (count, order-independent hash sum) of a canonical edge set: equal
+    * signatures across a round mean an unchanged set with ~2^-64 error —
+    * cheap enough to run every round; the structural confirmation runs
+    * once. The sum runs in decimal(38,0): full-range xxhash64 values
+    * overflow a long sum under ANSI mode (same shape as propagation's
+    * labelSum).
+    */
+  private def edgeSignature(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val r = e.agg(count(lit(1)),
+      sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).first()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  /** Structural star-forest test on a canonical (a < b) edge set: no
+    * node appears as both a center (a) and a leaf (b), and every leaf
+    * carries exactly one edge. Combined with the star ops'
+    * UNCONDITIONAL connectivity preservation this certifies the final
+    * labeling outright: each star is then a whole component, and the
+    * a < b canonical form makes its center the component minimum — so
+    * `groupBy(b).min(a)` plus the caller's self-coalesce is exact. Two
+    * aggregate-shaped actions over a resident edge set, cheaper than
+    * re-running a star op for an invariance check and strictly stronger
+    * (a set can be large-star-invariant without being min-centered:
+    * {(1,3),(2,3)}; and {(1,5),(2,5)} is a "star forest" only if the
+    * leaf-degree test runs too — there leaf 5 has two centers and node
+    * 2 would mislabel as its own canon).
+    */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("a")).intersect(e.select(col("b"))).isEmpty &&
+      e.groupBy(col("b")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).isEmpty
 
   /** Alternating large-star/small-star rounds to the star-forest
     * fixpoint (see [[canonicalizeStar]]); returns a resident (id, lbl)
     * frame over edge-touched nodes.
     */
   private def starLabels(undirected: DataFrame, maxRounds: Int): DataFrame = {
-    // canonical undirected edge form: (a, b) with a < b, deduped —
-    // self-loops (a node already wired to its minimum emits (m, m)-shaped
-    // links from small-star) drop out here
-    def norm(e: DataFrame): DataFrame =
-      e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-    // large-star: m(u) over the FULL neighborhood (both directions),
-    // each strictly larger neighbor re-linked to it
-    def largeStar(edges: DataFrame): DataFrame = {
-      val directed = edges.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
-      val mins = directed.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      directed.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
-    }
-    // small-star: neighbors v < u only (direct each edge from its larger
-    // endpoint), all of them plus u itself re-linked to their minimum
-    def smallStar(edges: DataFrame): DataFrame = {
-      val directed = edges.select(col("b").as("u"), col("a").as("v")) // v < u
-      val mins = directed.groupBy("u").agg(min("v").as("m"))
-      directed.join(mins, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-        .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
-    }
-    def round(edges: DataFrame): DataFrame =
-      norm(smallStar(norm(largeStar(edges))))
-    // (count, order-independent hash sum): equal signatures across a
-    // round mean an unchanged edge set with ~2^-64 error — cheap enough
-    // to run every round; the exact exceptAll confirmation runs once.
-    // The sum runs in decimal(38,0): full-range xxhash64 values overflow
-    // a long sum under ANSI mode (same shape as propagation's labelSum)
-    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).first()
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    var (edges, freeEdges) = residentLevel(norm(
+    var (edges, freeEdges) = residentLevel(starNorm(
       undirected.select(col("src"), col("dst"))), truncate = false)
-    var prev = signature(edges)
+    var prev = edgeSignature(edges)
     var it = 0
     var done = false
     // star rounds truncate every 2 levels, not [[truncateLevels]]: one
@@ -740,24 +841,15 @@ object Dedup {
     // ~12^7-node plan string and OOM'd the 22-chain spec
     while (!done && it < maxRounds) {
       val (next, freeNext) = residentLevel(
-        round(edges), truncate = (it + 1) % 2 == 0)
-      val cur = signature(next) // fully materializes `next`
+        starRound(edges), truncate = (it + 1) % 2 == 0)
+      val cur = edgeSignature(next) // fully materializes `next`
       if (cur == prev) {
-        // exact fixpoint confirmation: one more large-star must change
-        // nothing (star forests are invariant under BOTH star ops).
-        // exceptAll alone only proves largeStar(next) ⊆ next — large-star
-        // can strictly SHRINK a non-star edge set (a triangle {(1,2),
-        // (1,3),(2,3)} maps to {(1,2),(1,3)}), so set EQUALITY needs the
-        // count too: |largeStar(next)| = |next| (= cur._1, already known
-        // from the signature) plus one-directional emptiness. The frame
-        // feeds two actions, so persist it for the check's duration —
-        // unpersisted it would recompute the union+min-join+distinct per
-        // action (the check runs once per call; this halves its passes)
-        val confirm = norm(largeStar(next)).persist()
-        try done =
-          confirm.count() == cur._1 && confirm.exceptAll(next).isEmpty
-        finally confirm.unpersist()
-        require(done, "edge-set hash signature converged on a non-fixpoint " +
+        // structural fixpoint confirmation (see [[isStarForest]]): runs
+        // over the already-resident `next`, certifies the labeling
+        // itself, and turns the 2^-64 signature-collision event into a
+        // loud abort instead of a silent mislabel
+        done = isStarForest(next)
+        require(done, "edge-set hash signature converged on a non-star-forest " +
           "(hash collision): raise maxRounds or report — this is a 2^-64 event")
       }
       freeEdges()
@@ -773,6 +865,61 @@ object Dedup {
     // caller's coalesce); groupBy-min rather than a bare projection so a
     // hypothetical non-star residue could still only tighten labels
     edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
+  }
+
+  /** The hybrid strategy's label computation (see [[canonicalizeHybrid]]):
+    * up to `starRounds` alternating contraction rounds — each at least
+    * halving component diameter — then min-label propagation on the
+    * flattened edge set. Converging to the star forest DURING the star
+    * budget short-circuits propagation entirely (labels read off the
+    * forest, structurally confirmed); otherwise the contracted edges are
+    * handed to [[propagatedLabels]], whose own exhaustion fallback
+    * (→ [[starLabels]]) still bounds the worst case, so `starRounds` and
+    * `maxIter` tune cost, never correctness.
+    */
+  private def hybridLabels(undirected: DataFrame, starRounds: Int,
+      maxIter: Int): DataFrame = {
+    var (edges, freeEdges) = residentLevel(starNorm(
+      undirected.select(col("src"), col("dst"))), truncate = false)
+    var prev = edgeSignature(edges)
+    var it = 0
+    var forest = false
+    while (!forest && it < starRounds) {
+      val (next, freeNext) = residentLevel(
+        starRound(edges), truncate = (it + 1) % 2 == 0) // see starLabels
+      val cur = edgeSignature(next) // fully materializes `next`
+      // an unchanged signature inside the star budget is a candidate
+      // early fixpoint; the structural test makes it exact (and a
+      // collision simply keeps contracting — propagation would finish
+      // the job regardless, so no abort is needed on this path)
+      forest = cur == prev && isStarForest(next)
+      freeEdges()
+      edges = next
+      freeEdges = freeNext
+      prev = cur
+      it += 1
+    }
+    if (forest)
+      edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
+    else {
+      // hand the diameter-collapsed edge set to the propagation finisher
+      // as a FLAT LogicalRDD leaf: after an odd (or zero) round budget
+      // the frame is cache-resident but its plan is still the nested
+      // star-round tree, and every propagation level's AQE plan
+      // description would re-render that whole nest — measured 2.5x the
+      // finisher's wall on the lollipop spec before the truncation. The
+      // propagation loop runs entirely inside the call (every level
+      // action included), so the contracted frame is released as soon
+      // as it returns.
+      val flat = edges.queryExecution.analyzed match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => edges
+        case _ => edges.localCheckpoint(true)
+      }
+      val lbl = propagatedLabels(
+        flat.select(col("a").as("src"), col("b").as("dst")), maxIter)
+      freeEdges()
+      lbl
+    }
   }
 
   /** Driver-side union-find over a collected edge list: (id, lbl) for
@@ -1009,8 +1156,14 @@ object Dedup {
     // the upstream signature pipeline — and all three feed ONE output job,
     // where a lazy cache race-computes instead of filling once. Eager
     // localCheckpoint materializes the band-key frame exactly once: a few
-    // small columns per (doc, band), negligible next to the corpus
-    val k = keyed.localCheckpoint(true)
+    // small columns per (doc, band), negligible next to the corpus. A
+    // caller that already materialized its band keys (incrementalNearDup
+    // checkpoints them for its own two probes) passes a LogicalRDD leaf,
+    // where re-checkpointing would only add a copy pass and a job
+    val k = keyed.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => keyed
+      case _ => keyed.localCheckpoint(true)
+    }
     // hot keys only — rare by construction of a good hash family, so the
     // broadcast stays small even at corpus scale
     val hot = k.groupBy(kc: _*).agg(count(lit(1)).as("_n"))

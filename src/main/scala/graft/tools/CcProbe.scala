@@ -35,13 +35,19 @@ import org.apache.spark.sql.functions._
   *     `SPARK_GRAFT_CC_LOCAL_EDGES` (default 1M,3M,10M) — data for
   *     where the `localEdgeLimit` default belongs.
   *
-  * The edge and diameter axes run BOTH iterative strategies — min-label
-  * propagation ("dist") and alternating large-star/small-star
-  * contraction ("star", [[graft.operators.Dedup.canonicalizeStar]]) —
-  * so the O(diameter)-vs-O(log n) trade is priced on the same graphs.
+  * The edge and diameter axes run the iterative strategies — min-label
+  * propagation ("dist"), alternating large-star/small-star contraction
+  * ("star", [[graft.operators.Dedup.canonicalizeStar]]), and the
+  * star-then-propagation hybrid ("hybrid",
+  * [[graft.operators.Dedup.canonicalizeHybrid]]) — so the
+  * O(diameter)-vs-O(log n) trade is priced on the same graphs. A fourth
+  * **deep axis** prices the strategy matrix's hardest cell — ONE graph
+  * that is high-volume AND high-diameter (`SPARK_GRAFT_CC_DEEP_EDGES`
+  * chain edges of length `SPARK_GRAFT_CC_DEEP_LEN`, defaults 100M × 16)
+  * — under every strategy in `SPARK_GRAFT_CC_DEEP_MODES`.
   * `SPARK_GRAFT_CC_AXES` (comma list of edge_dist, edge_star,
-  * chain_dist, chain_star, edge_local) re-probes one section without
-  * re-running the rest.
+  * edge_hybrid, chain_dist, chain_star, chain_hybrid, edge_local, deep)
+  * re-probes one section without re-running the rest.
   *
   * Output: one JSON line on stdout; committed analysis in
   * docs/SCALING.md. A measurement tool, not part of any pipeline or
@@ -106,6 +112,14 @@ object CcProbe {
     val chainLens = longs("SPARK_GRAFT_CC_CHAINS", "4,16,64").map(_.toInt)
     val chainE = sys.env.getOrElse("SPARK_GRAFT_CC_CHAIN_EDGES", "4000000").toLong
     val localAxis = longs("SPARK_GRAFT_CC_LOCAL_EDGES", "1000000,3000000,10000000")
+    // the deep axis: ONE chain graph that is simultaneously high-volume
+    // and high-diameter — the strategy-matrix cell neither pure strategy
+    // prices well, and the hybrid's design point
+    val deepLen = sys.env.getOrElse("SPARK_GRAFT_CC_DEEP_LEN", "16").toInt
+    val deepE = sys.env.getOrElse("SPARK_GRAFT_CC_DEEP_EDGES", "100000000").toLong
+    val deepModes = sys.env.getOrElse("SPARK_GRAFT_CC_DEEP_MODES", "dist,star,hybrid")
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val hybridRounds = sys.env.getOrElse("SPARK_GRAFT_CC_HYBRID_ROUNDS", "2").toInt
 
     // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] runs the CC
     // strategies on REAL executor JVMs (socket exchanges,
@@ -141,7 +155,8 @@ object CcProbe {
     }
     // the strategy under test: "local"/"dist" force canonicalize's two
     // branches via the edge budget; "star" is the alternating
-    // large-star/small-star contraction
+    // large-star/small-star contraction; "hybrid" is k star rounds to
+    // collapse diameter, then the propagation finisher
     def canon(nodes: DataFrame, pairs: DataFrame, mode: String,
         maxIter: Int): DataFrame = mode match {
       case "local" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
@@ -150,6 +165,9 @@ object CcProbe {
         pairs, maxIter = maxIter, localEdgeLimit = 0L)
       case "star" => graft.operators.Dedup.canonicalizeStar(nodes, "doc_id",
         pairs, maxRounds = 50, localEdgeLimit = 0L)
+      case "hybrid" => graft.operators.Dedup.canonicalizeHybrid(nodes,
+        "doc_id", pairs, starRounds = hybridRounds, maxIter = maxIter,
+        localEdgeLimit = 0L)
       case other => sys.error(s"unknown cc mode $other")
     }
     // one timed canonicalize run: read parquet -> canonicalize -> noop
@@ -223,7 +241,7 @@ object CcProbe {
 
     // warmup (not timed): smallest star graph through every strategy
     val warm = ensure("star_100k", starNodes(spark, 100000), starEdges(spark, 100000))
-    Seq("dist", "local", "star").foreach(m => run(warm, m, 25)); settle()
+    Seq("dist", "local", "star", "hybrid").foreach(m => run(warm, m, 25)); settle()
 
     def axisPoint(tag: String, dir: String, mode: String, maxIter: Int,
         expected: String): String = {
@@ -248,12 +266,25 @@ object CcProbe {
       axisPoint(e.toString, dir, "local", 25, starExpected)
     }.mkString("{", ",", "}")
 
+    // the deep cell: all requested strategies on ONE big deep-chain
+    // graph, so the hybrid's wall/shuffle lands next to both pure
+    // strategies' on identical data (maxIter sized to the full diameter
+    // so the dist baseline CAN converge without its fallback firing)
+    def deepAxisJson: String = deepModes.map { m =>
+      val dir = ensure(s"chain_${deepLen}_$deepE",
+        chainNodes(spark, deepE, deepLen), chainEdges(spark, deepE, deepLen))
+      axisPoint(m, dir, m, 2 * deepLen + 8, chainExpected(deepLen))
+    }.mkString("{", ",", "}")
+
     val sections = Seq(
       "edge_dist" -> (() => s""""edge_axis_dist":${edgeAxisJson("dist")}"""),
       "edge_star" -> (() => s""""edge_axis_star":${edgeAxisJson("star")}"""),
+      "edge_hybrid" -> (() => s""""edge_axis_hybrid":${edgeAxisJson("hybrid")}"""),
       "chain_dist" -> (() => s""""chain_axis_dist_e$chainE":${chainAxisJson("dist")}"""),
       "chain_star" -> (() => s""""chain_axis_star_e$chainE":${chainAxisJson("star")}"""),
-      "edge_local" -> (() => s""""edge_axis_local":$localAxisJson"""))
+      "chain_hybrid" -> (() => s""""chain_axis_hybrid_e$chainE":${chainAxisJson("hybrid")}"""),
+      "edge_local" -> (() => s""""edge_axis_local":$localAxisJson"""),
+      "deep" -> (() => s""""deep_axis_l${deepLen}_e$deepE":$deepAxisJson"""))
       .collect { case (k, f) if axes(k) => f() }
 
     println(s"""{"metric":"cc_probe","reps":$reps,"parts":$parts,""" +

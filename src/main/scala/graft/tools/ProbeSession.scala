@@ -29,12 +29,13 @@ object ProbeSession {
     */
   def withMasterEnv(b0: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach { cp =>
+    val classpath = sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+    classpath.foreach { cp =>
       require(new java.io.File(cp).isAbsolute,
         s"SPARK_GRAFT_EXECUTOR_CLASSPATH must be absolute, got: $cp")
     }
     var b = b0.master(master)
-    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH").foreach(cp =>
+    classpath.foreach(cp =>
       b = b.config("spark.executor.extraClassPath", cp))
     sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS").foreach(o =>
       b = b.config("spark.executor.extraJavaOptions", o))

@@ -281,6 +281,14 @@ class PropertySpec extends SparkSpec {
         .canonicalizeStar(ids, "doc_id", pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaStarGated == viaStar)
+      // ... and the hybrid (star rounds, then the propagation finisher)
+      // agrees too, on its forced hand-off path: one contraction round on
+      // a random graph leaves a non-star residue, so propagation finishes
+      val viaHybrid = graft.operators.Dedup
+        .canonicalizeHybrid(ids, "doc_id", pairs, starRounds = 1,
+          localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaHybrid == out)
       // idempotence: feeding the canonical mapping back as pairs changes nothing
       val again = graft.operators.Dedup.canonicalize(ids, "doc_id",
           (ids.sparkSession.createDataFrame(
@@ -331,6 +339,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hybrid CC: star rounds genuinely collapse diameter before the propagation finisher") {
+    // BRANCH-SELECTION pin via the fallback's stderr marker (the only
+    // observable that separates "propagation converged" from "propagation
+    // exhausted and the star fallback rescued it" — outputs are identical
+    // by design): on a 24-hop chain with maxIter = 8,
+    //   - starRounds = 0 (no collapse) must exhaust propagation and fall
+    //     back (marker PRESENT) — proving the budget alone cannot close
+    //     this diameter;
+    //   - starRounds = 2 must converge via propagation with the SAME
+    //     budget (marker ABSENT) — proving the two alternating rounds
+    //     actually collapsed the diameter to <= ~24/4, which is the
+    //     hybrid's entire value proposition.
+    // Both return the exact chain-head labeling either way.
+    val len = 24
+    val ids = (0L to len.toLong).toDF("doc_id")
+    val pairs = (0L until len.toLong).map(j => (j, j + 1)).toDF("a", "b")
+    def capturingErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      val ps = new java.io.PrintStream(buf, true, "UTF-8")
+      System.setErr(ps)
+      try body finally { System.setErr(old); ps.close() }
+      new String(buf.toByteArray, "UTF-8")
+    }
+    def runHybrid(rounds: Int): (Array[(Long, Long, Boolean)], String) = {
+      var out: Array[(Long, Long, Boolean)] = Array.empty
+      val err = capturingErr {
+        out = graft.operators.Dedup
+          .canonicalizeHybrid(ids, "doc_id", pairs, starRounds = rounds,
+            maxIter = 8, localEdgeLimit = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+      (out, err)
+    }
+    val (collapsed, errCollapsed) = runHybrid(2)
+    assert(!errCollapsed.contains("falling back"),
+      "2 star rounds should leave a diameter propagation closes in 8 passes")
+    val (uncollapsed, errUncollapsed) = runHybrid(0)
+    assert(errUncollapsed.contains("falling back"),
+      "without star rounds the 24-hop diameter must exhaust maxIter = 8")
+    for (out <- Seq(collapsed, uncollapsed)) {
+      assert(out.length == len + 1)
+      out.foreach { case (id, canon, isDup) =>
+        assert(canon == 0L && isDup == (id != 0L), s"id=$id")
+      }
+    }
+  }
+
   test("CC strategies agree on a lollipop graph (hub skew + long tail in one component)") {
     // the topology mix the other specs cover only separately: a K12
     // clique (every star round's min-join sees a hot hub) welded to a
@@ -367,6 +423,21 @@ class PropertySpec extends SparkSpec {
     // exhausted propagation falls back to star on this shape too
     run("fallback", collect(Dedup.canonicalize(nodes, "doc_id", pairs,
       maxIter = 3, localEdgeLimit = 0L)))
+    // the hybrid across ITS code paths: the hand-off (2 rounds collapse
+    // the 14-hop tail to <= ~4 hops, propagation finishes inside a
+    // budget the RAW graph's diameter would exhaust), the early
+    // star-forest exit (a generous round budget converges before
+    // propagation is ever needed), and the default size gate (this tiny
+    // graph -> driver union-find). The starRounds = 0 all-propagation
+    // form is pinned by the dedicated branch-selection test above —
+    // repeating it here would re-pay a full-diameter propagation loop
+    // for no extra coverage.
+    run("hybrid", collect(Dedup.canonicalizeHybrid(nodes, "doc_id", pairs,
+      starRounds = 2, maxIter = 8, localEdgeLimit = 0L)))
+    run("hybrid-forest", collect(Dedup.canonicalizeHybrid(nodes, "doc_id",
+      pairs, starRounds = 20, localEdgeLimit = 0L)))
+    run("hybrid-gated", collect(Dedup.canonicalizeHybrid(nodes, "doc_id",
+      pairs)))
   }
 
   test("canonicalizeStar's size gate: small graphs take the union-find, same fixpoint") {

@@ -489,6 +489,56 @@ class OperatorsSpec extends SparkSpec {
     assert(!out.exists(p => p._2 == 101L)) // no spurious store match
   }
 
+  test("incrementalNearDup: fixed job count stays fused (d9's scale lever)") {
+    // d9 is the sweep's most short-job-heavy entry — its wall rides host
+    // writeback through PER-JOB overhead, not data volume (1.6 MB
+    // shuffle at sf0.1; docs/SCALING.md rounds 16-17) — so its fixed job
+    // count IS the thing to pin. Round 17 fused the two candidate
+    // checkpoints into one tagged-union barrier, taught bandedPairs to
+    // skip re-checkpointing an already-materialized band-key leaf, and
+    // replaced the two verify count probes with one grouped aggregate:
+    // 3 fewer fixed jobs on every call at any scale. This test counts
+    // ACTUAL jobs end-to-end on a fixture corpus; a regression that
+    // sneaks an extra eager barrier or probe back in moves the count up
+    // and fails here at birth.
+    val store = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different store content with many unique words here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "some fresh batch document with its own words"),
+      (3L, "some fresh batch document with its own words")
+    ).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(store, "doc_id", "text", 3, 64, 16)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.incrementalNearDup(batch, "doc_id", "text", 3, 64, 16, 0.5,
+        bands, store).collect()
+      // drain the listener bus so late onJobStart events are counted
+      org.apache.spark.graftbench.ListenerDrain.drain(spark.sparkContext, 10000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"incrementalNearDup end-to-end jobs: ${jobs.get()}")
+    // Measured on this fixture (Spark 4.1.2, AQE on): the fused shape
+    // runs 19 jobs end-to-end, the pre-fusion shape 23 — the fusion
+    // removed the second candidate checkpoint, bandedPairs'
+    // re-checkpoint of the already-material band-key leaf, one of the
+    // two verify count probes, and that probe's AQE stage. (AQE's
+    // broadcast/stage materialization contributes most of the
+    // remainder on both shapes.) The bound sits between the two with
+    // headroom for AQE stage-split jitter but strictly below the old
+    // count, so a regression toward per-frame barriers fails here.
+    assert(jobs.get() <= 21, s"d9 pipeline ran ${jobs.get()} jobs — " +
+      "the fused candidate stage regressed toward per-frame barriers")
+  }
+
   test("hot LSH band: salting preserves the pair set and spreads the key") {
     // adversarial corpus: 40 identical docs share EVERY band key, so one
     // band bucket holds the whole corpus — the case where an unguarded

@@ -1278,6 +1278,60 @@ object Bench {
   private[graft] def sf01BandExceeded(name: String, sec: Double): Boolean =
     sec >= 0 && sf01IsolatedBands.get(name).exists(sec > _._2)
 
+  /** The band-at-birth rule, mechanized (round 17): every entry that is
+    * EITHER in the heavy family (ScaleProbe.tablesFor — the 10x-swept
+    * set) OR over 5 s in the committed sf0.1 artifact must carry an
+    * isolated band in [[sf01IsolatedBands]] or an entry HERE naming why
+    * no band is needed. BenchFormatSpec enforces the coverage, so a new
+    * heavy or slow entry fails the suite until its author either
+    * measures an isolated band (the r10 protocol: SPARK_GRAFT_QUERIES=
+    * <entry> SPARK_GRAFT_REPS=3 on sf0.1) or argues the exemption in a
+    * reason string a judge can audit. Exemption classes, from the
+    * round-16 band-gate coverage audit (docs/SCALING.md): the gate
+    * exists for JVM-state inflation, which needs an INTERPRETED per-row
+    * hot path fed by join fan-out (the j13b/d/f class) or a
+    * dozens-of-short-jobs shape riding host writeback (the d9 class);
+    * pure-codegen entries measured position-independent across the
+    * r10-r16 sweeps don't develop it, and streaming entries are
+    * adjudicated by the stream_calib_ratio protocol instead (their wall
+    * is commit-protocol-bound, compared round-over-round through the
+    * streaming calibration, BASELINE.md r13).
+    */
+  private[graft] val sf01BandExemptions: Map[String, String] = {
+    val codegen = "pure-codegen hot path; position-independent across " +
+      "r10-r16 sweeps (round-16 band-gate coverage audit)"
+    val streaming = "streaming entry: commit-protocol-bound, adjudicated " +
+      "via stream_calib_ratio, not isolated bands (BASELINE.md r13)"
+    Map(
+      "e3_stream_sessionize" -> streaming,
+      "e4_stream_rollup" -> streaming,
+      "e5_stream_neardedup" -> streaming,
+      "e6_stream_interval_join" -> streaming,
+      "d3_dedup_minhash" -> codegen,
+      "d5_dedup_embcos" -> codegen,
+      "d5b_neardup_embcos" -> codegen,
+      "d5c_neardup_wideband" -> codegen,
+      "d6_dedup_clusters" -> codegen,
+      "x6_pack_sequences" -> codegen,
+      "w5_covar_chunked" -> codegen,
+      "w5_rolling_covar" -> codegen,
+      "w6_rolling_ols_native" -> codegen,
+      "w13_ranking_suite" -> codegen,
+      "a13_trimmed_stats" -> codegen,
+      "l5_qp_weights" -> codegen,
+      "l5_qp_certificate" -> codegen,
+      "j13_range_join" -> codegen,
+      "j13c_interval_coalesce" -> codegen,
+      "j13e_range_join_agg" -> codegen,
+      "t12_repetition" -> codegen,
+      "t13_heavy_hitters" -> codegen,
+      "f2_fuzzy_pairs" -> codegen,
+      "n5_ann_pq" -> codegen,
+      "q7_nation_volume" -> codegen,
+      "q11_important_stock" -> codegen,
+      "q21_late_supplier" -> codegen)
+  }
+
   /** Pinned 10× variance bands for the scale artifact — [lo, hi]
     * seconds across complete per-entry-JVM measurements at IDENTICAL
     * task metrics on this host class. j13b is disk-bound (12.7 GB sort

@@ -186,9 +186,15 @@ object Bench {
       if (stateStore == "rocksdb") {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // measurement-only override (default = the deployment shape):
+        // SPARK_GRAFT_CHANGELOG=false reverts to full-snapshot-upload
+        // commits — the e6 lever-table axis (docs/STREAM_ATTRIBUTION.md
+        // round 17); levers Bench does NOT set explicitly
+        // (minDeltasForSnapshot, compactOnCommit) ride run_main.sh's
+        // SPARK_GRAFT_JVM_OPTS -D route instead of code knobs
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          "true")
+          sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
         // every put otherwise pays a read-modify of the row counter —
         // pure overhead for throughput benchmarking (the count is a
         // progress-metrics nicety, not a correctness input)

@@ -44,8 +44,11 @@ object StreamProbe {
     if (stateStore == "rocksdb") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // measurement override, same contract as Bench's: "false" reverts
+      // to full-snapshot-upload commits (the e6 lever-table axis)
       spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       // attribution knob (default matches the bench shape): "false"

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard (quadratic ground truth), MinHash+LSH (the 100 TB path), and
@@ -635,7 +636,10 @@ object Dedup {
     val nodes = df.select(col(idCol).cast("long").as("id")).distinct()
     val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .localCheckpoint(true)
+      // serialized store: 2-long rows cache ~3x smaller and unroll into
+      // spillable byte buffers — at 100M edges the deserialized default
+      // held ~6 GB of row objects for the whole strategy's lifetime
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val lbl =
       if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
         localLabels(undirected)
@@ -913,7 +917,7 @@ object Dedup {
       // as it returns.
       val flat = edges.queryExecution.analyzed match {
         case _: org.apache.spark.sql.execution.LogicalRDD => edges
-        case _ => edges.localCheckpoint(true)
+        case _ => edges.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       }
       val lbl = propagatedLabels(
         flat.select(col("a").as("src"), col("b").as("dst")), maxIter)
@@ -1047,17 +1051,28 @@ object Dedup {
     *     at 30M edges where persist() ran in 26 s) and the LogicalRDD's
     *     lost hash partitioning re-shuffles the label frame every
     *     iteration (10M-edge star: 24.1 s vs 12.1).
-    * Both block stores are MEMORY_AND_DISK, so "released level while a
+    * Both block stores spill to disk, so "released level while a
     * survivor's partition was evicted" cannot strand a recompute: blocks
-    * spill, they are never silently dropped. The persist() branch is
-    * LAZY — the caller must run an action that scans the level in full
-    * (the convergence aggregate, in both algorithms) before releasing
-    * its predecessor.
+    * are never silently dropped. The checkpoint store is
+    * MEMORY_AND_DISK_SER, not the default deserialized level — the
+    * round-17 deep-cell runs (100M edges × diameter 16) OOM'd a 32 GB
+    * heap through the DESERIALIZED store: on a deep graph the star
+    * rounds' outputs stay near-full-size (contraction halves diameter
+    * long before it shrinks the edge count), and unrolling ~200M-row
+    * levels as row OBJECTS both triples the resident bytes and allocates
+    * giant doubling arrays that blow the heap before eviction can react;
+    * serialized blocks unroll into chunked byte buffers and spill
+    * incrementally (same run completes in the same heap, table in
+    * docs/SCALING.md round 17). The persist() branch is LAZY — the
+    * caller must run an action that scans the level in full (the
+    * convergence aggregate, in both algorithms) before releasing its
+    * predecessor.
     */
   private def residentLevel(df: DataFrame,
       truncate: Boolean): (DataFrame, () => Unit) =
     if (truncate) {
-      val c = df.localCheckpoint(true) // eager: blocks exist on return
+      // eager: blocks exist on return
+      val c = df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       (c, () => checkpointBlocks(c).foreach(_.unpersist(false)))
     } else {
       val p = df.persist()

@@ -737,25 +737,66 @@ object Dedup {
     * path, small-star flattens the local stars it leaves), so `k` rounds
     * turn a diameter-`D` graph into a ≤ ~`D/2^k`-diameter one and the
     * propagation finisher needs that many cheap passes instead of `D`.
-    * The default `starRounds = 2` suits diameters in the tens — deeper
-    * graphs (D in the hundreds+) want ~log2(D) − 2.
+    *
+    * `starRounds` defaults to [[AutoStarRounds]]: the star budget is
+    * SIZED FROM THE GRAPH instead of guessed. The fixed-knob rule
+    * (`starRounds ~ log2(expected diameter) - 2`, the round-17
+    * deployment rule) requires knowing the diameter in advance — a fact
+    * a 100 TB pair-graph owner rarely has, and the price of guessing
+    * low is real (the old default of 2 measured 90.5 s on the
+    * diameter-64/4M-edge probe chain vs 44.5 s correctly tuned). The
+    * auto budget measures instead of asking: a one-pass structural
+    * telemetry aggregate over the edge set ([[forestStats]] — per node,
+    * "has a smaller neighbor" / "has a larger neighbor") yields a
+    * residual-diameter ESTIMATE D = internal nodes per component + 1 —
+    * exact on chain/path components (a path of diameter d has d − 1
+    * internal nodes and one root), an overestimate on cliques and bushy
+    * trees (internal-node count exceeds depth there; measured on the
+    * probe: after 2 rounds a 16-chain's contracted trees read 13 by
+    * this proxy at true depth ~4, which is why the estimate is taken at
+    * BIRTH, where components are raw, not mid-contraction). The loop
+    * then schedules `round(log2 D) - 2` star rounds — the deployment
+    * rule applied to a measurement; each round at least halves
+    * diameter (SoCC'14), so the schedule lands the residue at the ~4-hop
+    * collapse target, the measured crossover where a star round stops
+    * paying for itself (one round costs ~2-3 propagation passes and
+    * halving a ≤4-hop residue saves at most 2) — and hands off. An
+    * unchanged edge signature inside the schedule exits through the
+    * structural forest test early, so an overestimated D (cliques
+    * collapse in 1-2 rounds) costs at most one idle round, and a graph
+    * already at or under the target (D ≤ 4, every near-dup shape)
+    * hands off with ZERO rounds. Because D is a per-component MEAN, a
+    * skewed mixture (a million shallow components hiding one deep
+    * chain) can hand off early — the propagation finisher's own
+    * exhaustion fallback (→ [[starLabels]]) still bounds that worst
+    * case, so the estimate tunes cost, never correctness. Pass an
+    * explicit `starRounds >= 0` to pin the budget by hand (the graded
+    * d6d entry pins 1 to force the hand-off path).
     *
     * If the graph reaches the star-forest fixpoint DURING the star
-    * rounds (small diameter, or generous `starRounds`), labels are read
-    * off directly — structurally confirmed the same way
-    * [[canonicalizeStar]] confirms convergence — and propagation never
-    * runs. The same SIZE-THEN-STRATEGY gate as the other entry points
-    * applies first: ≤ `localEdgeLimit` edges route to the driver
-    * union-find (pass 0 to force the distributed hybrid, as the graded
-    * d6d entry and CcProbe's deep axis do).
+    * rounds (small diameter, or a generous explicit `starRounds`),
+    * labels are read off directly — structurally confirmed the same way
+    * [[canonicalizeStar]] confirms convergence (the auto path's
+    * telemetry IS that structural test, so its forest exit is exact by
+    * construction) — and propagation never runs. The same
+    * SIZE-THEN-STRATEGY gate as the other entry points applies first:
+    * ≤ `localEdgeLimit` edges route to the driver union-find (pass 0 to
+    * force the distributed hybrid, as the graded d6d entry and
+    * CcProbe's deep axis do).
     */
   def canonicalizeHybrid(df: DataFrame, idCol: String, pairs: DataFrame,
-      starRounds: Int = 2, maxIter: Int = 25,
+      starRounds: Int = AutoStarRounds, maxIter: Int = 25,
       localEdgeLimit: Long = 500000L): DataFrame = {
-    require(starRounds >= 0, "starRounds must be non-negative")
+    require(starRounds >= 0 || starRounds == AutoStarRounds,
+      s"starRounds must be non-negative or AutoStarRounds, got $starRounds")
     canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalizeHybrid")(
       hybridLabels(_, starRounds, maxIter))
   }
+
+  /** Sentinel `starRounds` value selecting [[canonicalizeHybrid]]'s
+    * measured adaptive star budget (the default).
+    */
+  val AutoStarRounds: Int = -1
 
   /** Canonical undirected edge form for the star-contraction machinery:
     * (a, b) with a < b, deduped — self-loops (a node already wired to
@@ -872,17 +913,21 @@ object Dedup {
   }
 
   /** The hybrid strategy's label computation (see [[canonicalizeHybrid]]):
-    * up to `starRounds` alternating contraction rounds — each at least
-    * halving component diameter — then min-label propagation on the
-    * flattened edge set. Converging to the star forest DURING the star
-    * budget short-circuits propagation entirely (labels read off the
-    * forest, structurally confirmed); otherwise the contracted edges are
-    * handed to [[propagatedLabels]], whose own exhaustion fallback
-    * (→ [[starLabels]]) still bounds the worst case, so `starRounds` and
-    * `maxIter` tune cost, never correctness.
+    * alternating contraction rounds — each at least halving component
+    * diameter — then min-label propagation on the flattened edge set.
+    * The round budget is either pinned (`starRounds >= 0`) or measured
+    * per graph ([[AutoStarRounds]] → [[autoLabels]]). Converging to the
+    * star forest DURING the star budget short-circuits propagation
+    * entirely (labels read off the forest, structurally confirmed);
+    * otherwise the contracted edges are handed to [[propagatedLabels]],
+    * whose own exhaustion fallback (→ [[starLabels]]) still bounds the
+    * worst case, so `starRounds` and `maxIter` tune cost, never
+    * correctness.
     */
   private def hybridLabels(undirected: DataFrame, starRounds: Int,
-      maxIter: Int): DataFrame = {
+      maxIter: Int): DataFrame =
+    if (starRounds == AutoStarRounds) autoLabels(undirected, maxIter)
+    else {
     var (edges, freeEdges) = residentLevel(starNorm(
       undirected.select(col("src"), col("dst"))), truncate = false)
     var prev = edgeSignature(edges)
@@ -905,24 +950,137 @@ object Dedup {
     }
     if (forest)
       edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
-    else {
-      // hand the diameter-collapsed edge set to the propagation finisher
-      // as a FLAT LogicalRDD leaf: after an odd (or zero) round budget
-      // the frame is cache-resident but its plan is still the nested
-      // star-round tree, and every propagation level's AQE plan
-      // description would re-render that whole nest — measured 2.5x the
-      // finisher's wall on the lollipop spec before the truncation. The
-      // propagation loop runs entirely inside the call (every level
-      // action included), so the contracted frame is released as soon
-      // as it returns.
-      val flat = edges.queryExecution.analyzed match {
-        case _: org.apache.spark.sql.execution.LogicalRDD => edges
-        case _ => edges.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      }
-      val lbl = propagatedLabels(
-        flat.select(col("a").as("src"), col("b").as("dst")), maxIter)
+    else finishWithPropagation(edges, freeEdges, maxIter)
+  }
+
+  /** Hand a diameter-collapsed edge set to the propagation finisher as
+    * a FLAT LogicalRDD leaf: after an odd (or zero) round budget the
+    * frame is cache-resident but its plan is still the nested
+    * star-round tree, and every propagation level's AQE plan
+    * description would re-render that whole nest — measured 2.5x the
+    * finisher's wall on the lollipop spec before the truncation. The
+    * propagation loop runs entirely inside the call (every level
+    * action included), so the contracted frame is released as soon as
+    * it returns.
+    */
+  private def finishWithPropagation(edges: DataFrame, freeEdges: () => Unit,
+      maxIter: Int): DataFrame = {
+    val flat = edges.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => edges
+      case _ => edges.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    val lbl = propagatedLabels(
+      flat.select(col("a").as("src"), col("b").as("dst")), maxIter)
+    freeEdges()
+    lbl
+  }
+
+  /** Structural telemetry of a canonical (a < b) edge set, one
+    * groupBy-shaped pass (map-side partial agg, then one shuffle of
+    * node-sized rows): per node, whether it appears as a center (has a
+    * strictly larger neighbor) and how many times as a leaf (has a
+    * smaller one). `violations`/`badLeaves` are the exact negations of
+    * [[isStarForest]]'s two clauses, so `isForest` certifies the final
+    * labeling with the same strength; `diameterEstimate` (internal
+    * nodes per component + 1) is the auto star budget's hand-off
+    * signal — exact on chain components (a chain of diameter D has
+    * D − 1 internal nodes and one root), a mean across components and
+    * an internal-node-count proxy on contracted trees.
+    */
+  private[operators] final case class ForestStats(
+      violations: Long, roots: Long, badLeaves: Long) {
+    def isForest: Boolean = violations == 0L && badLeaves == 0L
+    def diameterEstimate: Double =
+      violations.toDouble / math.max(roots, 1L).toDouble + 1.0
+  }
+
+  private[operators] def forestStats(e: DataFrame): ForestStats = {
+    val ends = e.select(col("a").as("n"), lit(1).as("c"), lit(0).as("l"))
+      .unionByName(e.select(col("b").as("n"), lit(0).as("c"), lit(1).as("l")))
+      .groupBy("n").agg(max(col("c")).as("c"), sum(col("l")).as("ld"))
+    val r = ends.agg(
+      count(when(col("c") === 1 && col("ld") > 0, true)),
+      count(when(col("c") === 1 && col("ld") === 0, true)),
+      count(when(col("c") === 0 && col("ld") > 1, true))).first()
+    ForestStats(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The auto star budget's collapse target: schedule the star rounds
+    * to land the residual diameter here, then hand off to propagation.
+    * Pinned by CcProbe's chain axis (docs/SCALING.md rounds 15-17): one
+    * star round costs ~2-3 propagation passes, so halving stops paying
+    * at ~this depth; the committed deployment rule ("collapse to ~4,
+    * let propagation finish") is this constant.
+    */
+  private val autoCollapseTarget = 4.0
+
+  /** Pathology bound on the auto budget's scheduled rounds: covers an
+    * initial estimate up to 2^22 (star contraction provably converges
+    * in O(log n) rounds — SoCC'14 — so nothing realistic approaches
+    * this; exhaustion hands off to propagation, whose own fallback
+    * keeps correctness).
+    */
+  private val autoMaxStarRounds = 20
+
+  /** The measured-budget hybrid (see [[canonicalizeHybrid]]): ONE
+    * [[forestStats]] telemetry pass at birth (it doubles as the action
+    * that materializes the checkpointed edge set) yields the
+    * residual-diameter estimate D; `round(log2 D) − 2` star rounds are
+    * scheduled from it and then propagation finishes unconditionally —
+    * re-measuring mid-flight is deliberately absent because the
+    * internal-node proxy reads SIZE, not depth, on contracted trees
+    * (measured: 13.0 after 2 rounds on a 16-chain at true depth ~4),
+    * while the per-round halving the schedule leans on is the SoCC'14
+    * guarantee. Rounds materialize through the same cheap
+    * [[edgeSignature]] aggregate as the fixed path; an unchanged
+    * signature is a candidate fixpoint — confirmed structurally, it
+    * reads labels off the forest and skips propagation (the path an
+    * overestimated D on cliques/bushy graphs exits through). Every
+    * decision is traced on stderr — the observable the no-knob spec
+    * pins.
+    */
+  private def autoLabels(undirected: DataFrame, maxIter: Int): DataFrame = {
+    var (edges, freeEdges) = residentLevel(starNorm(
+      undirected.select(col("src"), col("dst"))), truncate = false)
+    val stats = forestStats(edges) // full pass: materializes the level
+    System.err.println(
+      f"[graft] hybrid auto: residual-diameter estimate " +
+        f"${stats.diameterEstimate}%.1f at birth")
+    if (stats.isForest) {
+      // already a star forest (certified by the same telemetry): read
+      // the labels off — zero rounds, zero propagation passes
+      System.err.println(
+        "[graft] hybrid auto: star-forest fixpoint after 0 star round(s)")
+      return edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
+    }
+    val scheduled = math.min(autoMaxStarRounds, math.max(0,
+      math.round(math.log(stats.diameterEstimate) / math.log(2.0)).toInt - 2))
+    var rounds = 0
+    var forest = false
+    var prevSig: Option[(Long, java.math.BigDecimal)] = None
+    while (!forest && rounds < scheduled) {
+      val (next, freeNext) = residentLevel(
+        starRound(edges), truncate = (rounds + 1) % 2 == 0) // see starLabels
+      val cur = edgeSignature(next) // fully materializes `next`
+      // an unchanged signature is a candidate early fixpoint; the
+      // structural test makes it exact (a collision simply stops the
+      // schedule early — propagation finishes the job regardless)
+      forest = prevSig.contains(cur) && isStarForest(next)
+      prevSig = Some(cur)
       freeEdges()
-      lbl
+      edges = next
+      freeEdges = freeNext
+      rounds += 1
+    }
+    if (forest) {
+      System.err.println(
+        s"[graft] hybrid auto: star-forest fixpoint after $rounds star round(s)")
+      edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
+    } else {
+      System.err.println(
+        s"[graft] hybrid auto: hand-off to propagation after $rounds star " +
+          s"round(s) (scheduled $scheduled from the birth estimate)")
+      finishWithPropagation(edges, freeEdges, maxIter)
     }
   }
 

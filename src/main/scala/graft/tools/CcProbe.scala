@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   * The edge and diameter axes run the iterative strategies — min-label
   * propagation ("dist"), alternating large-star/small-star contraction
   * ("star", [[graft.operators.Dedup.canonicalizeStar]]), and the
-  * star-then-propagation hybrid ("hybrid",
+  * star-then-propagation hybrid ("hybrid" at the pinned
+  * SPARK_GRAFT_CC_HYBRID_ROUNDS budget, "hybrid_auto" under the
+  * measured adaptive budget —
   * [[graft.operators.Dedup.canonicalizeHybrid]]) — so the
   * O(diameter)-vs-O(log n) trade is priced on the same graphs. A fourth
   * **deep axis** prices the strategy matrix's hardest cell — ONE graph
@@ -46,7 +48,8 @@ import org.apache.spark.sql.functions._
   * chain edges of length `SPARK_GRAFT_CC_DEEP_LEN`, defaults 100M × 16)
   * — under every strategy in `SPARK_GRAFT_CC_DEEP_MODES`.
   * `SPARK_GRAFT_CC_AXES` (comma list of edge_dist, edge_star,
-  * edge_hybrid, chain_dist, chain_star, chain_hybrid, edge_local, deep)
+  * edge_hybrid, edge_hybrid_auto, chain_dist, chain_star, chain_hybrid,
+  * chain_hybrid_auto, edge_local, deep)
   * re-probes one section without re-running the rest.
   *
   * Output: one JSON line on stdout; committed analysis in
@@ -168,6 +171,9 @@ object CcProbe {
       case "hybrid" => graft.operators.Dedup.canonicalizeHybrid(nodes,
         "doc_id", pairs, starRounds = hybridRounds, maxIter = maxIter,
         localEdgeLimit = 0L)
+      case "hybrid_auto" => graft.operators.Dedup.canonicalizeHybrid(nodes,
+        "doc_id", pairs, starRounds = graft.operators.Dedup.AutoStarRounds,
+        maxIter = maxIter, localEdgeLimit = 0L)
       case other => sys.error(s"unknown cc mode $other")
     }
     // one timed canonicalize run: read parquet -> canonicalize -> noop
@@ -241,7 +247,8 @@ object CcProbe {
 
     // warmup (not timed): smallest star graph through every strategy
     val warm = ensure("star_100k", starNodes(spark, 100000), starEdges(spark, 100000))
-    Seq("dist", "local", "star", "hybrid").foreach(m => run(warm, m, 25)); settle()
+    Seq("dist", "local", "star", "hybrid", "hybrid_auto")
+      .foreach(m => run(warm, m, 25)); settle()
 
     def axisPoint(tag: String, dir: String, mode: String, maxIter: Int,
         expected: String): String = {
@@ -280,9 +287,11 @@ object CcProbe {
       "edge_dist" -> (() => s""""edge_axis_dist":${edgeAxisJson("dist")}"""),
       "edge_star" -> (() => s""""edge_axis_star":${edgeAxisJson("star")}"""),
       "edge_hybrid" -> (() => s""""edge_axis_hybrid":${edgeAxisJson("hybrid")}"""),
+      "edge_hybrid_auto" -> (() => s""""edge_axis_hybrid_auto":${edgeAxisJson("hybrid_auto")}"""),
       "chain_dist" -> (() => s""""chain_axis_dist_e$chainE":${chainAxisJson("dist")}"""),
       "chain_star" -> (() => s""""chain_axis_star_e$chainE":${chainAxisJson("star")}"""),
       "chain_hybrid" -> (() => s""""chain_axis_hybrid_e$chainE":${chainAxisJson("hybrid")}"""),
+      "chain_hybrid_auto" -> (() => s""""chain_axis_hybrid_auto_e$chainE":${chainAxisJson("hybrid_auto")}"""),
       "edge_local" -> (() => s""""edge_axis_local":$localAxisJson"""),
       "deep" -> (() => s""""deep_axis_l${deepLen}_e$deepE":$deepAxisJson"""))
       .collect { case (k, f) if axes(k) => f() }

@@ -387,6 +387,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hybrid auto budget: the star rounds are sized from the graph, no knob set") {
+    // The round-17 deployment rule (starRounds ~ log2(diameter) - 2)
+    // required the caller to KNOW the diameter; the auto default measures
+    // it instead: one structural-telemetry pass at birth (internal nodes
+    // per component + 1 — exact on chains) schedules the rounds, and the
+    // stderr trace is the observable that pins the decision. Chains of
+    // diameter 4 / 16 / 64 must hand off after 0 / 2 / 4 rounds — the
+    // depths the round-17 probe data priced as optimal (L=64: tuned
+    // starRounds=4 ran 44.5 s vs 90.5 s at the old fixed default) — and
+    // the default maxIter must then close the collapsed residue WITHOUT
+    // the exhaustion fallback (proof the collapse was real, not rescued).
+    def capturingErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      val ps = new java.io.PrintStream(buf, true, "UTF-8")
+      System.setErr(ps)
+      try body finally { System.setErr(old); ps.close() }
+      new String(buf.toByteArray, "UTF-8")
+    }
+    def runAuto(pairs: org.apache.spark.sql.DataFrame,
+        ids: org.apache.spark.sql.DataFrame): (Array[(Long, Long)], String) = {
+      var out: Array[(Long, Long)] = Array.empty
+      val err = capturingErr {
+        out = graft.operators.Dedup
+          .canonicalizeHybrid(ids, "doc_id", pairs, localEdgeLimit = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      (out, err)
+    }
+    for ((len, wantRounds) <- Seq(4 -> 0, 16 -> 2, 64 -> 4)) {
+      val ids = (0L to len.toLong).toDF("doc_id")
+      val pairs = (0L until len.toLong).map(j => (j, j + 1)).toDF("a", "b")
+      val (out, err) = runAuto(pairs, ids)
+      assert(err.contains(s"residual-diameter estimate $len.0 at birth"),
+        s"L=$len: birth estimate must be exact on a chain\n$err")
+      assert(err.contains(
+        s"hand-off to propagation after $wantRounds star round(s)"),
+        s"L=$len: expected hand-off after $wantRounds rounds\n$err")
+      assert(!err.contains("falling back"),
+        s"L=$len: the scheduled collapse must leave a residue the default " +
+          s"propagation budget closes\n$err")
+      assert(out.length == len + 1)
+      out.foreach { case (id, canon) => assert(canon == 0L, s"L=$len id=$id") }
+    }
+    // a graph that is ALREADY a min-centered star forest reads its labels
+    // off the birth telemetry (which doubles as the exact structural
+    // test): zero rounds, zero propagation passes
+    val hubIds = (0L to 4L).toDF("doc_id")
+    val hubPairs = (1L to 4L).map(j => (0L, j)).toDF("a", "b")
+    val (hubOut, hubErr) = runAuto(hubPairs, hubIds)
+    assert(hubErr.contains("star-forest fixpoint after 0 star round(s)"),
+      s"a pre-collapsed forest must short-circuit everything\n$hubErr")
+    assert(hubOut.length == 5)
+    hubOut.foreach { case (id, canon) => assert(canon == 0L, s"hub id=$id") }
+  }
+
   test("CC strategies agree on a lollipop graph (hub skew + long tail in one component)") {
     // the topology mix the other specs cover only separately: a K12
     // clique (every star round's min-join sees a hot hub) welded to a

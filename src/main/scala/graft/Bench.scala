@@ -1274,12 +1274,20 @@ object Bench {
     // the host windows. Round 17 fused the candidate barriers (23→19
     // end-to-end jobs, pinned by OperatorsSpec's job-count test) and
     // the isolated REPS=3 read [3.65, 2.60, 1.76] — the wall rides
-    // per-job overhead, so the band re-pins proportionally: lo just
-    // under the new min, hi at the old 8.44 counter-datum scaled by
-    // the job reduction (8.44 × 19/23 ≈ 7.0). Still the widest
-    // per-second band in the table because the short-job shape itself
-    // is what rides host writeback.
-    "d9_incremental_neardup" -> (1.5, 7.0),
+    // per-job overhead, so round 17 re-pinned the band proportionally
+    // (hi = the old 8.44 counter-datum scaled by the job reduction,
+    // ≈ 7.0) — an ESTIMATE the round-17 verdict asked to replace with
+    // a fused-code measurement. Round 18 collected it: targeted
+    // REPS=3 during a genuinely busy window (calib_ratio 1.17 — a
+    // 100M-edge probe-graph generation saturating the host) read
+    // [4.21, 8.79, 2.59] at the same task-metric signature, i.e. the
+    // fused 19-job shape STILL reaches the r16-class ~8.8 s tail under
+    // contention (writeback rides the host, not the job count), while
+    // the quiet window reads [2.26, 1.76, 1.60] at calib 0.72. hi
+    // therefore returns to the measured 9.0; both edges now trace to
+    // fused-code data. Still the widest per-second band in the table
+    // because the short-job shape itself is what rides host writeback.
+    "d9_incremental_neardup" -> (1.5, 9.0),
     // d6c/d6d force the DISTRIBUTED CC branches on d6's deliberately
     // tiny pair graph (the graded entries exist to price the iterative
     // star / hybrid machinery, not the data): their wall is pure

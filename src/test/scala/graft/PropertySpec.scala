@@ -441,6 +441,39 @@ class PropertySpec extends SparkSpec {
       s"a pre-collapsed forest must short-circuit everything\n$hubErr")
     assert(hubOut.length == 5)
     hubOut.foreach { case (id, canon) => assert(canon == 0L, s"hub id=$id") }
+    // the estimator's DOCUMENTED failure mode, pinned: D is a
+    // per-component mean, so a skewed mixture (many shallow components
+    // hiding one deep chain) under-reads, the auto path hands off with
+    // too few rounds, and the finisher's maxIter exhausts — correctness
+    // must then come from the propagation->star fallback, loudly. 50
+    // triangles (V=1, R=1 each) dilute one 30-hop chain (V=29, R=1) to
+    // D ~ 2.5 <= 4 -> hand-off after 0 rounds; maxIter=8 < 30 -> the
+    // fallback marker must appear and every label must still be exact.
+    val triBase = 1000L
+    val tris = (0 until 50).flatMap { t =>
+      val b = triBase + 3L * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val chain = (0L until 30L).map(j => (j, j + 1))
+    val mixPairs = (tris ++ chain).toDF("a", "b")
+    val mixIds = ((0L to 30L) ++ (triBase until triBase + 150L)).toDF("doc_id")
+    var mixOut: Array[(Long, Long)] = Array.empty
+    val mixErr = capturingErr {
+      mixOut = graft.operators.Dedup
+        .canonicalizeHybrid(mixIds, "doc_id", mixPairs, maxIter = 8,
+          localEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(mixErr.contains("hand-off to propagation after 0 star round(s)"),
+      s"the mean estimate must under-read the skewed mixture\n$mixErr")
+    assert(mixErr.contains("falling back"),
+      s"the hidden 30-hop chain must exhaust maxIter=8 and take the " +
+        s"star fallback\n$mixErr")
+    assert(mixOut.length == 31 + 150)
+    mixOut.foreach { case (id, canon) =>
+      val want = if (id < triBase) 0L else id - (id - triBase) % 3
+      assert(canon == want, s"mix id=$id")
+    }
   }
 
   test("CC strategies agree on a lollipop graph (hub skew + long tail in one component)") {
@@ -494,6 +527,12 @@ class PropertySpec extends SparkSpec {
       pairs, starRounds = 20, localEdgeLimit = 0L)))
     run("hybrid-gated", collect(Dedup.canonicalizeHybrid(nodes, "doc_id",
       pairs)))
+    // ... and the no-knob AUTO budget on the same topology mix (the
+    // K12 hub inflates the mean estimate, the 14-hop tail needs real
+    // rounds — the auto path must land the same fixpoint regardless of
+    // what it schedules)
+    run("hybrid-auto", collect(Dedup.canonicalizeHybrid(nodes, "doc_id",
+      pairs, localEdgeLimit = 0L)))
   }
 
   test("canonicalizeStar's size gate: small graphs take the union-find, same fixpoint") {

@@ -1287,6 +1287,12 @@ object Bench {
     // therefore returns to the measured 9.0; both edges now trace to
     // fused-code data. Still the widest per-second band in the table
     // because the short-job shape itself is what rides host writeback.
+    // CAVEAT (r19, advisor): the 9.0 hi exists for BUSY windows only —
+    // the quiet-window fused steady state is 1.6-2.6 s, so a d9 read
+    // above ~3.7 s in a sweep whose calib_ratio indicates a quiet host
+    // (≤ ~0.9) should be investigated as a regression even though it
+    // passes the band; the band gate cannot carry the calibration
+    // context, so this rule lives here and in the round notes.
     "d9_incremental_neardup" -> (1.5, 9.0),
     // d6c/d6d force the DISTRIBUTED CC branches on d6's deliberately
     // tiny pair graph (the graded entries exist to price the iterative
@@ -1299,7 +1305,16 @@ object Bench {
     // and d6d [6.75, 7.38, 7.02]; hi gives the same host-window
     // headroom ratio the d9 spread measured (~2.3× the quiet min).
     "d6c_dedup_clusters_star" -> (4.5, 10.0),
-    "d6d_dedup_clusters_hybrid" -> (4.5, 10.5))
+    "d6d_dedup_clusters_hybrid" -> (4.5, 10.5),
+    // d6e is the hybrid's DEFAULT auto-budget path on the same tiny
+    // pair graph (birth telemetry -> 0 rounds -> propagation finisher):
+    // fewer fixed-cost jobs than d6d's one forced star round, same
+    // short-job host-window class. Band pinned at birth (r19) from
+    // isolated REPS=3 [4.96, 4.62, 4.64] at calib_ratio 1.21 (same
+    // session as a d6d reference read [7.20, 6.33, 6.05], consistent
+    // with its band) — lo under the observed min, hi with the sibling
+    // entries' host-window headroom ratio.
+    "d6e_dedup_clusters_auto" -> (3.5, 10.0))
 
   /** True iff `sec` (an in-sweep min) exceeds `name`'s pinned isolated
     * band — the gate that triggers the fresh-JVM re-run. Failed entries

@@ -1081,6 +1081,22 @@ object SparkEntry {
         localEdgeLimit = 0L)
     }),
 
+    // The hybrid's DEFAULT path — the measured auto star budget — under
+    // the same fixpoint oracle: no starRounds argument, so the birth
+    // telemetry pass sizes the schedule itself (on this near-dup-shaped
+    // pair graph the estimate reads shallow and the path is telemetry →
+    // zero rounds → propagation finisher). d6d stays pinned at
+    // starRounds = 1 for round-over-round comparability; THIS entry is
+    // the one that puts the code path every default caller gets under
+    // the per-round DuckDB gate (it was previously verified only by
+    // ScalaTest and CcProbe). localEdgeLimit = 0 forces the distributed
+    // branch as in d6b/d6c/d6d.
+    "d6e_dedup_clusters_auto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      Dedup.canonicalizeHybrid(docs, "doc_id", pairs, localEdgeLimit = 0L)
+    }),
+
     // C4-style corpus-wide duplicate-segment removal: non-overlapping
     // 10-word segments, first corpus occurrence wins, documents rebuilt
     // from their surviving segments.
@@ -2807,6 +2823,7 @@ object SparkEntry {
     "d6b_dedup_clusters_dist" -> d6ClustersSql,
     "d6c_dedup_clusters_star" -> d6ClustersSql,
     "d6d_dedup_clusters_hybrid" -> d6ClustersSql,
+    "d6e_dedup_clusters_auto" -> d6ClustersSql,
     "d7_dedup_segments" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |i AS (SELECT doc_id, ws,

@@ -747,31 +747,37 @@ object Dedup {
     * diameter-64/4M-edge probe chain vs 44.5 s correctly tuned). The
     * auto budget measures instead of asking: a one-pass structural
     * telemetry aggregate over the edge set ([[forestStats]] — per node,
-    * "has a smaller neighbor" / "has a larger neighbor") yields a
-    * residual-diameter ESTIMATE D = internal nodes per component + 1 —
-    * exact on chain/path components (a path of diameter d has d − 1
-    * internal nodes and one root), an overestimate on cliques and bushy
-    * trees (internal-node count exceeds depth there; measured on the
-    * probe: after 2 rounds a 16-chain's contracted trees read 13 by
-    * this proxy at true depth ~4, which is why the estimate is taken at
-    * BIRTH, where components are raw, not mid-contraction). The loop
-    * then schedules `round(log2 D) - 2` star rounds — the deployment
-    * rule applied to a measurement; each round at least halves
-    * diameter (SoCC'14), so the schedule lands the residue at the ~4-hop
-    * collapse target, the measured crossover where a star round stops
-    * paying for itself (one round costs ~2-3 propagation passes and
-    * halving a ≤4-hop residue saves at most 2) — and hands off. An
-    * unchanged edge signature inside the schedule exits through the
-    * structural forest test early, so an overestimated D (cliques
-    * collapse in 1-2 rounds) costs at most one idle round, and a graph
+    * its count of smaller and of larger neighbors) yields a
+    * residual-diameter ESTIMATE D as the max of two complementary
+    * proxies — internal nodes per local-minimum (exact on
+    * monotone-id chains, blind on permuted ids) and degree-2 nodes
+    * per path-endpoint pair (exact on ANY path forest regardless of
+    * id ordering — the signal that matters in production, where ids
+    * are hashes — over-reading only when cycles carry the degree-2
+    * mass; see [[ForestStats.diameterEstimate]] for why max is the
+    * right combiner). Both proxies read component SIZE rather than
+    * depth on contracted trees (measured: after 2 rounds a 16-chain
+    * reads 13 by the internal-node proxy at true depth ~4), which is
+    * why the estimate is taken at BIRTH, where components are raw,
+    * not mid-contraction. The loop then schedules `round(log2 D) - 2`
+    * star rounds — the deployment rule applied to a measurement; each
+    * round at least halves diameter (SoCC'14), so the schedule lands
+    * the residue at the ~4-hop collapse target, the measured crossover
+    * where a star round stops paying for itself (one round costs ~2-3
+    * propagation passes and halving a ≤4-hop residue saves at most 2)
+    * — and hands off. An unchanged edge signature inside the schedule
+    * exits through the structural forest test early, so an
+    * overestimated D (cliques and cycle-heavy mixtures collapse in 1-2
+    * rounds) costs at most a couple of idle rounds, and a graph
     * already at or under the target (D ≤ 4, every near-dup shape)
-    * hands off with ZERO rounds. Because D is a per-component MEAN, a
-    * skewed mixture (a million shallow components hiding one deep
-    * chain) can hand off early — the propagation finisher's own
-    * exhaustion fallback (→ [[starLabels]]) still bounds that worst
-    * case, so the estimate tunes cost, never correctness. Pass an
-    * explicit `starRounds >= 0` to pin the budget by hand (the graded
-    * d6d entry pins 1 to force the hand-off path).
+    * hands off with ZERO rounds. Because both proxies are
+    * per-component MEANS, a skewed mixture (a million shallow path
+    * components hiding one deep chain) can still hand off early — the
+    * propagation finisher's own exhaustion fallback (→ [[starLabels]])
+    * still bounds that worst case, so the estimate tunes cost, never
+    * correctness (recovery cost priced on CcProbe's mixture axis).
+    * Pass an explicit `starRounds >= 0` to pin the budget by hand (the
+    * graded d6d entry pins 1 to force the hand-off path).
     *
     * If the graph reaches the star-forest fixpoint DURING the star
     * rounds (small diameter, or a generous explicit `starRounds`),
@@ -797,6 +803,17 @@ object Dedup {
     * measured adaptive star budget (the default).
     */
   val AutoStarRounds: Int = -1
+
+  /** CC strategy-decision trace sink. Defaults to stderr; tests inject
+    * a capturing sink here instead of swapping the process-global
+    * `System.err` (executor/listener threads write to the real stderr
+    * concurrently, so a global swap could pollute or starve a capture
+    * — only the driver-side decision messages flow through this hook).
+    */
+  @volatile private[graft] var traceSink: String => Unit =
+    msg => System.err.println(msg)
+
+  private def trace(msg: String): Unit = traceSink(msg)
 
   /** Canonical undirected edge form for the star-contraction machinery:
     * (a, b) with a < b, deduped — self-loops (a node already wired to
@@ -977,32 +994,64 @@ object Dedup {
 
   /** Structural telemetry of a canonical (a < b) edge set, one
     * groupBy-shaped pass (map-side partial agg, then one shuffle of
-    * node-sized rows): per node, whether it appears as a center (has a
-    * strictly larger neighbor) and how many times as a leaf (has a
-    * smaller one). `violations`/`badLeaves` are the exact negations of
-    * [[isStarForest]]'s two clauses, so `isForest` certifies the final
-    * labeling with the same strength; `diameterEstimate` (internal
-    * nodes per component + 1) is the auto star budget's hand-off
-    * signal — exact on chain components (a chain of diameter D has
-    * D − 1 internal nodes and one root), a mean across components and
-    * an internal-node-count proxy on contracted trees.
+    * node-sized rows): per node, how many times it appears as a center
+    * (has a strictly larger neighbor) and as a leaf (has a smaller
+    * one) — their sum is the node's degree. `violations`/`badLeaves`
+    * are the exact negations of [[isStarForest]]'s two clauses, so
+    * `isForest` certifies the final labeling with the same strength;
+    * `diameterEstimate` is the auto star budget's hand-off signal,
+    * the MAX of two one-pass proxies that fail in different ways:
+    *
+    *   - [[orderedEstimate]] (internal nodes per local-minimum) is
+    *     exact on chains whose ids happen to be MONOTONE along the
+    *     path, but reads ~2 on a deep path with arbitrary/hashed ids
+    *     (every ~3rd node is then a local minimum and only
+    *     middle-valued nodes count as internal) — and production pair
+    *     graphs carry hashed ids, never monotone ones;
+    *   - [[degreeEstimate]] (degree-2 nodes per path-endpoint pair) is
+    *     ID-ORDERING-INSENSITIVE — exact on any path forest however
+    *     the ids are permuted — but over-reads when cycles carry the
+    *     degree-2 mass (a triangle is three degree-2 nodes at
+    *     diameter 1, and cycle nodes never show up as endpoints).
+    *
+    * Taking the max biases the schedule toward MORE star rounds under
+    * disagreement, because the two failure directions are priced
+    * asymmetrically (docs/SCALING.md rounds 18-19): an over-read
+    * converges like pure star plus at most ~2 idle detection rounds
+    * (the early forest exit), while an under-read hands off a deep
+    * graph to propagation, exhausts `maxIter`, and pays the
+    * from-scratch star fallback on top. The remaining shared blind
+    * spot is the skewed MIXTURE — both signals are per-component
+    * means, so a sea of shallow path components dilutes one deep
+    * chain below the round threshold; that case is fallback-bounded
+    * (correctness never depends on the estimate) and its recovery
+    * cost is priced on CcProbe's mixture axis.
     */
   private[operators] final case class ForestStats(
-      violations: Long, roots: Long, badLeaves: Long) {
+      violations: Long, roots: Long, badLeaves: Long,
+      deg1: Long, deg2: Long) {
     def isForest: Boolean = violations == 0L && badLeaves == 0L
-    def diameterEstimate: Double =
+    def orderedEstimate: Double =
       violations.toDouble / math.max(roots, 1L).toDouble + 1.0
+    def degreeEstimate: Double =
+      if (deg2 == 0L) 1.0
+      else deg2.toDouble / math.max(1.0, deg1.toDouble / 2.0) + 1.0
+    def diameterEstimate: Double =
+      math.max(orderedEstimate, degreeEstimate)
   }
 
   private[operators] def forestStats(e: DataFrame): ForestStats = {
     val ends = e.select(col("a").as("n"), lit(1).as("c"), lit(0).as("l"))
       .unionByName(e.select(col("b").as("n"), lit(0).as("c"), lit(1).as("l")))
-      .groupBy("n").agg(max(col("c")).as("c"), sum(col("l")).as("ld"))
+      .groupBy("n").agg(sum(col("c")).as("cd"), sum(col("l")).as("ld"))
     val r = ends.agg(
-      count(when(col("c") === 1 && col("ld") > 0, true)),
-      count(when(col("c") === 1 && col("ld") === 0, true)),
-      count(when(col("c") === 0 && col("ld") > 1, true))).first()
-    ForestStats(r.getLong(0), r.getLong(1), r.getLong(2))
+      count(when(col("cd") > 0 && col("ld") > 0, true)),
+      count(when(col("cd") > 0 && col("ld") === 0, true)),
+      count(when(col("cd") === 0 && col("ld") > 1, true)),
+      count(when(col("cd") + col("ld") === 1, true)),
+      count(when(col("cd") + col("ld") === 2, true))).first()
+    ForestStats(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
   }
 
   /** The auto star budget's collapse target: schedule the star rounds
@@ -1025,31 +1074,33 @@ object Dedup {
   /** The measured-budget hybrid (see [[canonicalizeHybrid]]): ONE
     * [[forestStats]] telemetry pass at birth (it doubles as the action
     * that materializes the checkpointed edge set) yields the
-    * residual-diameter estimate D; `round(log2 D) − 2` star rounds are
-    * scheduled from it and then propagation finishes unconditionally —
-    * re-measuring mid-flight is deliberately absent because the
-    * internal-node proxy reads SIZE, not depth, on contracted trees
+    * residual-diameter estimate D (max of the ordered and degree
+    * proxies — [[ForestStats.diameterEstimate]]); `round(log2 D) − 2`
+    * star rounds are scheduled from it and then propagation finishes
+    * unconditionally — re-measuring mid-flight is deliberately absent
+    * because both proxies read SIZE, not depth, on contracted trees
     * (measured: 13.0 after 2 rounds on a 16-chain at true depth ~4),
     * while the per-round halving the schedule leans on is the SoCC'14
     * guarantee. Rounds materialize through the same cheap
-    * [[edgeSignature]] aggregate as the fixed path; an unchanged
-    * signature is a candidate fixpoint — confirmed structurally, it
-    * reads labels off the forest and skips propagation (the path an
-    * overestimated D on cliques/bushy graphs exits through). Every
-    * decision is traced on stderr — the observable the no-knob spec
-    * pins.
+    * [[edgeSignature]] aggregate as the fixed path, with the
+    * comparison seeded by the birth signature so a round-1 fixpoint is
+    * detectable; an unchanged signature is a candidate fixpoint —
+    * confirmed structurally, it reads labels off the forest and skips
+    * propagation (the path an overestimated D on cliques/bushy graphs
+    * exits through). Every decision is traced through [[traceSink]]
+    * (stderr by default) — the observable the no-knob spec pins.
     */
   private def autoLabels(undirected: DataFrame, maxIter: Int): DataFrame = {
     var (edges, freeEdges) = residentLevel(starNorm(
       undirected.select(col("src"), col("dst"))), truncate = false)
     val stats = forestStats(edges) // full pass: materializes the level
-    System.err.println(
+    trace(
       f"[graft] hybrid auto: residual-diameter estimate " +
         f"${stats.diameterEstimate}%.1f at birth")
     if (stats.isForest) {
       // already a star forest (certified by the same telemetry): read
       // the labels off — zero rounds, zero propagation passes
-      System.err.println(
+      trace(
         "[graft] hybrid auto: star-forest fixpoint after 0 star round(s)")
       return edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
     }
@@ -1057,27 +1108,31 @@ object Dedup {
       math.round(math.log(stats.diameterEstimate) / math.log(2.0)).toInt - 2))
     var rounds = 0
     var forest = false
-    var prevSig: Option[(Long, java.math.BigDecimal)] = None
+    // seeded with the BIRTH signature (one cheap global aggregate over
+    // the already-resident level) so a round-1 fixpoint is detectable
+    // by the same two-consecutive-reads comparison as every later round
+    var prevSig = edgeSignature(edges)
     while (!forest && rounds < scheduled) {
       val (next, freeNext) = residentLevel(
         starRound(edges), truncate = (rounds + 1) % 2 == 0) // see starLabels
       val cur = edgeSignature(next) // fully materializes `next`
       // an unchanged signature is a candidate early fixpoint; the
-      // structural test makes it exact (a collision simply stops the
-      // schedule early — propagation finishes the job regardless)
-      forest = prevSig.contains(cur) && isStarForest(next)
-      prevSig = Some(cur)
+      // structural test makes it exact (on a 2^-64 collision the test
+      // reads false and the schedule simply CONTINUES contracting —
+      // propagation finishes the job regardless, so no abort is needed)
+      forest = cur == prevSig && isStarForest(next)
+      prevSig = cur
       freeEdges()
       edges = next
       freeEdges = freeNext
       rounds += 1
     }
     if (forest) {
-      System.err.println(
+      trace(
         s"[graft] hybrid auto: star-forest fixpoint after $rounds star round(s)")
       edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
     } else {
-      System.err.println(
+      trace(
         s"[graft] hybrid auto: hand-off to propagation after $rounds star " +
           s"round(s) (scheduled $scheduled from the birth estimate)")
       finishWithPropagation(edges, freeEdges, maxIter)
@@ -1170,7 +1225,7 @@ object Dedup {
       // stderr because hitting it usually means the caller's pair graph
       // is chain-shaped and should use canonicalizeStar directly.
       freeLbl()
-      System.err.println(s"[graft] min-label propagation did not converge " +
+      trace(s"[graft] min-label propagation did not converge " +
         s"within $maxIter iterations (component diameter exceeds it); " +
         "falling back to large-star/small-star contraction")
       starLabels(undirected, maxRounds = 50)

@@ -47,9 +47,18 @@ import org.apache.spark.sql.functions._
   * that is high-volume AND high-diameter (`SPARK_GRAFT_CC_DEEP_EDGES`
   * chain edges of length `SPARK_GRAFT_CC_DEEP_LEN`, defaults 100M × 16)
   * — under every strategy in `SPARK_GRAFT_CC_DEEP_MODES`.
+  * Round-19 axes: **chain_perm_*** re-runs the diameter axis with ids
+  * PERMUTED along each path (the production ordering — hashes — that
+  * the ordering-sensitive internal-node proxy under-reads);
+  * **star_perm** prices the auto path on structurally-star-but-not-
+  * min-centered graphs (`SPARK_GRAFT_CC_PERM_EDGES`/`_PERM_MODES`);
+  * **mixture** prices the estimator's fallback-bounded blind spot — a
+  * sea of shallow 2-edge paths hiding one deep chain
+  * (`SPARK_GRAFT_CC_MIX_EDGES`/`_MIX_DEEP`/`_MIX_MODES`).
   * `SPARK_GRAFT_CC_AXES` (comma list of edge_dist, edge_star,
   * edge_hybrid, edge_hybrid_auto, chain_dist, chain_star, chain_hybrid,
-  * chain_hybrid_auto, edge_local, deep)
+  * chain_hybrid_auto, edge_local, deep, chain_perm_auto,
+  * chain_perm_star, chain_perm_hybrid, mixture, star_perm)
   * re-probes one section without re-running the rest.
   *
   * Output: one JSON line on stdout; committed analysis in
@@ -102,6 +111,94 @@ object CcProbe {
 
   private[tools] def chainExpected(len: Int) = s"doc_id - pmod(doc_id, ${len + 1})"
 
+  /** Chain components with ids PERMUTED along the path — the production
+    * shape (pair-graph ids are hashes, never monotone). Within chain
+    * c's id block (L+1)c..(L+1)c+L, path position p holds id
+    * (L+1)c + (3p mod (L+1)) — a bijection whenever gcd(3, L+1) = 1,
+    * and position 0 still holds the block base, so the component min
+    * and the [[chainExpected]] closed form are unchanged. The graph is
+    * ISOMORPHIC to [[chainEdges]]' (same diameter, same blocks); only
+    * the id ordering along the path differs — exactly the axis the
+    * ordering-sensitive internal-node proxy is blind on (ADVICE r18:
+    * on a permuted deep path ~1/3 of nodes are local minima, so that
+    * proxy reads ~2 at any true diameter; the degree proxy added in
+    * round 19 must keep the auto budget's schedule intact here).
+    */
+  private[tools] def chainEdgesPermuted(spark: SparkSession, edges: Long,
+      len: Int): DataFrame = {
+    require(edges % len == 0,
+      s"chain edge count must be divisible by chain length $len, got $edges")
+    require((len + 1) % 3 != 0,
+      s"len+1 must be coprime with the stride 3, got ${len + 1}")
+    val base = (col("id") / len).cast("long") * (len + 1)
+    val p = pmod(col("id"), lit(len))
+    spark.range(edges)
+      .select((base + pmod(p * 3, lit(len + 1))).as("a"),
+        (base + pmod((p + 1) * 3, lit(len + 1))).as("b"))
+  }
+
+  /** Star components with the hub MID-BLOCK (group g: hub 5g+2, leaves
+    * 5g, 5g+1, 5g+3, 5g+4): structurally the same diameter-2 star
+    * forest as [[starEdges]], but NOT min-centered — the honest
+    * near-dup shape when ids are hashes. The birth telemetry therefore
+    * cannot read labels off (the canonical a < b form makes the hub
+    * both a center and a leaf), and the auto path must take the
+    * shallow-estimate → zero rounds → propagation route; this axis
+    * prices that route against pure propagation on the same graph.
+    * Component min is still 5g, so [[starExpected]] is unchanged.
+    */
+  private[tools] def starEdgesOffcenter(spark: SparkSession, edges: Long): DataFrame = {
+    require(edges % 4 == 0, s"star edge count must be divisible by 4, got $edges")
+    val g = (col("id") / 4).cast("long") * 5L
+    val leafIdx = pmod(col("id"), lit(4)) // 0..3 -> leaf offsets 0,1,3,4
+    spark.range(edges)
+      .select((g + 2L).as("a"),
+        (g + when(leafIdx < 2, leafIdx).otherwise(leafIdx + 1L)).as("b"))
+  }
+
+  /** The auto estimator's documented blind spot, at volume: (E - L)/2
+    * shallow 2-edge path components dilute ONE monotone chain of
+    * diameter L. Both diameter proxies are per-component means, so the
+    * birth estimate reads ~2 regardless of L, the auto path hands off
+    * with zero star rounds, propagation exhausts its budget on the
+    * hidden chain, and the star fallback recovers — this axis prices
+    * that recovery path against the pinned-correct hybrid and pure
+    * star on the same graph (VERDICT r18 item 2: the failure mode had
+    * a correctness pin but no cost datum). Shallow path p covers ids
+    * off+3p .. off+3p+2 (off = the first multiple of 3 past the chain
+    * block), so the closed form stays per-node trivial.
+    */
+  private[tools] def mixtureOffset(deepLen: Int): Long =
+    3L * ((deepLen + 4) / 3)
+
+  private[tools] def mixtureEdges(spark: SparkSession, edges: Long,
+      deepLen: Int): DataFrame = {
+    require(edges > deepLen && (edges - deepLen) % 2 == 0,
+      s"mixture needs (edges - $deepLen) positive and even, got $edges")
+    val off = mixtureOffset(deepLen)
+    val chain = spark.range(deepLen)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val shallow = spark.range(edges - deepLen)
+      .select((lit(off) + (col("id") / 2).cast("long") * 3L +
+        pmod(col("id"), lit(2))).as("a"))
+      .withColumn("b", col("a") + 1L)
+    chain.unionByName(shallow)
+  }
+
+  private[tools] def mixtureNodes(spark: SparkSession, edges: Long,
+      deepLen: Int): DataFrame = {
+    val off = mixtureOffset(deepLen)
+    val paths = (edges - deepLen) / 2
+    spark.range(deepLen + 1L).select(col("id").as("doc_id"))
+      .unionByName(
+        spark.range(off, off + 3L * paths).select(col("id").as("doc_id")))
+  }
+
+  private[tools] def mixtureExpected(deepLen: Int): String = {
+    val off = mixtureOffset(deepLen)
+    s"CASE WHEN doc_id < $off THEN 0 ELSE doc_id - pmod(doc_id, 3) END"
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,6 +220,17 @@ object CcProbe {
     val deepModes = sys.env.getOrElse("SPARK_GRAFT_CC_DEEP_MODES", "dist,star,hybrid")
       .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val hybridRounds = sys.env.getOrElse("SPARK_GRAFT_CC_HYBRID_ROUNDS", "2").toInt
+    // the round-19 axes: the skewed path mixture (the estimator's
+    // fallback-bounded blind spot, priced under every strategy), and
+    // the permuted-id / off-center variants of the chain and star axes
+    // (the production id-ordering the r18 monotone graphs never saw)
+    val mixE = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_EDGES", "10000000").toLong
+    val mixDeep = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_DEEP", "64").toInt
+    val mixModes = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_MODES",
+      "hybrid_auto,hybrid,star").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val permE = sys.env.getOrElse("SPARK_GRAFT_CC_PERM_EDGES", "10000000").toLong
+    val permModes = sys.env.getOrElse("SPARK_GRAFT_CC_PERM_MODES",
+      "hybrid_auto,dist").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
 
     // SPARK_GRAFT_MASTER=local-cluster[n,cores,memMB] runs the CC
     // strategies on REAL executor JVMs (socket exchanges,
@@ -268,6 +376,27 @@ object CcProbe {
       axisPoint(len.toString, dir, mode, 2 * len + 8, chainExpected(len))
     }.mkString("{", ",", "}")
 
+    def chainPermAxisJson(mode: String): String = chainLens.map { len =>
+      val dir = ensure(s"chainperm_${len}_$chainE",
+        chainNodes(spark, chainE, len), chainEdgesPermuted(spark, chainE, len))
+      axisPoint(len.toString, dir, mode, 2 * len + 8, chainExpected(len))
+    }.mkString("{", ",", "}")
+
+    // the mixture runs at the USER-DEFAULT propagation budget (25): the
+    // point is to price what a default caller pays when the mean
+    // estimate under-reads and the hidden chain exhausts it
+    def mixtureAxisJson: String = mixModes.map { m =>
+      val dir = ensure(s"mix_${mixDeep}_$mixE",
+        mixtureNodes(spark, mixE, mixDeep), mixtureEdges(spark, mixE, mixDeep))
+      axisPoint(m, dir, m, 25, mixtureExpected(mixDeep))
+    }.mkString("{", ",", "}")
+
+    def starPermAxisJson: String = permModes.map { m =>
+      val dir = ensure(s"starperm_$permE",
+        starNodes(spark, permE), starEdgesOffcenter(spark, permE))
+      axisPoint(m, dir, m, 25, starExpected)
+    }.mkString("{", ",", "}")
+
     def localAxisJson: String = localAxis.map { e =>
       val dir = ensure(s"star_$e", starNodes(spark, e), starEdges(spark, e))
       axisPoint(e.toString, dir, "local", 25, starExpected)
@@ -293,7 +422,15 @@ object CcProbe {
       "chain_hybrid" -> (() => s""""chain_axis_hybrid_e$chainE":${chainAxisJson("hybrid")}"""),
       "chain_hybrid_auto" -> (() => s""""chain_axis_hybrid_auto_e$chainE":${chainAxisJson("hybrid_auto")}"""),
       "edge_local" -> (() => s""""edge_axis_local":$localAxisJson"""),
-      "deep" -> (() => s""""deep_axis_l${deepLen}_e$deepE":$deepAxisJson"""))
+      "deep" -> (() => s""""deep_axis_l${deepLen}_e$deepE":$deepAxisJson"""),
+      "chain_perm_auto" -> (() =>
+        s""""chain_perm_axis_hybrid_auto_e$chainE":${chainPermAxisJson("hybrid_auto")}"""),
+      "chain_perm_star" -> (() =>
+        s""""chain_perm_axis_star_e$chainE":${chainPermAxisJson("star")}"""),
+      "chain_perm_hybrid" -> (() =>
+        s""""chain_perm_axis_hybrid_e$chainE":${chainPermAxisJson("hybrid")}"""),
+      "mixture" -> (() => s""""mixture_axis_l${mixDeep}_e$mixE":$mixtureAxisJson"""),
+      "star_perm" -> (() => s""""star_perm_axis_e$permE":$starPermAxisJson"""))
       .collect { case (k, f) if axes(k) => f() }
 
     println(s"""{"metric":"cc_probe","reps":$reps,"parts":$parts,""" +

@@ -14,6 +14,20 @@ class PropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(20260812L)
 
+  /** Capture the CC strategy-decision trace through Dedup's injectable
+    * sink (messages still tee to the real stderr). Replaces the earlier
+    * System.setErr swap, which raced executor/listener threads writing
+    * to the process-global stream.
+    */
+  private def capturingTrace(body: => Unit): String = {
+    val buf = new StringBuilder
+    val old = graft.operators.Dedup.traceSink
+    graft.operators.Dedup.traceSink =
+      m => { buf.synchronized { buf.append(m).append('\n') }; old(m) }
+    try body finally graft.operators.Dedup.traceSink = old
+    buf.synchronized(buf.toString)
+  }
+
   test("ewma of a constant series is the constant, for any half-life") {
     (1 to 10).foreach { _ =>
       val h = 1.0 + rnd.nextDouble() * 200
@@ -355,17 +369,9 @@ class PropertySpec extends SparkSpec {
     val len = 24
     val ids = (0L to len.toLong).toDF("doc_id")
     val pairs = (0L until len.toLong).map(j => (j, j + 1)).toDF("a", "b")
-    def capturingErr(body: => Unit): String = {
-      val buf = new java.io.ByteArrayOutputStream()
-      val old = System.err
-      val ps = new java.io.PrintStream(buf, true, "UTF-8")
-      System.setErr(ps)
-      try body finally { System.setErr(old); ps.close() }
-      new String(buf.toByteArray, "UTF-8")
-    }
     def runHybrid(rounds: Int): (Array[(Long, Long, Boolean)], String) = {
       var out: Array[(Long, Long, Boolean)] = Array.empty
-      val err = capturingErr {
+      val err = capturingTrace {
         out = graft.operators.Dedup
           .canonicalizeHybrid(ids, "doc_id", pairs, starRounds = rounds,
             maxIter = 8, localEdgeLimit = 0L)
@@ -392,24 +398,17 @@ class PropertySpec extends SparkSpec {
     // required the caller to KNOW the diameter; the auto default measures
     // it instead: one structural-telemetry pass at birth (internal nodes
     // per component + 1 — exact on chains) schedules the rounds, and the
-    // stderr trace is the observable that pins the decision. Chains of
-    // diameter 4 / 16 / 64 must hand off after 0 / 2 / 4 rounds — the
-    // depths the round-17 probe data priced as optimal (L=64: tuned
-    // starRounds=4 ran 44.5 s vs 90.5 s at the old fixed default) — and
-    // the default maxIter must then close the collapsed residue WITHOUT
-    // the exhaustion fallback (proof the collapse was real, not rescued).
-    def capturingErr(body: => Unit): String = {
-      val buf = new java.io.ByteArrayOutputStream()
-      val old = System.err
-      val ps = new java.io.PrintStream(buf, true, "UTF-8")
-      System.setErr(ps)
-      try body finally { System.setErr(old); ps.close() }
-      new String(buf.toByteArray, "UTF-8")
-    }
+    // trace (through the injectable sink) is the observable that pins
+    // the decision. Chains of diameter 4 / 16 / 64 must hand off after
+    // 0 / 2 / 4 rounds — the depths the round-17 probe data priced as
+    // optimal (L=64: tuned starRounds=4 ran 44.5 s vs 90.5 s at the old
+    // fixed default) — and the default maxIter must then close the
+    // collapsed residue WITHOUT the exhaustion fallback (proof the
+    // collapse was real, not rescued).
     def runAuto(pairs: org.apache.spark.sql.DataFrame,
         ids: org.apache.spark.sql.DataFrame): (Array[(Long, Long)], String) = {
       var out: Array[(Long, Long)] = Array.empty
-      val err = capturingErr {
+      val err = capturingTrace {
         out = graft.operators.Dedup
           .canonicalizeHybrid(ids, "doc_id", pairs, localEdgeLimit = 0L)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -431,6 +430,33 @@ class PropertySpec extends SparkSpec {
       assert(out.length == len + 1)
       out.foreach { case (id, canon) => assert(canon == 0L, s"L=$len id=$id") }
     }
+    // the SAME chains with ids PERMUTED along the path (the production
+    // case: ids are hashes, never monotone). The internal-node proxy
+    // under-reads here (~1/3 of a permuted path's nodes are local
+    // minima), which before round 19 scheduled 0 rounds on exactly the
+    // deep graphs the hybrid targets; the degree proxy (deg-2 nodes per
+    // endpoint pair) is ordering-insensitive and must keep the estimate
+    // exact, the schedule unchanged, and the fallback cold.
+    for ((len, wantRounds) <- Seq(16 -> 2, 64 -> 4)) {
+      // sigma(q) = 3q mod (len+1) is a bijection on 0..len whenever
+      // gcd(3, len+1) = 1 (17 and 65 both qualify); position 0 still
+      // maps to id 0, so every node's canonical label stays 0
+      val sigma = (0 to len).map(q => (3 * q) % (len + 1))
+      val ids = (0L to len.toLong).toDF("doc_id")
+      val pairs = (0 until len)
+        .map(j => (sigma(j).toLong, sigma(j + 1).toLong)).toDF("a", "b")
+      val (out, err) = runAuto(pairs, ids)
+      assert(err.contains(s"residual-diameter estimate $len.0 at birth"),
+        s"permuted L=$len: the degree proxy must keep the estimate exact\n$err")
+      assert(err.contains(
+        s"hand-off to propagation after $wantRounds star round(s)"),
+        s"permuted L=$len: expected hand-off after $wantRounds rounds\n$err")
+      assert(!err.contains("falling back"),
+        s"permuted L=$len: the collapse must be real on permuted ids too\n$err")
+      assert(out.length == len + 1)
+      out.foreach { case (id, canon) =>
+        assert(canon == 0L, s"permuted L=$len id=$id") }
+    }
     // a graph that is ALREADY a min-centered star forest reads its labels
     // off the birth telemetry (which doubles as the exact structural
     // test): zero rounds, zero propagation passes
@@ -441,38 +467,71 @@ class PropertySpec extends SparkSpec {
       s"a pre-collapsed forest must short-circuit everything\n$hubErr")
     assert(hubOut.length == 5)
     hubOut.foreach { case (id, canon) => assert(canon == 0L, s"hub id=$id") }
-    // the estimator's DOCUMENTED failure mode, pinned: D is a
-    // per-component mean, so a skewed mixture (many shallow components
-    // hiding one deep chain) under-reads, the auto path hands off with
-    // too few rounds, and the finisher's maxIter exhausts — correctness
-    // must then come from the propagation->star fallback, loudly. 50
-    // triangles (V=1, R=1 each) dilute one 30-hop chain (V=29, R=1) to
-    // D ~ 2.5 <= 4 -> hand-off after 0 rounds; maxIter=8 < 30 -> the
-    // fallback marker must appear and every label must still be exact.
-    val triBase = 1000L
-    val tris = (0 until 50).flatMap { t =>
-      val b = triBase + 3L * t
-      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    // the estimator's DOCUMENTED failure mode, pinned: both proxies are
+    // per-component means, so a skewed PATH mixture (many shallow path
+    // components hiding one deep chain) under-reads, the auto path
+    // hands off with too few rounds, and the finisher's maxIter
+    // exhausts — correctness must then come from the propagation->star
+    // fallback, loudly. 50 two-edge paths (V=1, R=1, deg1=2, deg2=1
+    // each) dilute one 30-hop chain (V=29, R=1, deg1=2, deg2=29) to
+    // D ~ 2.5 <= 4 on BOTH proxies -> hand-off after 0 rounds;
+    // maxIter=8 < 30 -> the fallback marker must appear and every
+    // label must still be exact. (Before round 19 this pin used
+    // triangles; the ordering-insensitive degree proxy now over-reads
+    // cycle-bearing mixtures into the SAFE direction — pinned below —
+    // so the surviving blind spot is exactly the all-path mixture.)
+    val pathBase = 999L // multiple of 3, so want = id - (id % 3) below
+    val shallowPaths = (0 until 50).flatMap { t =>
+      val b = pathBase + 3L * t
+      Seq((b, b + 1), (b + 1, b + 2))
     }
     val chain = (0L until 30L).map(j => (j, j + 1))
-    val mixPairs = (tris ++ chain).toDF("a", "b")
-    val mixIds = ((0L to 30L) ++ (triBase until triBase + 150L)).toDF("doc_id")
+    val mixPairs = (shallowPaths ++ chain).toDF("a", "b")
+    val mixIds = ((0L to 30L) ++ (pathBase until pathBase + 150L)).toDF("doc_id")
     var mixOut: Array[(Long, Long)] = Array.empty
-    val mixErr = capturingErr {
+    val mixErr = capturingTrace {
       mixOut = graft.operators.Dedup
         .canonicalizeHybrid(mixIds, "doc_id", mixPairs, maxIter = 8,
           localEdgeLimit = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
     }
     assert(mixErr.contains("hand-off to propagation after 0 star round(s)"),
-      s"the mean estimate must under-read the skewed mixture\n$mixErr")
+      s"the mean estimate must under-read the skewed path mixture\n$mixErr")
     assert(mixErr.contains("falling back"),
       s"the hidden 30-hop chain must exhaust maxIter=8 and take the " +
         s"star fallback\n$mixErr")
     assert(mixOut.length == 31 + 150)
     mixOut.foreach { case (id, canon) =>
-      val want = if (id < triBase) 0L else id - (id - triBase) % 3
+      val want = if (id < pathBase) 0L else id - (id % 3)
       assert(canon == want, s"mix id=$id")
+    }
+    // the cycle-bearing mixture takes the OVER-read direction, which is
+    // the safe one: 50 triangles are 150 degree-2 nodes with no path
+    // endpoints, so the degree proxy reads the mixture deep (180.0),
+    // schedules real star rounds, and the early forest exit bounds the
+    // overshoot — the 30-hop chain collapses inside the schedule and
+    // the SAME maxIter=8 that forced the fallback above never exhausts.
+    val tris = (0 until 50).flatMap { t =>
+      val b = pathBase + 3L * t
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    val triPairs = (tris ++ chain).toDF("a", "b")
+    var triOut: Array[(Long, Long)] = Array.empty
+    val triErr = capturingTrace {
+      triOut = graft.operators.Dedup
+        .canonicalizeHybrid(mixIds, "doc_id", triPairs, maxIter = 8,
+          localEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(triErr.contains("residual-diameter estimate 180.0 at birth"),
+      s"triangle deg-2 mass must push the degree proxy up\n$triErr")
+    assert(!triErr.contains("falling back"),
+      s"the over-read schedule must collapse the hidden chain, so the " +
+        s"tight maxIter=8 budget never exhausts\n$triErr")
+    assert(triOut.length == 31 + 150)
+    triOut.foreach { case (id, canon) =>
+      val want = if (id < pathBase) 0L else id - (id % 3)
+      assert(canon == want, s"tri-mix id=$id")
     }
   }
 

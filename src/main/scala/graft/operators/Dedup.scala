@@ -775,9 +775,16 @@ object Dedup {
     * components hiding one deep chain) can still hand off early — the
     * propagation finisher's own exhaustion fallback (→ [[starLabels]])
     * still bounds that worst case, so the estimate tunes cost, never
-    * correctness (recovery cost priced on CcProbe's mixture axis).
-    * Pass an explicit `starRounds >= 0` to pin the budget by hand (the
-    * graded d6d entry pins 1 to force the hand-off path).
+    * correctness. The auto hand-off also DERIVES its finisher budget
+    * from the collapse target ([[autoHandOffIter]] = 10, capped by the
+    * caller's `maxIter`) instead of inheriting the full propagation
+    * default: a correct schedule needs ≤ ~5 passes, so a finisher
+    * still unconverged at 10 proves the estimate wrong and switches to
+    * the star fallback without paying the other 15 — the measured
+    * difference between a 3.6× and ~2× worst-case recovery on
+    * CcProbe's 10M-edge mixture axis. Pass an explicit
+    * `starRounds >= 0` to pin the budget by hand (the graded d6d entry
+    * pins 1 to force the hand-off path).
     *
     * If the graph reaches the star-forest fixpoint DURING the star
     * rounds (small diameter, or a generous explicit `starRounds`),
@@ -1071,6 +1078,22 @@ object Dedup {
     */
   private val autoMaxStarRounds = 20
 
+  /** The auto path's propagation-finisher budget, DERIVED from the
+    * collapse target rather than inherited from the caller's `maxIter`:
+    * a correctly-scheduled hand-off leaves a residue of ≤
+    * [[autoCollapseTarget]] hops, which propagation closes in target+1
+    * passes — so `2 + 2 × target` gives the correct case over 2×
+    * headroom while capping what the ESTIMATOR'S failure mode can
+    * waste. Priced on CcProbe's 10M-edge mixture axis (docs/SCALING.md
+    * round 19): with the caller-default budget of 25 the under-read
+    * recovery (exhaust, then star fallback) cost 212.3 s vs the
+    * pinned-correct hybrid's 59.2 s (3.6×); each wasted pass is ~6 s
+    * there, so the derived budget removes ~15 of them and bounds the
+    * recovery at ~2× instead. A caller's explicit smaller `maxIter`
+    * still caps from below.
+    */
+  private val autoHandOffIter = 2 + 2 * autoCollapseTarget.toInt
+
   /** The measured-budget hybrid (see [[canonicalizeHybrid]]): ONE
     * [[forestStats]] telemetry pass at birth (it doubles as the action
     * that materializes the checkpointed edge set) yields the
@@ -1111,7 +1134,11 @@ object Dedup {
     // seeded with the BIRTH signature (one cheap global aggregate over
     // the already-resident level) so a round-1 fixpoint is detectable
     // by the same two-consecutive-reads comparison as every later round
-    var prevSig = edgeSignature(edges)
+    // — but only when rounds are actually scheduled: a zero-round
+    // hand-off (every shallow graph, the common near-dup case) must
+    // not pay a full-edge pass for a comparison that never runs
+    var prevSig: (Long, java.math.BigDecimal) =
+      if (scheduled > 0) edgeSignature(edges) else null
     while (!forest && rounds < scheduled) {
       val (next, freeNext) = residentLevel(
         starRound(edges), truncate = (rounds + 1) % 2 == 0) // see starLabels
@@ -1135,7 +1162,7 @@ object Dedup {
       trace(
         s"[graft] hybrid auto: hand-off to propagation after $rounds star " +
           s"round(s) (scheduled $scheduled from the birth estimate)")
-      finishWithPropagation(edges, freeEdges, maxIter)
+      finishWithPropagation(edges, freeEdges, math.min(maxIter, autoHandOffIter))
     }
   }
 

@@ -505,6 +505,33 @@ class PropertySpec extends SparkSpec {
       val want = if (id < pathBase) 0L else id - (id % 3)
       assert(canon == want, s"mix id=$id")
     }
+    // the hand-off's DERIVED finisher budget (autoHandOffIter = 10, not
+    // the caller's maxIter): a correct schedule leaves <= ~4 hops, so a
+    // finisher still unconverged at 10 passes proves the estimate wrong
+    // and must switch to the star fallback WITHOUT paying the caller
+    // default's other 15 (the 3.6x-vs-2x mixture recovery difference,
+    // docs/SCALING.md round 19). A hidden 15-hop chain needs ~16
+    // passes — under the caller default of 25, over the derived 10 —
+    // so the fallback firing AT 10 is the derivation's observable.
+    val capChain = (0L until 15L).map(j => (j, j + 1))
+    val capPairs = (shallowPaths ++ capChain).toDF("a", "b")
+    val capIds = ((0L to 15L) ++ (pathBase until pathBase + 150L)).toDF("doc_id")
+    var capOut: Array[(Long, Long)] = Array.empty
+    val capErr = capturingTrace {
+      capOut = graft.operators.Dedup
+        .canonicalizeHybrid(capIds, "doc_id", capPairs, localEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(capErr.contains("hand-off to propagation after 0 star round(s)"),
+      s"the 15-chain mixture must also under-read\n$capErr")
+    assert(capErr.contains("did not converge within 10 iterations"),
+      s"the finisher budget must be the derived 10, not the caller's 25\n$capErr")
+    assert(capErr.contains("falling back"), s"\n$capErr")
+    assert(capOut.length == 16 + 150)
+    capOut.foreach { case (id, canon) =>
+      val want = if (id < pathBase) 0L else id - (id % 3)
+      assert(canon == want, s"cap-mix id=$id")
+    }
     // the cycle-bearing mixture takes the OVER-read direction, which is
     // the safe one: 50 triangles are 150 degree-2 nodes with no path
     // endpoints, so the degree proxy reads the mixture deep (180.0),

@@ -597,8 +597,11 @@ object Dedup {
     *     probe's 4M-edge/diameter-64 point (52.8 s vs 272.8 s) and
     *     2.7x slower at diameter 4 (docs/SCALING.md round 15). A
     *     component whose diameter exceeds `maxIter` anyway does not
-    *     fail the job: propagation falls back to the star contraction
-    *     (same fixpoint; loud stderr note), so `maxIter` bounds the
+    *     fail the job: propagation falls back to a star contraction of
+    *     the LABEL-CONTRACTED RESIDUE — the passes already paid first
+    *     shrink the graph to its unconverged quotient, so converged
+    *     components are never re-processed ([[warmStartFallback]];
+    *     same fixpoint; loud stderr note) — so `maxIter` bounds the
     *     propagation budget, never correctness.
     *
     * Either way the (typically expensive — LSH candidate generation +
@@ -772,19 +775,23 @@ object Dedup {
     * already at or under the target (D ≤ 4, every near-dup shape)
     * hands off with ZERO rounds. Because both proxies are
     * per-component MEANS, a skewed mixture (a million shallow path
-    * components hiding one deep chain) can still hand off early — the
-    * propagation finisher's own exhaustion fallback (→ [[starLabels]])
-    * still bounds that worst case, so the estimate tunes cost, never
-    * correctness. The auto hand-off also DERIVES its finisher budget
-    * from the collapse target ([[autoHandOffIter]] = 10, capped by the
-    * caller's `maxIter`) instead of inheriting the full propagation
-    * default: a correct schedule needs ≤ ~5 passes, so a finisher
-    * still unconverged at 10 proves the estimate wrong and switches to
-    * the star fallback without paying the other 15 — the measured
-    * difference between a 3.6× and ~2× worst-case recovery on
-    * CcProbe's 10M-edge mixture axis. Pass an explicit
-    * `starRounds >= 0` to pin the budget by hand (the graded d6d entry
-    * pins 1 to force the hand-off path).
+    * components hiding one deep chain) or a high-degree deep tree (a
+    * caterpillar — its hairs dilute both proxies with no mixture
+    * needed) can still hand off early — the propagation finisher's own
+    * exhaustion fallback (→ [[warmStartFallback]]: a star contraction
+    * of the label-contracted residue only, never a re-run over the
+    * converged majority) still bounds that worst case, so the estimate
+    * tunes cost, never correctness. The auto hand-off also DERIVES its
+    * finisher budget from the collapse target ([[autoHandOffIter]] =
+    * 10, capped by the caller's `maxIter`) instead of inheriting the
+    * full propagation default: a correct schedule needs ≤ ~5 passes, so
+    * a finisher still unconverged at 10 proves the estimate wrong and
+    * switches to the fallback without paying the other 15 — measured
+    * on CcProbe's 10M-edge mixture axis as the difference between a
+    * 3.6× and 2.6× worst-case recovery in round 19, re-priced with the
+    * warm-started fallback in docs/SCALING.md round 20. Pass an
+    * explicit `starRounds >= 0` to pin the budget by hand (the graded
+    * d6d entry pins 1 to force the hand-off path).
     *
     * If the graph reaches the star-forest fixpoint DURING the star
     * rounds (small diameter, or a generous explicit `starRounds`),
@@ -944,9 +951,9 @@ object Dedup {
     * star forest DURING the star budget short-circuits propagation
     * entirely (labels read off the forest, structurally confirmed);
     * otherwise the contracted edges are handed to [[propagatedLabels]],
-    * whose own exhaustion fallback (→ [[starLabels]]) still bounds the
-    * worst case, so `starRounds` and `maxIter` tune cost, never
-    * correctness.
+    * whose own exhaustion fallback (→ [[warmStartFallback]]) still
+    * bounds the worst case, so `starRounds` and `maxIter` tune cost,
+    * never correctness.
     */
   private def hybridLabels(undirected: DataFrame, starRounds: Int,
       maxIter: Int): DataFrame =
@@ -1027,12 +1034,18 @@ object Dedup {
     * converges like pure star plus at most ~2 idle detection rounds
     * (the early forest exit), while an under-read hands off a deep
     * graph to propagation, exhausts `maxIter`, and pays the
-    * from-scratch star fallback on top. The remaining shared blind
-    * spot is the skewed MIXTURE — both signals are per-component
-    * means, so a sea of shallow path components dilutes one deep
-    * chain below the round threshold; that case is fallback-bounded
-    * (correctness never depends on the estimate) and its recovery
-    * cost is priced on CcProbe's mixture axis.
+    * budget-bounded star fallback on top. The remaining shared blind
+    * spots are per-component-MEAN effects: a skewed MIXTURE (a sea of
+    * shallow path components dilutes one deep chain below the round
+    * threshold) and, equivalently, a single high-degree deep tree — a
+    * CATERPILLAR's hairs inflate `deg1` and pull spine nodes out of
+    * `deg2`, while hashed ids defeat the ordered proxy, so one deep
+    * component under-reads with no mixture needed (PropertySpec pins
+    * the caterpillar route). Both cases are fallback-bounded
+    * (correctness never depends on the estimate), their recovery cost
+    * is priced on CcProbe's mixture axis, and since round 20 the
+    * fallback warm-starts from the partial labels
+    * ([[warmStartFallback]]) instead of re-contracting the whole graph.
     */
   private[operators] final case class ForestStats(
       violations: Long, roots: Long, badLeaves: Long,
@@ -1047,10 +1060,22 @@ object Dedup {
       math.max(orderedEstimate, degreeEstimate)
   }
 
-  private[operators] def forestStats(e: DataFrame): ForestStats = {
-    val ends = e.select(col("a").as("n"), lit(1).as("c"), lit(0).as("l"))
-      .unionByName(e.select(col("b").as("n"), lit(0).as("c"), lit(1).as("l")))
-      .groupBy("n").agg(sum(col("c")).as("cd"), sum(col("l")).as("ld"))
+  /** Telemetry over the [[propagationEdges]] frame (each deduped
+    * undirected edge once per direction plus one self-loop per node,
+    * hash-partitioned by dst — the exact frame the propagation finisher
+    * consumes, so the aggregate that computes these stats doubles as
+    * the action that populates its cache). Grouping by dst aligns with
+    * the frame's partitioning — no exchange — and yields the same
+    * per-node counts the canonical a < b form defines: node n's
+    * center-degree is its count of larger neighbors (n appears as `a`
+    * exactly once per larger neighbor) and its leaf-degree the count of
+    * smaller ones; the strict comparisons make self-loop rows invisible
+    * to both.
+    */
+  private[operators] def forestStats(bidir: DataFrame): ForestStats = {
+    val ends = bidir.groupBy(col("dst").as("n"))
+      .agg(count(when(col("src") > col("dst"), true)).as("cd"),
+        count(when(col("src") < col("dst"), true)).as("ld"))
     val r = ends.agg(
       count(when(col("cd") > 0 && col("ld") > 0, true)),
       count(when(col("cd") > 0 && col("ld") === 0, true)),
@@ -1086,19 +1111,24 @@ object Dedup {
     * headroom while capping what the ESTIMATOR'S failure mode can
     * waste. Priced on CcProbe's 10M-edge mixture axis (docs/SCALING.md
     * round 19): with the caller-default budget of 25 the under-read
-    * recovery (exhaust, then star fallback) cost 212.3 s vs the
-    * pinned-correct hybrid's 59.2 s (3.6×); each wasted pass is ~6 s
-    * there, so the derived budget removes ~15 of them and bounds the
-    * recovery at ~2× instead. A caller's explicit smaller `maxIter`
-    * still caps from below.
+    * recovery (exhaust, then the then-from-scratch star fallback) cost
+    * 212.3 s vs the pinned-correct hybrid's 59.2 s (3.6×); the derived
+    * budget removed ~10 wasted passes at ~6 s each and measured the
+    * recovery at 153.0 s — a 2.6× worst case, 2.3× at 30M edges. Since
+    * round 20 the exhaustion fallback itself warm-starts
+    * ([[warmStartFallback]]), shrinking the recovery further (fresh
+    * numbers in docs/SCALING.md round 20). A caller's explicit smaller
+    * `maxIter` still caps from below.
     */
   private val autoHandOffIter = 2 + 2 * autoCollapseTarget.toInt
 
   /** The measured-budget hybrid (see [[canonicalizeHybrid]]): ONE
-    * [[forestStats]] telemetry pass at birth (it doubles as the action
-    * that materializes the checkpointed edge set) yields the
-    * residual-diameter estimate D (max of the ordered and degree
-    * proxies — [[ForestStats.diameterEstimate]]); `round(log2 D) − 2`
+    * [[forestStats]] telemetry aggregate at birth — FUSED since round
+    * 20 with the propagation finisher's own edge-frame materialization,
+    * so the common zero-round hand-off pays no dedicated telemetry
+    * chain — yields the residual-diameter estimate D (max of the
+    * ordered and degree proxies —
+    * [[ForestStats.diameterEstimate]]); `round(log2 D) − 2`
     * star rounds are scheduled from it and then propagation finishes
     * unconditionally — re-measuring mid-flight is deliberately absent
     * because both proxies read SIZE, not depth, on contracted trees
@@ -1114,31 +1144,59 @@ object Dedup {
     * (stderr by default) — the observable the no-knob spec pins.
     */
   private def autoLabels(undirected: DataFrame, maxIter: Int): DataFrame = {
-    var (edges, freeEdges) = residentLevel(starNorm(
-      undirected.select(col("src"), col("dst"))), truncate = false)
-    val stats = forestStats(edges) // full pass: materializes the level
+    // FUSED birth telemetry (round 20; VERDICT r19 item 3): the
+    // telemetry no longer has a materialization chain of its own. The
+    // auto path builds the SAME [[propagationEdges]] frame the
+    // propagation finisher consumes (canonical dedup + self-loops,
+    // bidirectional, dst-partitioned, persisted), and [[forestStats]]'
+    // dst-aligned aggregate is the action that populates it. The
+    // r18/r19 shape paid a dedicated canonical persist, a union-shaped
+    // two-direction telemetry scan, and an extra eager checkpoint on
+    // the hand-off; on a shallow graph (the common near-dup case, where
+    // the answer is "zero rounds") that premium measured 1.8x pure
+    // propagation (star_perm at 10M: 17.9 vs 10.2 s). Fused, the
+    // zero-round hand-off passes the frame to [[propagateOver]] as-is,
+    // so the default caller's premium shrinks to one in-cache
+    // aggregate.
+    val bidir = propagationEdges(undirected)
+    val stats = forestStats(bidir) // the action that populates the cache
     trace(
       f"[graft] hybrid auto: residual-diameter estimate " +
         f"${stats.diameterEstimate}%.1f at birth")
     if (stats.isForest) {
-      // already a star forest (certified by the same telemetry): read
-      // the labels off — zero rounds, zero propagation passes
+      // already a min-centered star forest (certified by the same
+      // telemetry): read the labels off — zero rounds, zero propagation
+      // passes, one dst-aligned aggregate over the resident frame
       trace(
         "[graft] hybrid auto: star-forest fixpoint after 0 star round(s)")
-      return edges.groupBy(col("b").as("id")).agg(min(col("a")).as("lbl"))
+      return bidir.filter(col("src") < col("dst"))
+        .groupBy(col("dst").as("id")).agg(min(col("src")).as("lbl"))
     }
     val scheduled = math.min(autoMaxStarRounds, math.max(0,
       math.round(math.log(stats.diameterEstimate) / math.log(2.0)).toInt - 2))
+    if (scheduled == 0) {
+      // the common near-dup hand-off: the finisher consumes the
+      // telemetry frame directly — no canonical level, no re-checkpoint
+      trace(
+        "[graft] hybrid auto: hand-off to propagation after 0 star " +
+          "round(s) (scheduled 0 from the birth estimate)")
+      return propagateOver(bidir, math.min(maxIter, autoHandOffIter))
+    }
+    // star rounds scheduled (the deep-graph path): the canonical a < b
+    // form is a shuffle-free filter off the resident bidirectional
+    // frame; the birth signature doubles as the action that
+    // materializes the canonical level, after which the bidirectional
+    // frame is released
+    var (edges, freeEdges) = residentLevel(
+      bidir.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")), truncate = false)
     var rounds = 0
     var forest = false
-    // seeded with the BIRTH signature (one cheap global aggregate over
-    // the already-resident level) so a round-1 fixpoint is detectable
-    // by the same two-consecutive-reads comparison as every later round
-    // — but only when rounds are actually scheduled: a zero-round
-    // hand-off (every shallow graph, the common near-dup case) must
-    // not pay a full-edge pass for a comparison that never runs
-    var prevSig: (Long, java.math.BigDecimal) =
-      if (scheduled > 0) edgeSignature(edges) else null
+    // seeded with the BIRTH signature so a round-1 fixpoint is
+    // detectable by the same two-consecutive-reads comparison as every
+    // later round
+    var prevSig: (Long, java.math.BigDecimal) = edgeSignature(edges)
+    bidir.unpersist()
     while (!forest && rounds < scheduled) {
       val (next, freeNext) = residentLevel(
         starRound(edges), truncate = (rounds + 1) % 2 == 0) // see starLabels
@@ -1195,32 +1253,75 @@ object Dedup {
   /** Distributed min-label propagation (see [[canonicalize]]); returns a
     * persisted (id, lbl) frame over edge-touched nodes.
     */
-  private def propagatedLabels(undirected: DataFrame, maxIter: Int): DataFrame = {
-    // both edge directions from ONE narrow pass over the checkpointed list
-    val edges = undirected
+  private def propagatedLabels(undirected: DataFrame, maxIter: Int): DataFrame =
+    propagateOver(propagationEdges(undirected), maxIter)
+
+  /** The propagation loop's edge frame, built in one pipeline over the
+    * checkpointed pair list: canonical dedup PLUS one (n, n) self-loop
+    * per edge-touched node — folded into the same distinct, so the node
+    * set costs no pass of its own — then both directions of every real
+    * edge, hash-partitioned by the propagation join key and persisted
+    * (every iteration joins on dst; without the resident partitioning
+    * the large-at-scale edge set would re-shuffle once per iteration).
+    * The self-loops are what let each pass be ONE join + ONE aggregate:
+    * they fold a node's own label into the per-node minimum, so no
+    * join-back against the previous level is needed (see
+    * [[propagateOver]]).
+    */
+  private def propagationEdges(undirected: DataFrame): DataFrame =
+    undirected
       .select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        struct(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        struct(col("src").as("a"), col("src").as("b")),
+        struct(col("dst").as("a"), col("dst").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      // duplicate pairs, input self-loops, and the per-endpoint
+      // self-loop candidates all collapse in one partial-aggregated
+      // distinct (map-side dedup keeps the shuffled volume near the
+      // unique-edge count, not the 3x exploded row count)
+      .distinct()
+      .select(posexplode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as(Seq("p", "e")))
+      // a self-loop must enter once, not once per direction
+      .filter(col("p") === 0 || col("e.src") =!= col("e.dst"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // partition by the propagation join key BEFORE persisting: every
-      // iteration joins on dst, and the cached hash partitioning is
-      // reused by each of them — without it the (large-at-scale) edge set
-      // would re-shuffle once per iteration
       .repartition(col("dst"))
       .persist()
+
+  /** The propagation loop proper, over a [[propagationEdges]] frame —
+    * built by [[propagatedLabels]], or handed over already-materialized
+    * by the fused-telemetry auto path ([[autoLabels]]'s zero-round
+    * hand-off, which reuses its telemetry frame instead of paying a
+    * second materialization chain). Owns the frame: every exit path
+    * unpersists it once the labels no longer need it.
+    *
+    * Each pass attaches the current labels on dst (reusing the frame's
+    * resident hash partitioning) and takes the per-src minimum; the
+    * self-loop rows fold each node's OWN label into that minimum, so
+    * one join + one aggregate per pass replaces the old neighbor-min +
+    * left-join-back shape (two shuffle ops per pass, not three) — and,
+    * decisive for the driver at high iteration counts, each level's
+    * plan references its predecessor ONCE, so plan trees grow LINEARLY
+    * in the pass count between [[residentLevel]] truncations instead of
+    * doubling per pass (the round-20 heap-pressure fix: the 2^k tree
+    * OOM'd an 8 GB driver at 8 untruncated levels once the level base
+    * carried the fused telemetry frame's deeper subtree).
+    */
+  private def propagateOver(edges: DataFrame, maxIter: Int): DataFrame = {
     // propagate only over edge-touched nodes: the label frame scales with
     // the DUP population (tiny next to the corpus), and the untouched
     // majority joins back in once at the end as its own canonical id
-    def propagate(cur: DataFrame): DataFrame = {
-      val nbrMin = edges.join(cur, col("dst") === col("id"))
-        .groupBy(col("src").as("nid")).agg(min(col("lbl")).as("nbl"))
-      cur.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-    }
+    def propagate(cur: DataFrame): DataFrame =
+      edges.join(cur, col("dst") === col("id"))
+        .groupBy(col("src").as("id")).agg(min(col("lbl")).as("lbl"))
+    // the initial level reads the node set off the self-loop rows — a
+    // shuffle-free filter of the resident frame whose dst-partitioning
+    // survives the alias into (id, lbl)
     var (lbl, freeLbl) = residentLevel(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")), truncate = false)
+      edges.filter(col("src") === col("dst"))
+        .select(col("dst").as("id"), col("dst").as("lbl")), truncate = false)
     // labels only decrease; decimal sum avoids overflow on wide id spaces
     def labelSum(d: DataFrame): java.math.BigDecimal = {
       val v = d.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
@@ -1240,23 +1341,91 @@ object Dedup {
       prev = cur
       it += 1
     }
-    edges.unpersist()
     if (!done) {
       // A diameter past maxIter is a GRAPH-SHAPE surprise, not a reason
-      // to kill a 100 TB pipeline: fall back to the O(log n)-round star
-      // contraction, which computes the identical fixpoint with a round
-      // budget that no realistic diameter exhausts (PropertySpec pins
-      // the switch on a chain longer than its maxIter). The partial
-      // propagation work is discarded — labels cannot seed the star
-      // rounds, whose state is an edge set — and the switch is loud on
-      // stderr because hitting it usually means the caller's pair graph
-      // is chain-shaped and should use canonicalizeStar directly.
-      freeLbl()
+      // to kill a 100 TB pipeline: the switch is loud on stderr because
+      // hitting it usually means the caller's pair graph is chain-shaped
+      // and should use canonicalizeStar/canonicalizeHybrid directly.
       trace(s"[graft] min-label propagation did not converge " +
         s"within $maxIter iterations (component diameter exceeds it); " +
-        "falling back to large-star/small-star contraction")
-      starLabels(undirected, maxRounds = 50)
-    } else lbl
+        "falling back to star contraction of the label-contracted residue")
+      warmStartFallback(edges, lbl, freeLbl)
+    } else { edges.unpersist(); lbl }
+  }
+
+  /** Edge budget under which the warm-start fallback's residual
+    * label-space graph routes to the driver union-find — the same
+    * crossover CcProbe pinned for the entry-point gate (500k), and in
+    * any realistic exhaustion the residue sits orders of magnitude
+    * under it (see [[warmStartFallback]]).
+    */
+  private val warmStartLocalEdges = 500000L
+
+  /** WARM-START exhaustion fallback (round 20; VERDICT r19 item 1):
+    * when the propagation budget exhausts, the passes already paid are
+    * not discarded — the graph is CONTRACTED BY THE PARTIAL LABELS and
+    * only the residue is re-solved. Until round 19 the fallback
+    * restarted [[starLabels]] on the WHOLE edge set: on CcProbe's
+    * 10M-edge mixture (one 64-chain hiding in 5M two-edge paths) that
+    * re-contracted 5M already-converged components to fix one chain.
+    *
+    * Why the quotient is exact: labels only flow along edges, so two
+    * nodes sharing a partial label are provably connected, and mapping
+    * every edge to its endpoints' labels yields a quotient graph whose
+    * components are exactly the original components' images. A fully
+    * converged component carries one label, so its edges quotient to
+    * self-loops and VANISH — the quotient holds only the unconverged
+    * residue. And because every component's minimum node labels itself
+    * (labels only decrease; nothing in the component is smaller), the
+    * quotient's node ids are original node ids whose min-label fixpoint
+    * IS the component-min fixpoint: solving CC over the quotient and
+    * composing through the partial labels (one broadcast-sized join)
+    * reproduces [[canonicalize]]'s exact output contract.
+    *
+    * Size: each partial label is the min id within `maxIter` hops, so a
+    * diameter-D component leaves ~D/maxIter quotient nodes — any
+    * realistic exhaustion leaves a residue orders of magnitude under
+    * the union-find gate and is solved on the driver in milliseconds;
+    * a residue past [[warmStartLocalEdges]] takes the star contraction,
+    * so the bound survives adversarial shapes. The quotient itself
+    * costs ONE dst-aligned join against the resident label frame plus
+    * one shuffle of undirected edge keys (the bidirectional frame
+    * carries each edge once per direction, so grouping by the
+    * undirected key collects both endpoint labels without a second
+    * pass over the edge set).
+    */
+  private def warmStartFallback(edges: DataFrame, lbl: DataFrame,
+      freeLbl: () => Unit): DataFrame = {
+    val quotient = edges.join(lbl, col("dst") === col("id"))
+      .select(least(col("src"), col("dst")).as("ka"),
+        greatest(col("src"), col("dst")).as("kb"), col("lbl"))
+      .groupBy("ka", "kb")
+      .agg(min("lbl").as("la"), max("lbl").as("lb"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+    val (res, freeRes) = residentLevel(quotient, truncate = true)
+    edges.unpersist()
+    val n = res.count() // cheap: counts the eager checkpoint's blocks
+    if (n == 0L) {
+      // the final pass converged exactly AT the budget (the label-sum
+      // check needs one more pass to observe it): lbl is the fixpoint
+      freeRes()
+      lbl
+    } else {
+      trace(s"[graft] warm-start fallback: re-solving $n residual " +
+        "label-space edge(s)")
+      val resLbl =
+        if (n <= warmStartLocalEdges) localLabels(res)
+        else starLabels(res, maxRounds = 50)
+      val composed = lbl.join(
+          resLbl.select(col("id").as("rid"), col("lbl").as("rlbl")),
+          col("lbl") === col("rid"), "left")
+        .select(col("id"), coalesce(col("rlbl"), col("lbl")).as("lbl"))
+      val (out, _) = residentLevel(composed, truncate = true)
+      freeLbl()
+      freeRes()
+      out
+    }
   }
 
   /** Iterations between plan-truncating checkpoints in the iterative

@@ -226,8 +226,13 @@ object CcProbe {
     // (the production id-ordering the r18 monotone graphs never saw)
     val mixE = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_EDGES", "10000000").toLong
     val mixDeep = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_DEEP", "64").toInt
+    // ONE mode per session by default: a mixture run that takes the
+    // exhaust-then-fallback route bloats the session enough to OOM a
+    // following pinned-hybrid rep (round-19 note in the verify skill) —
+    // compare strategies across separate CcProbe sessions, the same
+    // one-strategy-per-session rule the deep axis documents
     val mixModes = sys.env.getOrElse("SPARK_GRAFT_CC_MIX_MODES",
-      "hybrid_auto,hybrid,star").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      "hybrid_auto").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val permE = sys.env.getOrElse("SPARK_GRAFT_CC_PERM_EDGES", "10000000").toLong
     val permModes = sys.env.getOrElse("SPARK_GRAFT_CC_PERM_MODES",
       "hybrid_auto,dist").split(',').toSeq.map(_.trim).filter(_.nonEmpty)

@@ -413,6 +413,35 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(loud.length <= 1850)
   }
 
+  test("quiet-window gate: fires only on a quiet host past the quiet hi") {
+    // the r19 d9 rule, mechanized (round 20): d9's busy-window band hi
+    // (9.0) must not swallow a quiet-host regression — at calib_ratio
+    // <= 0.9 a read over 3.7 s gates (fresh-JVM re-run; persistent
+    // excess -> band_exceeded), while a busy window defers to the
+    // primary band untouched
+    val (qHi, ceil) = Bench.sf01QuietBands("d9_incremental_neardup")
+    assert(qHi == 3.7 && ceil == 0.9)
+    // quiet host, over the quiet hi: gates
+    assert(Bench.sf01QuietExceeded("d9_incremental_neardup", 4.0, 0.85))
+    assert(Bench.sf01QuietExceeded("d9_incremental_neardup", qHi + 0.01, ceil))
+    // quiet host, at/under the quiet hi: no gate
+    assert(!Bench.sf01QuietExceeded("d9_incremental_neardup", qHi, 0.85))
+    assert(!Bench.sf01QuietExceeded("d9_incremental_neardup", 1.8, 0.7))
+    // busy host: the wide primary band owns the call, quiet gate silent
+    assert(!Bench.sf01QuietExceeded("d9_incremental_neardup", 8.0, 1.1))
+    assert(!Bench.sf01QuietExceeded("d9_incremental_neardup", 8.0, 0.91))
+    // failed entries and unpinned entries never gate
+    assert(!Bench.sf01QuietExceeded("d9_incremental_neardup", -1.0, 0.5))
+    assert(!Bench.sf01QuietExceeded("q1_agg", 1e9, 0.5))
+    // every quiet band refines a PINNED primary band, under its hi
+    Bench.sf01QuietBands.foreach { case (name, (hi, _)) =>
+      val primary = Bench.sf01IsolatedBands.get(name)
+      assert(primary.nonEmpty, s"$name quiet band without a primary band")
+      assert(hi < primary.get._2,
+        s"$name quiet hi must sit under the busy-window hi")
+    }
+  }
+
   test("band-at-birth: heavy-family and >5s sweep entries carry a band " +
       "or an audited exemption") {
     // The round-16 band-gate coverage audit closed with a PROSE rule —

@@ -560,6 +560,41 @@ class PropertySpec extends SparkSpec {
       val want = if (id < pathBase) 0L else id - (id % 3)
       assert(canon == want, s"tri-mix id=$id")
     }
+    // the OTHER per-component-mean blind spot (ADVICE r19): a single
+    // high-degree deep tree — a CATERPILLAR — needs no mixture to
+    // under-read. A 30-hop spine with one hair per spine node: the 31
+    // hairs inflate deg1 (so the degree proxy reads ~2/15.5 + 1 ≈ 1.1)
+    // and pull every interior spine node out of deg2, while spine ids
+    // permuted by the half-range stride 16 alternate low/high so ~half
+    // the spine nodes are local minima (ordered proxy ≈ 15/16 + 1 ≈
+    // 1.9; the hairs, all larger than every spine id, change no spine
+    // node's root/violation status) — so the estimate lands under the
+    // round threshold, the auto path hands off with zero rounds, the
+    // derived 10-pass finisher exhausts on the 30-hop spine, and the
+    // warm-start fallback must recover exact labels.
+    val catLen = 30 // spine ids permuted via 16q mod 31 (gcd(16, 31) = 1)
+    val catSigma = (0 to catLen).map(q => (16 * q) % (catLen + 1))
+    val catSpine = (0 until catLen)
+      .map(j => (catSigma(j).toLong, catSigma(j + 1).toLong))
+    val catHairs = (0 to catLen).map(j => (catSigma(j).toLong, 100L + j))
+    val catPairs = (catSpine ++ catHairs).toDF("a", "b")
+    val catIds = ((0L to catLen.toLong) ++
+      (100L to (100L + catLen))).toDF("doc_id")
+    var catOut: Array[(Long, Long)] = Array.empty
+    val catErr = capturingTrace {
+      catOut = graft.operators.Dedup
+        .canonicalizeHybrid(catIds, "doc_id", catPairs, localEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(catErr.contains("hand-off to propagation after 0 star round(s)"),
+      s"a hairy deep tree must dilute both mean proxies\n$catErr")
+    assert(catErr.contains("did not converge within 10 iterations"),
+      s"the 30-hop spine must exhaust the derived finisher budget\n$catErr")
+    assert(catErr.contains("falling back"), s"\n$catErr")
+    assert(catOut.length == 2 * (catLen + 1))
+    catOut.foreach { case (id, canon) =>
+      assert(canon == 0L, s"caterpillar id=$id")
+    }
   }
 
   test("CC strategies agree on a lollipop graph (hub skew + long tail in one component)") {

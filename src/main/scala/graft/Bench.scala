@@ -1356,13 +1356,13 @@ object Bench {
     // neighbor-min + join-back), and d6e's auto path fuses its birth
     // telemetry into the finisher's edge-frame materialization (no
     // dedicated canonical persist, no hand-off re-checkpoint). Isolated
-    // REPS=3 at calib_ratio 0.78: d6d [3.37, 3.92, 3.79], d6e
-    // [2.47, 1.95, 1.89] — roughly half their r19 quiet reads, as the
-    // removed per-pass join and removed materializations predict. lo
-    // under the quiet min; hi at the d6-family busy-window headroom
-    // ratio (~2.3-2.9x the quiet min, the same convention d6c/d6e used
-    // in r16/r19) — single-window provenance, to be confirmed against
-    // the r20 in-sweep reads.
+    // REPS=3 in two windows: quiet (calib 0.78) d6d [3.37, 3.92, 3.79],
+    // d6e [2.47, 1.95, 1.89] — roughly half their r19 quiet reads, as
+    // the removed per-pass join and removed materializations predict —
+    // and busy (a concurrent 30M-edge CcProbe mixture run saturating
+    // the host) d6d [5.90, 4.72, 5.09], d6e [3.82, 2.87, 3.38]. lo
+    // under the quiet min; hi ≈ 1.4-1.5x the busy max, the same
+    // headroom convention the d9/d6c busy-window pins used.
     "d6d_dedup_clusters_hybrid" -> (2.5, 9.0),
     "d6e_dedup_clusters_auto" -> (1.5, 5.5))
 

@@ -1037,16 +1037,18 @@ object SparkEntry {
       Dedup.canonicalize(docs, "doc_id", pairs)
     }),
 
-    // d6's DISTRIBUTED branch under the same oracle: localEdgeLimit=0
-    // forces the iterative min-label propagation (the path a >1M-edge
-    // pair graph takes at 100 TB) instead of the driver union-find the
-    // small-edge common case selects. Same unique fixpoint, same
-    // recursive-CTE oracle; the at-scale cost of the propagation loop
-    // itself is measured by graft.tools.CcProbe (docs/SCALING.md).
+    // The PINNED min-label propagation strategy under the same oracle:
+    // localEdgeLimit=0 forces the distributed branch, and since round 20
+    // (when canonicalize's distributed default became the measured auto
+    // hybrid, graded by d6e) this entry pins the pure-propagation
+    // strategy explicitly so it stays under the per-round gate. Same
+    // unique fixpoint, same recursive-CTE oracle; the at-scale cost of
+    // the propagation loop is measured by graft.tools.CcProbe
+    // (docs/SCALING.md).
     "d6b_dedup_clusters_dist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minHashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
-      Dedup.canonicalize(docs, "doc_id", pairs, localEdgeLimit = 0L)
+      Dedup.canonicalizePropagation(docs, "doc_id", pairs, localEdgeLimit = 0L)
     }),
 
     // The O(log n)-round alternating star contraction (large-star/

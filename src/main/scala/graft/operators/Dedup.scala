@@ -579,30 +579,34 @@ object Dedup {
     *     starvation → executor OOM building the 12.5M-row broadcast;
     *     the distributed loop ran the same point in 10.3 s), so the
     *     default keeps a wide margin to both the slowdown and the wall.
-    *   - **Distributed min-label propagation** above the limit: each
-    *     iteration joins labels across edges and keeps the elementwise
-    *     minimum, converging in O(cluster diameter) iterations —
-    *     near-dup clusters are near-cliques (diameter ≤ 2-3), so a
-    *     handful of passes closes even a billion-edge graph; each pass
-    *     is one join + one aggregation, all shuffle-partitioned by id.
-    *     Convergence is detected by the label-sum fixpoint (labels only
-    *     ever decrease, so an unchanged sum means an unchanged
-    *     labeling), one tiny aggregate action per iteration. Measured
-    *     to 100M edges and to diameter 64 (CcProbe: time ∝ E at fixed
-    *     diameter, ∝ diameter at fixed E). Near-dup graphs never
-    *     approach the high-diameter regime; a pair graph that does
-    *     (transitive entity-resolution chains, link graphs) should use
-    *     [[canonicalizeStar]] — the O(log n)-round alternating star
-    *     contraction, same fixpoint, measured 5.2x faster at the
-    *     probe's 4M-edge/diameter-64 point (52.8 s vs 272.8 s) and
-    *     2.7x slower at diameter 4 (docs/SCALING.md round 15). A
-    *     component whose diameter exceeds `maxIter` anyway does not
-    *     fail the job: propagation falls back to a star contraction of
-    *     the LABEL-CONTRACTED RESIDUE — the passes already paid first
-    *     shrink the graph to its unconverged quotient, so converged
-    *     components are never re-processed ([[warmStartFallback]];
-    *     same fixpoint; loud stderr note) — so `maxIter` bounds the
-    *     propagation budget, never correctness.
+    *   - **The measured-budget auto hybrid** above the limit (round 20;
+    *     previously pinned min-label propagation): one structural
+    *     telemetry aggregate at birth estimates the residual diameter,
+    *     schedules `round(log2 D) − 2` star-contraction rounds (zero on
+    *     every near-dup shape), and finishes with min-label propagation
+    *     — see [[canonicalizeHybrid]], whose default this routes to.
+    *     The round-20 strategy matrix (docs/SCALING.md) is why: the
+    *     auto path now ties or beats pinned propagation on EVERY
+    *     measured cell — min-centered 10M/30M stars 6.4/24.2 s vs
+    *     9.8/36.5 (an already-star-forest graph reads its labels off
+    *     the telemetry, skipping propagation entirely), off-center 10M
+    *     stars (hashed ids, the honest near-dup shape) 11.8 vs 13.0,
+    *     the 10M skewed mixture 44.7 vs 91.9, and permuted deep chains
+    *     ~8x at diameter 64 — since the fused telemetry
+    *     ([[autoLabels]]) costs one in-cache aggregate and buys both
+    *     the read-off exit and the diameter-collapse schedule.
+    *     `maxIter` still bounds the propagation passes (the auto
+    *     hand-off derives a tighter finisher budget,
+    *     [[autoHandOffIter]], and a component past EITHER budget takes
+    *     the warm-start fallback: a star contraction of the
+    *     label-contracted residue, converged components never
+    *     re-processed — [[warmStartFallback]]; same fixpoint; loud
+    *     stderr note — so budgets tune cost, never correctness).
+    *     Callers who want a SPECIFIC strategy pin one explicitly:
+    *     [[canonicalizePropagation]] (pure min-label propagation — the
+    *     pre-r20 default, leanest per-pass machinery),
+    *     [[canonicalizeStar]] (pure alternating star contraction), or
+    *     [[canonicalizeHybrid]] with an explicit `starRounds`.
     *
     * Either way the (typically expensive — LSH candidate generation +
     * verification) pair pipeline is evaluated exactly once: an eager
@@ -617,6 +621,29 @@ object Dedup {
   def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25, localEdgeLimit: Long = 500000L): DataFrame =
     canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalize")(
+      autoLabels(_, maxIter))
+
+  /** Connected-components canonicalization by PINNED MIN-LABEL
+    * PROPAGATION — the strategy [[canonicalize]]'s distributed branch
+    * routed to before round 20, kept as an explicit pin (the graded d6b
+    * entry and CcProbe's dist mode measure exactly this) and for
+    * callers who know their graph is shallow and want the leanest
+    * per-pass machinery with no birth telemetry. Each pass joins the
+    * current labels across the self-loop-augmented edge frame and keeps
+    * the per-node minimum — one join + one aggregate, converging in
+    * O(cluster diameter) passes; convergence is detected by the
+    * label-sum fixpoint (labels only ever decrease), one tiny aggregate
+    * action per pass. Measured to 100M edges and diameter 64 (CcProbe:
+    * time ∝ E at fixed diameter, ∝ diameter at fixed E). A component
+    * whose diameter exceeds `maxIter` does not fail the job: the
+    * warm-start fallback re-solves the label-contracted residue
+    * ([[warmStartFallback]]), so `maxIter` bounds the propagation
+    * budget, never correctness. Same size-then-strategy gate and same
+    * unique min-label fixpoint as every other entry point.
+    */
+  def canonicalizePropagation(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 25, localEdgeLimit: Long = 500000L): DataFrame =
+    canonicalized(df, idCol, pairs, localEdgeLimit, "canonicalizePropagation")(
       propagatedLabels(_, maxIter))
 
   /** The shared size-then-strategy skeleton of the three canonicalize

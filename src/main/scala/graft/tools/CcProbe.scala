@@ -277,8 +277,8 @@ object CcProbe {
         maxIter: Int): DataFrame = mode match {
       case "local" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
         pairs, maxIter = maxIter, localEdgeLimit = Long.MaxValue)
-      case "dist" => graft.operators.Dedup.canonicalize(nodes, "doc_id",
-        pairs, maxIter = maxIter, localEdgeLimit = 0L)
+      case "dist" => graft.operators.Dedup.canonicalizePropagation(nodes,
+        "doc_id", pairs, maxIter = maxIter, localEdgeLimit = 0L)
       case "star" => graft.operators.Dedup.canonicalizeStar(nodes, "doc_id",
         pairs, maxRounds = 50, localEdgeLimit = 0L)
       case "hybrid" => graft.operators.Dedup.canonicalizeHybrid(nodes,

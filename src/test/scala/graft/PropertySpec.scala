@@ -275,10 +275,12 @@ class PropertySpec extends SparkSpec {
         assert(out(r.getLong(0)) == out(r.getLong(1)))
       }
       // both execution strategies agree: the driver union-find fast path
-      // (default) and the distributed propagation loop (forced by a zero
-      // edge budget) compute the same unique min-label fixpoint
+      // (default) and the pinned distributed propagation loop (forced by
+      // a zero edge budget) compute the same unique min-label fixpoint;
+      // canonicalize's own distributed branch (the auto hybrid since
+      // round 20) is pinned by the no-knob spec and the d6e oracle entry
       val viaLoop = graft.operators.Dedup
-        .canonicalize(ids, "doc_id", pairs, localEdgeLimit = 0L)
+        .canonicalizePropagation(ids, "doc_id", pairs, localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaLoop == out)
       // ... and the alternating star contraction agrees with both
@@ -325,7 +327,8 @@ class PropertySpec extends SparkSpec {
     val ids = (0L to len.toLong).toDF("doc_id")
     val pairs = (0L until len.toLong).map(j => (j, j + 1)).toDF("a", "b")
     val out = graft.operators.Dedup
-      .canonicalize(ids, "doc_id", pairs, maxIter = len + 3, localEdgeLimit = 0L)
+      .canonicalizePropagation(ids, "doc_id", pairs, maxIter = len + 3,
+        localEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.length == len + 1)
     out.foreach { case (id, canon, isDup) =>
@@ -345,7 +348,8 @@ class PropertySpec extends SparkSpec {
     // propagation detects exhaustion and falls back to the star
     // contraction, returning the same fixpoint
     val fellBack = graft.operators.Dedup
-      .canonicalize(ids, "doc_id", pairs, maxIter = 5, localEdgeLimit = 0L)
+      .canonicalizePropagation(ids, "doc_id", pairs, maxIter = 5,
+        localEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(fellBack.length == len + 1)
     fellBack.foreach { case (id, canon, isDup) =>
@@ -625,14 +629,14 @@ class PropertySpec extends SparkSpec {
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     run("union-find", collect(Dedup.canonicalize(nodes, "doc_id", pairs)))
-    run("propagation", collect(Dedup.canonicalize(nodes, "doc_id", pairs,
-      maxIter = tailLen + 5, localEdgeLimit = 0L)))
+    run("propagation", collect(Dedup.canonicalizePropagation(nodes,
+      "doc_id", pairs, maxIter = tailLen + 5, localEdgeLimit = 0L)))
     run("star", collect(Dedup.canonicalizeStar(nodes, "doc_id", pairs,
       localEdgeLimit = 0L)))
     run("star-gated", collect(Dedup.canonicalizeStar(nodes, "doc_id", pairs)))
     // exhausted propagation falls back to star on this shape too
-    run("fallback", collect(Dedup.canonicalize(nodes, "doc_id", pairs,
-      maxIter = 3, localEdgeLimit = 0L)))
+    run("fallback", collect(Dedup.canonicalizePropagation(nodes, "doc_id",
+      pairs, maxIter = 3, localEdgeLimit = 0L)))
     // the hybrid across ITS code paths: the hand-off (2 rounds collapse
     // the 14-hop tail to <= ~4 hops, propagation finishes inside a
     // budget the RAW graph's diameter would exhaust), the early

@@ -1469,15 +1469,18 @@ object Bench {
     * implementation changes.
     */
   private[graft] val scaleBands10x: Map[String, (Double, Double)] = Map(
-    // lo edges widened round 16: two independent quiet-disk sweeps
-    // measured j13b 34.6/28.4 s and j13f 53.8/45.5 s at BYTE-IDENTICAL
-    // task metrics to r15 (shuffle 114.4 / 5880.5 MB, spill 12.7 /
-    // 12.3 GB) — the fast end of the disk class had simply never been
-    // sampled, and it REPLICATES; hi edges (the gate and adjudication
-    // threshold) unchanged
-    "j13b_range_join_topk" -> (25.0, 175.0),
-    "j13f_range_join_topk_shuffled" -> (40.0, 550.0),
-    "j13d_range_join_sweep" -> (25.0, 80.0))
+    // lo edges widened round 16 (two independent quiet-disk sweeps:
+    // j13b 34.6/28.4 s, j13f 53.8/45.5 s at BYTE-IDENTICAL task
+    // metrics to r15 — shuffle 114.4 / 5880.5 MB, spill 12.7 /
+    // 12.3 GB) and again round 20, when the quietest window yet
+    // recorded (the r20 10x sweep at calib_ratio 0.47, the lowest in
+    // any committed artifact) read j13b 22.7 / j13d 23.2 / j13f 34.1 —
+    // still the same task metrics, the same disk class, one rung
+    // quieter; hi edges (the gate and adjudication threshold)
+    // unchanged through both widenings
+    "j13b_range_join_topk" -> (20.0, 175.0),
+    "j13f_range_join_topk_shuffled" -> (30.0, 550.0),
+    "j13d_range_join_sweep" -> (20.0, 80.0))
 
   /** The scale artifact's `bands` field (leading comma; empty when no
     * swept entry has a pinned band): `{"query":[lo,hi], ...}` for the

@@ -1478,9 +1478,16 @@ object Bench {
     // still the same task metrics, the same disk class, one rung
     // quieter; hi edges (the gate and adjudication threshold)
     // unchanged through both widenings
-    "j13b_range_join_topk" -> (20.0, 175.0),
-    "j13f_range_join_topk_shuffled" -> (30.0, 550.0),
-    "j13d_range_join_sweep" -> (20.0, 80.0))
+    // re-pinned at birth for the round-20 dominance prune (the top-k
+    // candidate stream halved; spill 12.7 -> 5.3 GB): two full targeted
+    // runs on final code read j13b 20.8/20.2 (calib 0.71/~1), j13d
+    // 19.7/27.7 (1.04/1.72), j13f 24.8/55.6 (1.08/0.87 — the usual
+    // disk-class spread). lo edges scaled for the quietest recorded
+    // window class (calib ~0.47 read the OLD code at 22.7/23.2/34.1);
+    // hi edges (the gate) halved with the candidate volume.
+    "j13b_range_join_topk" -> (10.0, 90.0),
+    "j13f_range_join_topk_shuffled" -> (15.0, 280.0),
+    "j13d_range_join_sweep" -> (8.0, 50.0))
 
   /** The scale artifact's `bands` field (leading comma; empty when no
     * swept entry has a pinned band): `{"query":[lo,hi], ...}` for the

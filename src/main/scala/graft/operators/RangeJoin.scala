@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions._
   *     (b) bound matches per point at k — [[pointInIntervalTopK]]
   *     (enumerate-then-cap via a point-keyed window: its sort DISK
   *     grows with the candidate count — measured 12.7 GB of spill and
-  *     disk-bound 55–175 s wall at 10× densification) or
+  *     disk-bound 55–175 s wall at 10× densification before round 20's
+  *     [[pruneDominatedBins]] halved the candidate stream: 5.3 GB and
+  *     ~21 s since) or
   *     [[pointInIntervalTopKSweep]] (a k-bounded streaming aggregate:
   *     task memory stays FLAT at any density — measured 8.7 MB, zero
   *     spill, and 36 s at the same 10× point with the fold's hash
@@ -71,22 +73,115 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, binDays: Int): DataFrame = {
-    require(binDays > 0, "binDays must be positive")
+    requireDisjoint(points, intervals)
+    joinBinned(points,
+      binnedIntervals(intervals, loCol, hiCol, binDays),
+      ptCol, loCol, hiCol, binDays)
+  }
+
+  private def requireDisjoint(points: DataFrame, intervals: DataFrame): Unit = {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"point/interval column names collide: $overlap")
     require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
       "_bin is reserved by pointInInterval")
-    val pb = points.withColumn("_bin",
-      floor(datediff(col(ptCol), epoch) / binDays))
-    val ib = intervals
+  }
+
+  /** The interval side of the bin equi-join: one row per bin an interval
+    * overlaps, tagged `_bin`. Empty intervals (hi < lo) match nothing and
+    * are dropped here.
+    */
+  private[operators] def binnedIntervals(intervals: DataFrame, loCol: String,
+      hiCol: String, binDays: Int): DataFrame = {
+    require(binDays > 0, "binDays must be positive")
+    intervals
       .filter(col(hiCol) >= col(loCol)) // empty intervals match nothing
       .withColumn("_bin", explode(sequence(
         floor(datediff(col(loCol), epoch) / binDays),
         floor(datediff(col(hiCol), epoch) / binDays))))
+  }
+
+  /** The bin equi-join plus exact containment filter over an ALREADY
+    * bin-exploded interval side (see [[binnedIntervals]]).
+    */
+  private def joinBinned(points: DataFrame, ib: DataFrame, ptCol: String,
+      loCol: String, hiCol: String, binDays: Int): DataFrame = {
+    val pb = points.withColumn("_bin",
+      floor(datediff(col(ptCol), epoch) / binDays))
     pb.join(ib, Seq("_bin"))
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("_bin")
   }
+
+  /** Per-bin dominance prune for the top-k cures — drops interval rows
+    * that can never appear in ANY point's top-k, BEFORE the candidate
+    * enumeration, so the enumeration itself shrinks instead of only its
+    * output. Semantics-preserving by a coverage argument:
+    *
+    * An interval that FULLY COVERS bin `b` (`lo ≤ binStart` and
+    * `hi ≥ binEnd`) contains every possible point in `b`. So if `k`
+    * full-covering intervals of `b` are all STRICTLY better than
+    * interval `j` under the top-k total order (`rank` asc, `lo` asc,
+    * `hi` asc — exactly the order the window/sweep rank by), then for
+    * every point `p` in `b` those `k` intervals match `p` and order
+    * before `j`: `j` can never be in `p`'s top-k and its `(j, b)` bin
+    * row can be dropped. Rows are dropped ONLY on that proof, so the
+    * kept candidate multiset per point — and therefore the operator's
+    * output — is unchanged; ties with the k-th full-cover are kept (a
+    * tie is not strictly worse).
+    *
+    * Mechanically: the k-th smallest order key among bin `b`'s
+    * full-covers (a `row_number = k` over the full-cover subset —
+    * positional, so duplicate keys resolve to the correct multiset
+    * k-th) is `b`'s threshold; a bin row survives iff its bin has no
+    * threshold (fewer than k full-covers) or its key is ≤ it. One
+    * window over the full-cover subset of the (small) interval side +
+    * one #bins-row join — trivial next to the enumeration it shrinks.
+    *
+    * Payoff is workload-shaped: in the densification regime (many
+    * long, overlapping intervals piling into a fixed window — the
+    * regime the top-k cures exist for) bins accumulate full-covers and
+    * the candidate stream shrinks toward the intervals ranked above
+    * each bin's k-th best cover. With a recency rank (latest `lo`
+    * first) that is ~the newest half of each bin's overlappers — the
+    * best-ranked intervals are exactly the ones too new to cover their
+    * bin — so the graded 10× densification point measured ~2×:
+    * candidates halved (j13f's shuffled candidate stream 5.88 →
+    * 2.54 GB), j13b 43.5 → 20.8 s / j13d 32.3 → 19.7 / j13f 114.1 →
+    * 24.8 at comparable calib, window-sort spill 12.7 → 5.3 GB
+    * (OPTIMIZATION_r20.md has the full table). A rank correlated with
+    * coverage (e.g. longest-first) prunes much harder; with only short
+    * intervals (span < binDays, so no full-covers) nothing is pruned
+    * and the only cost is the empty threshold pass.
+    */
+  private[operators] def pruneDominatedBins(ib: DataFrame, loCol: String,
+      hiCol: String, binDays: Int, rank: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(!ib.columns.contains("_thr"), "_thr is reserved by the top-k prune")
+    val okey = struct(rank.as("_okr"), col(loCol).as("_okl"),
+      col(hiCol).as("_okh"))
+    val binStart = col("_bin") * binDays
+    val fullCover = (datediff(col(loCol), epoch) <= binStart) &&
+      (datediff(col(hiCol), epoch) >= binStart + (binDays - 1))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bin")).orderBy(col("_ok").asc)
+    val thresholds = ib.filter(fullCover)
+      .select(col("_bin"), okey.as("_ok"))
+      .withColumn("_rn", row_number().over(byKey))
+      .filter(col("_rn") === k)
+      .select(col("_bin"), col("_ok").as("_thr"))
+    ib.join(thresholds, Seq("_bin"), "left")
+      .filter(col("_thr").isNull || okey <= col("_thr"))
+      .drop("_thr")
+  }
+
+  /** The prune needs `rank` to be a function of the INTERVAL columns
+    * alone (the API admits any Column; a rank referencing point columns
+    * cannot be thresholded per bin). Resolvability against the interval
+    * frame is the exact test.
+    */
+  private def rankIsIntervalOnly(intervals: DataFrame,
+      rank: org.apache.spark.sql.Column): Boolean =
+    scala.util.Try(intervals.select(rank)).isSuccess
 
   /** The interval side's broadcast budget: explicit bytes when the
     * caller passed one (≥ 0), else the session's
@@ -124,9 +219,14 @@ object RangeJoin {
       budgetBytes: Long): Boolean = {
     val budget: BigInt =
       if (budgetBytes >= 0) BigInt(budgetBytes)
-      else BigInt(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        intervals.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))).max(BigInt(0))
+      else {
+        // "-1" (or any negative) disables auto-broadcast: budget 0
+        val conf = intervals.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+        if (conf.startsWith("-")) BigInt(0)
+        else BigInt(org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(conf)).max(BigInt(0))
+      }
     intervals.queryExecution.optimizedPlan.stats.sizeInBytes <= budget || {
       val rowWidth =
         intervals.schema.map(_.dataType.defaultSize.toLong).sum + 16L
@@ -185,16 +285,31 @@ object RangeJoin {
       k: Int, broadcastBudgetBytes: Long = -1L): DataFrame = {
     require(k > 0, "k must be positive")
     require(idCols.nonEmpty, "idCols must name the point key")
+    requireDisjoint(points, intervals)
+    val ib0 = binnedIntervals(intervals, loCol, hiCol, binDays)
+    val ib = if (rankIsIntervalOnly(intervals, rank))
+      pruneDominatedBins(ib0, loCol, hiCol, binDays, rank, k) else ib0
+    // NOT sized from the candidate count: a round-20 experiment derived
+    // this repartition's width from the measured per-bin candidate
+    // volume (Σ|points_b|·|ib_b| / 32 MB per task) — sort spill went to
+    // ZERO (j13b 5.3 GB → 0, peak task memory 152 → 50 MB) but wall was
+    // flat (j13b) to 40% WORSE (j13f 24.8 → 35.1 s at equal calib): on
+    // this host the window sort's spill is cheap sequential /tmp
+    // writeback, while the extra exchange width costs real scheduling
+    // and fetch overhead. The cure for candidate-sort pressure is the
+    // dominance prune above plus the sweep form; partition sizing is
+    // the knob to revisit only on spill-hostile storage (the numbers
+    // live in OPTIMIZATION_r20.md).
     val joined =
       if (withinBroadcastBudget(intervals, broadcastBudgetBytes))
         // broadcast is the premise of the exchange-free shape: the
         // point-key repartition survives the join and feeds the window
-        pointInInterval(points.repartition(idCols.map(col): _*),
-          broadcast(intervals), ptCol, loCol, hiCol, binDays)
+        joinBinned(points.repartition(idCols.map(col): _*),
+          broadcast(ib), ptCol, loCol, hiCol, binDays)
       else
         // over-budget interval side: shuffled bin join, then the ONE
         // point-key exchange of the (still uncapped) candidate stream
-        pointInInterval(points, intervals, ptCol, loCol, hiCol, binDays)
+        joinBinned(points, ib, ptCol, loCol, hiCol, binDays)
           .repartition(idCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCols.map(col): _*)
@@ -263,8 +378,21 @@ object RangeJoin {
     require(idCols.forall(ptCols.contains),
       s"idCols must be point columns: ${idCols.filterNot(ptCols.contains)}")
     val ivCols = intervals.columns.toSeq
-    val joined = pointInInterval(points.repartition(idCols.map(col): _*),
-      intervals, ptCol, loCol, hiCol, binDays)
+    requireDisjoint(points, intervals)
+    val ib0 = binnedIntervals(intervals, loCol, hiCol, binDays)
+    val ib = if (rankIsIntervalOnly(intervals, rank))
+      pruneDominatedBins(ib0, loCol, hiCol, binDays, rank, k) else ib0
+    // the prune subtree (a window + a thresholds join) inflates the
+    // optimizer's size ESTIMATE of the interval side; left alone the
+    // planner can flip the build side and broadcast the POINTS — fatal
+    // at scale. Same two-tier real-count gate as pointInIntervalTopK:
+    // within the session budget the interval side broadcasts by hint
+    // (preserving the exchange-free fused fold), past it nothing is
+    // hinted and the bin join shuffles (the no-broadcast-premise path).
+    val ivSide =
+      if (withinBroadcastBudget(intervals, -1L)) broadcast(ib) else ib
+    val joined = joinBinned(points.repartition(idCols.map(col): _*),
+      ivSide, ptCol, loCol, hiCol, binDays)
     // element = (sort key, payload): lexicographic struct ordering gives
     // (rank, lo, hi) ascending with the full interval row as tie-break
     val elem = struct(rank.as("_r"), col(loCol).as("_l"), col(hiCol).as("_h"),

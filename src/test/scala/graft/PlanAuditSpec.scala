@@ -344,8 +344,15 @@ class PlanAuditSpec extends SparkSpec {
       s"j13d's partial and final folds must fuse into one stage:\n$d")
     assert(d.contains("REPARTITION_BY_COL"),
       s"j13d lost the explicit point repartition:\n$d")
-    assert(!d.contains("WindowGroupLimit"),
-      s"j13d regressed to enumerate-then-cap:\n$d")
+    // the CANDIDATE stream must never window; the one permitted
+    // WindowGroupLimit is the round-20 dominance prune's k-th-full-cover
+    // threshold pass on the interval side, keyed by _bin and bounded by
+    // the (small) interval side — a point-keyed window would mean the
+    // sweep regressed to enumerate-then-cap
+    val dWindows = d.linesIterator
+      .filter(_.contains("WindowGroupLimit")).toVector
+    assert(dWindows.forall(_.contains("[_bin")),
+      s"j13d windowed something other than the interval-side prune:\n$d")
     // j13e (per-point aggregate): the reduction must run BELOW the pair
     // blowup — a partial_count on the map side of the point-key exchange
     val e = plan("j13e_range_join_agg")

@@ -1137,8 +1137,12 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"top-k cap lost the window-group limit:\n$plan")
+    // point/candidate data crosses the wire exactly once (the up-front
+    // repartition); the round-20 dominance prune adds interval-side
+    // shuffles keyed by _bin, bounded by the (small) interval side
     val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
-      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange") &&
+      !l.contains("hashpartitioning(_bin"))
     assert(exchanges == 1,
       s"expected exactly the point-repartition exchange, got $exchanges:\n$plan")
   }
@@ -1204,12 +1208,20 @@ class OperatorsSpec extends SparkSpec {
       assert(plan.contains("WindowGroupLimit"), s"fallback lost the cap:\n$plan")
       assert(!plan.contains("BroadcastExchange"),
         s"fallback branch broadcast anyway:\n$plan")
-      // exchanges: the two _bin join sides plus the ONE point-key
-      // repartition the window reuses — a 4th would mean the capped
-      // stream is shuffled twice
-      val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
-        !l.contains("ReusedExchange"))
-      assert(exchanges == 3, s"expected 3 shuffle exchanges, got $exchanges:\n$plan")
+      // point/candidate data crosses the wire exactly twice: its _bin
+      // join side and the ONE point-key repartition the window reuses —
+      // a second non-bin exchange would mean the capped stream is
+      // shuffled twice. The remaining _bin-keyed exchanges are the
+      // interval join side plus the dominance prune's threshold pass,
+      // all bounded by the (small) interval side.
+      val ptExchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("ReusedExchange") && !l.contains("hashpartitioning(_bin"))
+      assert(ptExchanges == 1,
+        s"expected exactly the point-repartition exchange, got $ptExchanges:\n$plan")
+      val binExchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("ReusedExchange") && l.contains("hashpartitioning(_bin"))
+      assert(binExchanges <= 4,
+        s"unexpected extra _bin exchanges, got $binExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     // the default gate broadcasts a small in-memory side (the existing
     // exchange-free pin) — and the stats gate sees the pre-explode plan
@@ -1275,15 +1287,27 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("topk_structs"), s"sweep lost the aggregate:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"small interval side must broadcast:\n$plan")
-    assert(!plan.contains("ENSURE_REQUIREMENTS"),
-      s"broadcast-case fold must be exchange-free past the explicit " +
-        s"repartition:\n$plan")
+    // the partial and final folds must fuse into one stage — an exchange
+    // between them would mean the point partitioning was lost and
+    // candidate-derived data crossed the wire. (The dominance prune's
+    // interval-side threshold pass adds its own _bin-keyed exchange
+    // inside the broadcast subtree, so a blanket no-ENSURE_REQUIREMENTS
+    // assert is no longer the right pin.)
+    val sweepLines = plan.linesIterator.toVector
+    val finalFold = sweepLines.indexWhere(_.contains("functions=[topk_structs"))
+    assert(finalFold >= 0 && finalFold + 1 < sweepLines.size &&
+      sweepLines(finalFold + 1).contains("partial_topk_structs"),
+      s"broadcast-case folds must fuse into one stage:\n$plan")
     assert(plan.contains("REPARTITION_BY_COL"),
       s"sweep lost the explicit point repartition (parallelism would be " +
         s"the scan's split count):\n$plan")
-    assert(!plan.contains("WindowGroupLimit") &&
-      !plan.linesIterator.exists(_.trim.startsWith("Window")),
-      s"sweep must not window:\n$plan")
+    // the candidate stream must not window; the only permitted window is
+    // the dominance prune's _bin-keyed threshold pass on the interval side
+    val windowLines = plan.linesIterator.filter(l =>
+      l.contains("WindowGroupLimit") || l.trim.startsWith("Window") ||
+        l.trim.startsWith("+- Window")).toVector
+    assert(windowLines.forall(_.contains("_bin")),
+      s"sweep windowed something other than the interval-side prune:\n$plan")
     // shuffled case (interval side past any broadcast): the fold splits
     // partial+final around a point-key exchange that carries ONLY the
     // k-bounded partial buffers
@@ -1298,6 +1322,88 @@ class OperatorsSpec extends SparkSpec {
       assert(p2.linesIterator.count(_.contains("partial_topk_structs")) >= 1,
         s"shuffled-case fold must partial-aggregate map-side:\n$p2")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("range-join top-k dominance prune: drops only never-top-k bin rows") {
+    // ---- tie semantics, hand-built: bin 0 is days 0..6 (binDays=7) ----
+    // four intervals FULLY covering bin 0 with IDENTICAL order keys
+    // (rank, lo, hi all equal): the k-th full-cover threshold equals
+    // their shared key, and a tie is not strictly worse — all four must
+    // survive the prune. A fifth, worse-ranked full-cover must be
+    // dropped for bin 0 (k strictly better full-covers exist), and a
+    // short interval that never fully covers any bin must survive even
+    // with the worst rank.
+    val d0 = lit("1970-01-01").cast("date")
+    val tied = Seq(
+      (1L, -1, 8, 1), (2L, -1, 8, 1), (3L, -1, 8, 1), (4L, -1, 8, 1),
+      (5L, -1, 8, 2),  // full-cover, strictly worse than 4 tied covers
+      (6L, 2, 3, 9)    // short overlap of bin 0, dominated by the covers
+    ).toDF("iv_id", "s", "e", "rk")
+      .select(col("iv_id"), date_add(d0, col("s")).as("lo"),
+        date_add(d0, col("e")).as("hi"), col("rk"))
+    val tiedPruned = RangeJoin.pruneDominatedBins(
+      RangeJoin.binnedIntervals(tied, "lo", "hi", 7),
+      "lo", "hi", 7, col("rk"), 3)
+      .select("iv_id", "_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => tiedPruned.contains((i, 0L))),
+      s"ties at the threshold must be kept: $tiedPruned")
+    assert(!tiedPruned.contains((5L, 0L)),
+      s"a strictly dominated full-cover must be dropped: $tiedPruned")
+    assert(!tiedPruned.contains((6L, 0L)),
+      s"a worse-ranked overlap of a thresholded bin must be dropped: " +
+        s"$tiedPruned")
+    // bins 0's neighbors have no 3 full-covers (the spans only brush
+    // them), so NOTHING may be pruned there — iv 5 keeps its bin -1/1
+    // rows even though it lost bin 0
+    assert(tiedPruned.contains((5L, -1L)) && tiedPruned.contains((5L, 1L)),
+      s"prune must be per-bin, not per-interval: $tiedPruned")
+    // with k above the full-cover count nothing is dominated anywhere
+    val loosePruned = RangeJoin.pruneDominatedBins(
+      RangeJoin.binnedIntervals(tied, "lo", "hi", 7),
+      "lo", "hi", 7, col("rk"), 6)
+      .select("iv_id", "_bin").count()
+    assert(loosePruned ==
+      RangeJoin.binnedIntervals(tied, "lo", "hi", 7).count(),
+      "k above the full-cover count must prune nothing")
+
+    // ---- equivalence on a dense pseudo-random mix (long spans that
+    // full-cover many bins, short spans that never do, colliding ranks
+    // made total by iv_id): pruned window and sweep forms must equal a
+    // naive cross-join top-k computed with no bins and no prune ----
+    val rnd = new scala.util.Random(7)
+    val ivs = (1L to 400L).map { i =>
+      val start = rnd.nextInt(120)
+      val span = if (i % 3 == 0) rnd.nextInt(5) else 20 + rnd.nextInt(40)
+      (i, start, start + span, (i % 25))
+    }.toDF("iv_id", "s", "e", "rk")
+      .select(col("iv_id"), date_add(d0, col("s")).as("lo"),
+        date_add(d0, col("e")).as("hi"), col("rk"))
+    val pts = (1L to 300L).map(p => (p, rnd.nextInt(160) - 10))
+      .toDF("pt_id", "pd")
+      .select(col("pt_id"), date_add(d0, col("pd")).as("d"))
+    val rank = struct(col("rk"), col("iv_id")) // iv_id makes it total
+    def kept(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = kept(RangeJoin.pointInIntervalTopK(pts, ivs, "d", "lo", "hi",
+      7, Seq("pt_id"), rank, 3))
+    val swp = kept(RangeJoin.pointInIntervalTopKSweep(pts, ivs, "d", "lo",
+      "hi", 7, Seq("pt_id"), rank, 3))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pt_id")
+      .orderBy(struct(col("rk"), col("iv_id")).asc, col("lo").asc, col("hi").asc)
+    val naive = kept(pts.join(ivs, col("d").between(col("lo"), col("hi")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3))
+    assert(win == naive, "pruned window form diverged from the naive top-k")
+    assert(swp == naive, "pruned sweep form diverged from the naive top-k")
+
+    // ---- and the prune must actually bite on this dense mix (long
+    // overlapping spans pile ≥ k full-covers into most bins) ----
+    val ib = RangeJoin.binnedIntervals(ivs, "lo", "hi", 7)
+    val prunedN = RangeJoin.pruneDominatedBins(ib, "lo", "hi", 7, rank, 3)
+      .count()
+    assert(prunedN < ib.count() / 2,
+      s"prune kept $prunedN of ${ib.count()} bin rows — not biting")
   }
 
   test("sizeSweepFold sets the fold threshold to 2x keys/task, floored at stock") {

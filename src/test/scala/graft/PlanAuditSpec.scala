@@ -353,10 +353,18 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("WindowGroupLimit")).toVector
     assert(dWindows.forall(_.contains("[_bin")),
       s"j13d windowed something other than the interval-side prune:\n$d")
-    // j13e (per-point aggregate): the reduction must run BELOW the pair
-    // blowup — a partial_count on the map side of the point-key exchange
+    // j13e (per-point date-only aggregates): since round 20's
+    // optimization phase the enumeration is GONE — stats come from
+    // endpoint prefix sums broadcast-joined per date. No Generate
+    // (the bin explode) may appear anywhere in the plan, and the
+    // per-date stats side must broadcast; the per-endpoint/point
+    // reductions still partial-aggregate map-side.
     val e = plan("j13e_range_join_agg")
+    assert(!e.contains("Generate"),
+      s"j13e regressed to candidate enumeration (bin explode):\n$e")
+    assert(e.contains("BroadcastHashJoin"),
+      s"j13e's per-date stats must broadcast onto the points:\n$e")
     assert(e.contains("partial_count"),
-      s"j13e's reduction must partial-aggregate below the fan-out:\n$e")
+      s"j13e's reductions must partial-aggregate map-side:\n$e")
   }
 }

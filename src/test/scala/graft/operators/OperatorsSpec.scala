@@ -1406,6 +1406,81 @@ class OperatorsSpec extends SparkSpec {
       s"prune kept $prunedN of ${ib.count()} bin rows — not biting")
   }
 
+  test("range-join stab stats: equals the enumerate-then-reduce aggregates") {
+    val d0 = lit("1970-01-01").cast("date")
+    // interval mix: long overlapping spans, short spans, an EMPTY
+    // interval (hi < lo, must match nothing), duplicated intervals
+    val rnd = new scala.util.Random(11)
+    val ivRows = (1L to 120L).map { i =>
+      val s = rnd.nextInt(90)
+      val span = if (i % 4 == 0) rnd.nextInt(3) else 10 + rnd.nextInt(30)
+      (s, s + span)
+    } ++ Seq((50, 40), (20, 45), (20, 45)) // empty + exact duplicates
+    val ivs = ivRows.toDF("s", "e")
+      .select(date_add(d0, col("s")).as("lo"), date_add(d0, col("e")).as("hi"))
+    // points: inside, before and after all intervals, plus DUPLICATE
+    // identical rows (the multiplicity semantics under test)
+    val ptRows = (1L to 200L).map(p => (p, rnd.nextInt(140) - 10)) ++
+      Seq((900L, 30), (900L, 30), (900L, 30)) // 3 identical rows
+    val pts = ptRows.toDF("pt_id", "pd")
+      .select(col("pt_id"), date_add(d0, col("pd")).as("d"))
+    val fast = RangeJoin.pointInIntervalStabStats(pts, ivs, "d", "lo", "hi")
+      .select(col("pt_id"), col("d"), col("n_iv"),
+        col("lo_min_days"), col("hi_max_days"))
+    val slow = RangeJoin.pointInIntervalAgg(pts, ivs, "d", "lo", "hi", 7, Seq(
+        count(lit(1)).as("n_iv"),
+        min(datediff(col("lo"), d0)).as("lo_min_days"),
+        max(datediff(col("hi"), d0)).as("hi_max_days")))
+      .select(col("pt_id"), col("d"), col("n_iv"),
+        col("lo_min_days"), col("hi_max_days"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val f = rows(fast); val s = rows(slow)
+    assert(f == s, s"stab stats diverged:\nfast ${f.diff(s)}\nslow ${s.diff(f)}")
+    // the duplicated point rows merged into ONE row with multiplied count
+    val dup = f.filter(_._1 == 900L)
+    assert(dup.size == 1 && dup.head._3 % 3 == 0 && dup.head._3 > 0,
+      s"duplicate point rows must merge with multiplied count: $dup")
+  }
+
+  test("range-join prefix agg: equals the enumerate-then-reduce interval sums") {
+    val d0 = lit("1970-01-01").cast("date")
+    val rnd = new scala.util.Random(13)
+    // intervals: overlapping spans, an empty one, exact duplicates, and
+    // one far future (zero matches — must be ABSENT from the reference
+    // inner join and carry n_points = 0 in the prefix form)
+    val ivRows = (1L to 80L).map { i =>
+      val s = rnd.nextInt(90); (i, s, s + rnd.nextInt(25))
+    } ++ Seq((900L, 50, 40), (901L, 20, 45), (901L, 20, 45), (902L, 5000, 5100))
+    val ivs = ivRows.toDF("iv_id", "s", "e")
+      .select(col("iv_id"), date_add(d0, col("s")).as("lo"),
+        date_add(d0, col("e")).as("hi"))
+    val pts = (1L to 300L).map(p => (rnd.nextInt(140) - 10, 1L + rnd.nextInt(1000)))
+      .toDF("pd", "v")
+      .select(date_add(d0, col("pd")).as("d"), col("v"))
+    val fast = RangeJoin.pointInIntervalPrefixAgg(pts, ivs, "d", "lo", "hi",
+        Seq("v"))
+      .groupBy("iv_id")
+      .agg(sum(col("n_points")).as("n"), sum(col("sum_v")).as("sv"))
+      .filter(col("n") > 0)
+    val slow = RangeJoin.pointInInterval(pts, ivs, "d", "lo", "hi", 7)
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val f = rows(fast); val sl = rows(slow)
+    assert(f == sl, s"prefix agg diverged:\nfast ${f.diff(sl)}\nslow ${sl.diff(f)}")
+    // the zero-match interval is present pre-filter with n_points = 0
+    // (callers choose inner vs outer semantics), absent post-filter
+    val zero = RangeJoin.pointInIntervalPrefixAgg(pts, ivs, "d", "lo", "hi",
+        Seq("v")).filter(col("iv_id") === 902L).collect()
+    assert(zero.length == 1 && zero.head.getAs[Long]("n_points") == 0L)
+    assert(!f.exists(_._1 == 902L))
+    // duplicated interval rows each carry full stats (join-fanout parity)
+    assert(f.exists(_._1 == 901L))
+  }
+
   test("sizeSweepFold sets the fold threshold to 2x keys/task, floored at stock") {
     import graft.tools.SessionConf
     val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"

@@ -670,15 +670,60 @@ object Dedup {
       // spillable byte buffers — at 100M edges the deserialized default
       // held ~6 GB of row objects for the whole strategy's lifetime
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // one count over the checkpointed blocks (no recompute of `pairs`):
+    // it feeds BOTH the union-find gate and the loop's shuffle-partition
+    // derivation, so forced-distributed callers (localEdgeLimit = 0) now
+    // pay it too — measured trivial next to the per-pass overhead it
+    // removes (see [[ccLoopShufflePartitions]])
+    val edgeCount = undirected.count()
     val lbl =
-      if (localEdgeLimit > 0 && undirected.count() <= localEdgeLimit)
+      if (localEdgeLimit > 0 && edgeCount <= localEdgeLimit)
         localLabels(undirected)
-      else strategy(undirected)
+      else {
+        // Every pass/round of the iterative strategies is a handful of
+        // tiny-keyed exchanges and one convergence action; left at the
+        // session default their per-pass fixed cost is ∝ the shuffle
+        // partition count × iteration count REGARDLESS of data volume —
+        // the graded sf0.1 graphs (~10^2-10^3 edges) paid 32-way task
+        // scheduling per pass and measured ANTI-scaling (8-core runs 2×
+        // faster than 32-core on identical code, r20 driver scaling
+        // block). Derive the loop's width from the measured edge count
+        // instead (guide §2.2: fewer, larger partitions; the session
+        // default stays the ceiling so at-scale CcProbe axes are
+        // unchanged), restore the session conf after the strategy's
+        // actions complete.
+        val spark = undirected.sparkSession
+        val key = "spark.sql.shuffle.partitions"
+        val before = spark.conf.get(key)
+        spark.conf.set(key,
+          ccLoopShufflePartitions(before.toInt, edgeCount).toString)
+        try strategy(undirected) finally spark.conf.set(key, before)
+      }
     nodes.join(lbl, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("lbl"), col("id")).as("canon_id"),
         (coalesce(col("lbl"), col("id")) =!= col("id")).as("is_dup"))
   }
+
+  /** Edges per shuffle partition inside the iterative CC loops: the
+    * partition count is `ceil(edges / this)`, capped at the session
+    * default (so big graphs keep the session's full parallelism — at
+    * 2^17 the cap re-engages from ~4M edges on a 32-partition session,
+    * leaving CcProbe's measured 10M/30M/100M axes at their committed
+    * shape) and floored at 1 (so a few-hundred-edge graded graph runs
+    * its ~tens of per-pass exchanges/actions as single tasks instead of
+    * 32 empty ones per pass). 2-long edge rows make this ~2 MB of input
+    * per task — deliberately far below the guide's 100 MB+ shuffle
+    * sizing, because the loop is latency-bound long before it is
+    * bandwidth-bound: the constant only decides how quickly small
+    * graphs stop paying per-partition fixed costs.
+    */
+  private val ccLoopEdgesPerPartition = 131072L
+
+  private[operators] def ccLoopShufflePartitions(sessionParts: Int,
+      edges: Long): Int =
+    math.max(1, math.min(sessionParts.toLong,
+      (edges + ccLoopEdgesPerPartition - 1) / ccLoopEdgesPerPartition).toInt)
 
   /** Connected-components canonicalization by ALTERNATING STAR
     * CONTRACTION (the large-star/small-star algorithm of Kiveris,

@@ -445,6 +445,34 @@ class OperatorsSpec extends SparkSpec {
     assert(solo.forall(r => r.getLong(0) == r.getLong(1) && !r.getBoolean(2)))
   }
 
+  test("cc loop sizes shuffle partitions from the edge count and restores the conf") {
+    // round 21: the iterative strategies' per-pass fixed cost is ∝
+    // shuffle-partition count × pass count regardless of data volume, so
+    // the loop width is derived from the materialized edge count (capped
+    // by the session default — big graphs keep full parallelism)
+    assert(Dedup.ccLoopShufflePartitions(32, 0L) == 1)
+    assert(Dedup.ccLoopShufflePartitions(32, 600L) == 1)
+    assert(Dedup.ccLoopShufflePartitions(32, 131072L) == 1)
+    assert(Dedup.ccLoopShufflePartitions(32, 131073L) == 2)
+    assert(Dedup.ccLoopShufflePartitions(32, 4200000L) == 32)
+    assert(Dedup.ccLoopShufflePartitions(32, 30000000L) == 32)
+    assert(Dedup.ccLoopShufflePartitions(2, 300000L) == 2)
+    // and the session conf is restored after the strategy's actions: a
+    // forced-distributed run must leave the session exactly as found
+    // while still producing the exact min-label fixpoint
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("a", "b")
+    val out = Dedup.canonicalizePropagation(ids, "doc_id", pairs,
+        localEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L))
+    assert(spark.conf.get(key) == before,
+      "cc loop must restore the session's shuffle partitions")
+  }
+
   test("incrementalExact: store wins over batch order; re-ingest is idempotent") {
     val incoming = Seq(
       (10L, "alpha"), (11L, "alpha"), // in-batch dup pair, min id wins
@@ -1404,6 +1432,83 @@ class OperatorsSpec extends SparkSpec {
       .count()
     assert(prunedN < ib.count() / 2,
       s"prune kept $prunedN of ${ib.count()} bin rows — not biting")
+  }
+
+  test("range-join top-k prune density gate: sparse skips, dense prunes, same answer") {
+    // The round-21 gate: the prune's threshold pass is a fixed cost that
+    // only pays in the densification regime, so it must be SKIPPED when
+    // the interval side has too few full-covers per spanned bin (the
+    // driver's r20 sf0.1 sweep measured the unconditional prune at
+    // 0.32-0.66x) and KEPT when bins pile up covers (the 10x artifact's
+    // halved candidate stream). Observable: the prune's _bin-keyed
+    // threshold window is the only Window either top-k form ever plans,
+    // so its presence/absence in the executed plan IS the decision.
+    val d0 = lit("1970-01-01").cast("date")
+    val rnd = new scala.util.Random(13)
+    def windowed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => (l.contains("WindowGroupLimit") ||
+          l.trim.startsWith("Window") || l.trim.startsWith("+- Window")) &&
+          l.contains("_bin"))
+    def naive(pts: org.apache.spark.sql.DataFrame,
+        ivs: org.apache.spark.sql.DataFrame,
+        rank: org.apache.spark.sql.Column): Set[(Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("pt_id")
+        .orderBy(rank.asc, col("lo").asc, col("hi").asc)
+      pts.join(ivs, col("d").between(col("lo"), col("hi")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 3)
+        .select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def kept(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = (1L to 150L).map(p => (p, rnd.nextInt(130) - 5))
+      .toDF("pt_id", "pd")
+      .select(col("pt_id"), date_add(d0, col("pd")).as("d"))
+    // SPARSE: a handful of spans, ~0.3 full-covers per spanned bin —
+    // far under the gate's 4k covers/bin: the prune must NOT plan
+    val sparse = (1L to 10L).map(i => (i, (i * 11 % 60).toInt))
+      .toDF("iv_id", "s")
+      .select(col("iv_id"), date_add(d0, col("s")).as("lo"),
+        date_add(d0, col("s") + 9).as("hi"), (col("iv_id") % 4).as("rk"))
+    val rank = struct(col("rk"), col("iv_id"))
+    val sparseWin = RangeJoin.pointInIntervalTopK(pts, sparse, "d", "lo",
+      "hi", 7, Seq("pt_id"), rank, 3)
+    val sparseSwp = RangeJoin.pointInIntervalTopKSweep(pts, sparse, "d",
+      "lo", "hi", 7, Seq("pt_id"), rank, 3)
+    assert(!windowed(sparseWin),
+      "sparse interval side must skip the dominance prune (window form)")
+    assert(!windowed(sparseSwp),
+      "sparse interval side must skip the dominance prune (sweep form)")
+    assert(kept(sparseWin) == naive(pts, sparse, rank))
+    assert(kept(sparseSwp) == naive(pts, sparse, rank))
+    // DENSE: many long overlapping spans (the densification regime) —
+    // covers per bin well past the gate: the prune must plan, and the
+    // answer must still match the naive top-k
+    val dense = (1L to 300L).map { i =>
+      val s = rnd.nextInt(100)
+      (i, s, s + 25 + rnd.nextInt(30))
+    }.toDF("iv_id", "s", "e")
+      .select(col("iv_id"), date_add(d0, col("s")).as("lo"),
+        date_add(d0, col("e")).as("hi"), (col("iv_id") % 4).as("rk"))
+    val denseWin = RangeJoin.pointInIntervalTopK(pts, dense, "d", "lo",
+      "hi", 7, Seq("pt_id"), rank, 3)
+    val denseSwp = RangeJoin.pointInIntervalTopKSweep(pts, dense, "d",
+      "lo", "hi", 7, Seq("pt_id"), rank, 3)
+    assert(windowed(denseWin),
+      "dense interval side must keep the dominance prune (window form)")
+    assert(windowed(denseSwp),
+      "dense interval side must keep the dominance prune (sweep form)")
+    assert(kept(denseWin) == naive(pts, dense, rank))
+    assert(kept(denseSwp) == naive(pts, dense, rank))
+    // a NON-DETERMINISTIC rank must veto the prune even on the dense
+    // side: the threshold pass would draw rank values independently of
+    // the final ordering and could drop rows that draw into the top-k
+    val randRank = RangeJoin.pointInIntervalTopK(pts, dense, "d", "lo",
+      "hi", 7, Seq("pt_id"), rand(19), 3)
+    assert(!windowed(randRank),
+      "non-deterministic rank must veto the dominance prune")
   }
 
   test("range-join stab stats: equals the enumerate-then-reduce aggregates") {

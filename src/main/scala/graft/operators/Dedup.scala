@@ -386,14 +386,17 @@ object Dedup {
       hotBandWidth: Int = defaultHotBandWidth): DataFrame = {
     require(bitsPerBand >= 1 && bitsPerBand <= 62,
       "a band key must fit a non-negative long")
-    // materialize only (id, band keys, nrm) — a few bytes per vector —
-    // for the band self-join and the norm lookups; the verification
-    // joins re-read full vectors from the source (a persisted copy of
-    // every embedding would not fit at corpus scale). Eager
-    // localCheckpoint, not a lazy cache: the band side and the norm
-    // lookup are BOTH consumed by the one final job, and a lazy cache
-    // with two same-job consumers race-computes the SRP projection
-    // twice (the repo-wide rule).
+    // materialize only (id, band keys) — a few bytes per vector — for
+    // the band self-join; the verification joins re-read full vectors
+    // from the source (a persisted copy of every embedding would not
+    // fit at corpus scale). Eager localCheckpoint, not a lazy cache:
+    // bandedPairs re-reads the band frame three times inside one job,
+    // and a lazy cache with same-job consumers race-computes the SRP
+    // projection (the repo-wide rule). The checkpoint lives HERE, so
+    // bandedPairs is told not to add its own (round 21: the second
+    // materialization was one whole extra job + copy pass per call —
+    // the d5 family's profiled cost is fixed job-count overhead, guide
+    // §1.2 step 1 / §2.4).
     //
     // Narrow widths (bands·bits ≤ 63, the graded configurations) pack
     // every band into ONE srpCode long and slice; the corpus-sizing
@@ -402,31 +405,33 @@ object Dedup {
     // the SAME globally-indexed plane family (srpBandCode) — identical
     // bucketing wherever both forms are representable (spec-pinned),
     // one projection pass either way.
-    val (chunks, norms) =
+    val chunks =
       if (bands * bitsPerBand <= 63) {
         val coded = df.select(col(idCol).as("id"),
-            Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"),
-            Similarity.l2Norm(col(vecCol)).as("nrm"))
+            Similarity.srpCode(col(vecCol), dim, bands * bitsPerBand).as("code"))
           .localCheckpoint(true)
         val mask = (1L << bitsPerBand) - 1
-        (coded.selectExpr("id",
-          s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)"),
-          coded.select("id", "nrm"))
+        coded.selectExpr("id",
+          s"stack($bands, ${(0 until bands).map(b => s"$b, (code >> ${bitsPerBand * b}) & $mask").mkString(", ")}) as (band, ckey)")
       } else {
         val coded = df.select(col(idCol).as("id"),
             array((0 until bands).map(b => Similarity.srpBandCode(
-              col(vecCol), dim, b * bitsPerBand, bitsPerBand)): _*).as("codes"),
-            Similarity.l2Norm(col(vecCol)).as("nrm"))
+              col(vecCol), dim, b * bitsPerBand, bitsPerBand)): _*).as("codes"))
           .localCheckpoint(true)
-        (coded.select(col("id"), posexplode(col("codes")).as(Seq("band", "ckey"))),
-          coded.select("id", "nrm"))
+        coded.select(col("id"), posexplode(col("codes")).as(Seq("band", "ckey")))
       }
-    val cand = bandedPairs(chunks, Seq("band", "ckey"), hotBandWidth)
+    val cand = bandedPairs(chunks, Seq("band", "ckey"), hotBandWidth,
+      preMaterialized = true)
     // zero-norm vectors have undefined cosine (0/0 = NaN, which Spark
     // orders ABOVE any threshold) — they can never be near-dups, so they
-    // are excluded before the division
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(norms, "id")
+    // are excluded before the division. The norm is computed IN the
+    // verification scan's projection (one cheap codegen'd dot per row)
+    // rather than joined in from the signature checkpoint — the old
+    // norm-lookup join cost one broadcast join per pair side for a value
+    // the scan can recompute bit-identically from the same vector
+    // (round 21, guide §2.4 remove shuffles/joins outright).
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("nrm"))
       .filter(col("nrm") > 0)
     cand
       .join(vecs.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
@@ -1643,9 +1648,19 @@ object Dedup {
     *
     * `carry` renames extra columns onto each side of the pair, e.g.
     * `("simhash", "ha", "hb")` for the Hamming verification.
+    *
+    * `preMaterialized` tells this join the caller already truncated the
+    * expensive part of `keyed`'s lineage (an eager checkpoint of the
+    * signature frame immediately upstream), so re-reading it three times
+    * only re-evaluates a cheap projection over checkpointed blocks —
+    * re-checkpointing would add one whole job plus a copy pass per call
+    * (round 21; the d5 family's profiled cost is fixed job-count
+    * overhead). Callers whose `keyed` carries a real pipeline (the
+    * minhash/simhash walks) keep the default and get the checkpoint.
     */
   private[operators] def bandedPairs(keyed: DataFrame, keyCols: Seq[String],
-      hotWidth: Int, carry: Seq[(String, String, String)] = Nil): DataFrame = {
+      hotWidth: Int, carry: Seq[(String, String, String)] = Nil,
+      preMaterialized: Boolean = false): DataFrame = {
     require(hotWidth > 0, "hotWidth must be positive")
     val kc = keyCols.map(col)
     // three consumers (width counts, x side, y side) would each recompute
@@ -1658,6 +1673,7 @@ object Dedup {
     // where re-checkpointing would only add a copy pass and a job
     val k = keyed.queryExecution.analyzed match {
       case _: org.apache.spark.sql.execution.LogicalRDD => keyed
+      case _ if preMaterialized => keyed
       case _ => keyed.localCheckpoint(true)
     }
     // hot keys only — rare by construction of a good hash family, so the
